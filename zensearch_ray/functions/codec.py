@@ -1,0 +1,141 @@
+"""Delta + varint posting-list codec with block-max metadata.
+
+The reference has no index at all (it re-scans the whole corpus per
+query — ``database/src/database.ts:93-104`` + ``search-engine/main.go:127-143``);
+its only "compression" artifact is a dead zlib stub
+(``search-engine/utilities/compression.go:22-46``). Per BASELINE.json
+north_rule, the rebuild stores real compressed postings:
+
+  - doc_ids: strictly increasing int64 → delta-encoded (first value
+    absolute, then gaps) → LEB128 varint bytes.
+  - tfs / dls: positive small ints → varint bytes (no delta).
+  - block-max: per block of ``block_size`` postings, the last doc_id
+    (skip pointer) and a float32 UPPER BOUND of the BM25 TF-norm of any
+    posting in the block (conservative: rounded toward +inf so pruning
+    with it is rank-preserving).
+
+Everything is numpy-vectorized — no Python loop over postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zensearch_ray.functions.bm25 import BM25Params, tf_norm
+
+BLOCK_SIZE = 128  # postings per block-max block
+_MAX_VARINT_BYTES = 10  # 64-bit values need at most ceil(64/7) = 10 bytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints, vectorized.
+
+    Builds an (n, 10) byte matrix of 7-bit groups with continuation
+    bits, then flattens through a validity mask.
+    """
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    n = vals.size
+    shifts = (np.arange(_MAX_VARINT_BYTES, dtype=np.uint64) * np.uint64(7))
+    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)  # (n, 10)
+    # byte i is emitted iff i == 0 or vals >> 7i != 0
+    emitted = (vals[:, None] >> shifts[None, :]) != 0
+    emitted[:, 0] = True
+    # continuation bit set iff a later byte is emitted
+    cont = np.zeros_like(emitted)
+    cont[:, :-1] = emitted[:, 1:]
+    out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return out[emitted].tobytes()
+
+
+def varint_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array, vectorized via reduceat."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((arr & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    offsets = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    contrib = (arr.astype(np.uint64) & np.uint64(0x7F)) << (offsets.astype(np.uint64) * np.uint64(7))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode_docids(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing int64 doc_ids → delta gaps → varint bytes."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    deltas = np.empty_like(ids)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    if ids.size > 1 and deltas[1:].min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing")
+    return varint_encode(deltas.astype(np.uint64))
+
+
+def delta_decode_docids(buf: bytes | memoryview) -> np.ndarray:
+    """Inverse of delta_encode_docids → int64 doc_ids."""
+    deltas = varint_decode(buf).astype(np.int64)
+    return np.cumsum(deltas)
+
+
+def block_metadata(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max TF-norm upper bound float32).
+
+    The float32 bound is nudged up one ULP so that float32 rounding can
+    never make pruning unsafe (block_max ≥ true max for every posting).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    norms = tf_norm(np.asarray(tfs), np.asarray(dls), avgdl, params)
+    starts = np.arange(0, n, block_size)
+    last = np.minimum(starts + block_size, n) - 1
+    block_last_doc = np.asarray(doc_ids, dtype=np.int64)[last]
+    block_max = np.maximum.reduceat(norms, starts).astype(np.float32)
+    block_max = np.nextafter(block_max, np.float32(np.inf), dtype=np.float32)
+    return block_last_doc, block_max
+
+
+def encode_posting(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one term's posting list → the segment-row payload dict.
+
+    dls (per-posting doc length) are stored inline so a shard is
+    self-contained at query time — no doc_id → doc_len lookup join
+    across shards at 10^12-doc scale (SURVEY.md §4.2).
+    """
+    block_last_doc, block_max = block_metadata(doc_ids, tfs, dls, avgdl, params, block_size)
+    return {
+        "df": int(len(doc_ids)),
+        "docs": delta_encode_docids(doc_ids),
+        "tfs": varint_encode(np.asarray(tfs, dtype=np.uint64)),
+        "dls": varint_encode(np.asarray(dls, dtype=np.uint64)),
+        "block_last_doc": block_last_doc,
+        "block_max": block_max,
+    }
+
+
+def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a segment row → (doc_ids int64, tfs int64, dls int64)."""
+    doc_ids = delta_decode_docids(row["docs"])
+    tfs = varint_decode(row["tfs"]).astype(np.int64)
+    dls = varint_decode(row["dls"]).astype(np.int64)
+    return doc_ids, tfs, dls

@@ -1,0 +1,47 @@
+"""Unicode tokenizer + doc-length semantics (the pinned spec, SURVEY.md §2.8-1/2).
+
+Reference semantics being replaced (cited for parity):
+  - query tokenizer splits on ' ' with a leading-space quirk
+    (reference ``search-engine/internal/bm25/score.go:97-116``);
+  - lowercase normalization ``strings.ToLower``
+    (``search-engine/internal/bm25/tf.go:21``, ``idf.go:24``);
+  - doc length = space count + 1
+    (``search-engine/utilities/doc_length.go:5-16``).
+
+The pinned rebuild spec (per BASELINE.json north_star "Unicode
+tokenization"): NFC-normalize, casefold, split on runs of
+non-alphanumeric code points (underscore excluded), drop empties.
+Applied IDENTICALLY to documents and queries.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# One token = a run of Unicode word characters, underscore excluded.
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def normalize(text: str) -> str:
+    """NFC normalization + casefold (the doc/query-symmetric normalizer)."""
+    return unicodedata.normalize("NFC", text).casefold()
+
+
+def tokenize(text: str) -> list[str]:
+    """Tokenize one string under the pinned spec. Deterministic, pure."""
+    return _TOKEN_RE.findall(normalize(text))
+
+
+def doc_length(text: str) -> int:
+    """doc_len = token count (reference analog doc_length.go:5-16)."""
+    return len(tokenize(text))
+
+
+def term_frequencies(text: str) -> dict[str, int]:
+    """Per-document term → tf histogram (token-equality counting,
+    replacing the reference's substring ``strings.Count`` at tf.go:21)."""
+    tf: dict[str, int] = {}
+    for tok in tokenize(text):
+        tf[tok] = tf.get(tok, 0) + 1
+    return tf

@@ -1,0 +1,103 @@
+"""HTML → text extraction (operator E1 — THE per-row invariant).
+
+Reference semantics (``crawler/internal/crawler/page_navigator.go:220-301``
+with the selector list at ``crawler/internal/crawler/crawler.go:18-31``):
+collect the rendered text of every element matching the 12 CSS selectors
+``a p span pre h1 h2 h3 h4 td ul code div`` and join with single spaces.
+
+Pinned deterministic rebuild spec (FIXTURES.md §2, no browser):
+
+  * parse ``html`` with a pure-Python HTML parser;
+  * a text node is EXTRACTED iff it has an ancestor whose tag is in the
+    12-tag set (attribution to the nearest such ancestor — each text
+    node counted exactly once, no double-counting through nesting) and
+    no ``script``/``style`` ancestor; comments are ignored;
+  * text nodes are whitespace-split; all extracted tokens across the
+    document, in document order, are joined with single spaces.
+
+The fixture generator (``zensearch_ray.sources.pages``) renders html
+whose extraction under this spec reproduces the source ``text``
+byte-for-byte; ``tests/test_extract.py`` asserts equality per url.
+
+Ray-side: a stateless ``map_batches`` transform over zero-copy Arrow
+batches (``batch_format="pyarrow"``) — parsing is per-row Python by
+necessity (an HTML grammar has no Arrow kernel), but batch I/O stays
+columnar Arrow and the stage is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+EXTRACT_TAGS = frozenset(
+    {"a", "p", "span", "pre", "h1", "h2", "h3", "h4", "td", "ul", "code", "div"}
+)
+_SKIP_TAGS = frozenset({"script", "style"})
+# HTML void elements never get an end tag — must not stay on the stack.
+_VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"}
+)
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._stack: list[str] = []
+        self._depth_extract = 0  # ancestors in EXTRACT_TAGS
+        self._depth_skip = 0  # ancestors in _SKIP_TAGS
+        self.tokens: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            return
+        self._stack.append(tag)
+        if tag in EXTRACT_TAGS:
+            self._depth_extract += 1
+        elif tag in _SKIP_TAGS:
+            self._depth_skip += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        # pop to the nearest matching open tag (tolerates mild malformed nesting)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                for popped in reversed(self._stack[i:]):
+                    if popped in EXTRACT_TAGS:
+                        self._depth_extract -= 1
+                    elif popped in _SKIP_TAGS:
+                        self._depth_skip -= 1
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data: str) -> None:
+        if self._depth_extract > 0 and self._depth_skip == 0:
+            self.tokens.extend(data.split())
+
+
+def extract_text(html: bytes | str) -> str:
+    """Extract text from one HTML document under the pinned E1 spec."""
+    if isinstance(html, (bytes, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return " ".join(parser.tokens)
+
+
+def extract_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
+    """``map_batches`` body: html binary column → extracted text column.
+
+    Replaces ``out_col`` if present (used by conformance tests to
+    recompute and compare).
+    """
+    texts = pa.array(
+        [extract_text(h) for h in batch[html_col].to_pylist()], type=pa.string()
+    )
+    if out_col in batch.column_names:
+        idx = batch.column_names.index(out_col)
+        return batch.set_column(idx, out_col, texts)
+    return batch.append_column(out_col, texts)
