@@ -1,0 +1,95 @@
+"""End-to-end: build index over the fixture corpus → query → rank-identity
+vs the brute-force oracle (SURVEY.md §5 conformance suite)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.functions.bm25 import BM25Oracle
+from zensearch_ray.functions.ids import url_doc_id
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+
+QUERIES = [
+    "search engine ranking",
+    "the of and",              # stopword-heavy (salted terms)
+    "café straße naïve",       # unicode
+    "OpenAI openai OPENAI",    # case variants + duplicate tokens
+    "posting shard delta varint",
+    "中文 日本語",
+    "zzz-not-a-word",          # df = 0
+    "the",                     # single stopword
+    "query data web site host text title",
+    "v2 10x HTTP2",
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, pages_small, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    cfg = BuildConfig(num_shards=8, salt_subs=4, heavy_df_threshold=60, lang="en")
+    manifest = build_index(pages_small, index_dir, cfg)
+    return index_dir, manifest, pages_small
+
+
+@pytest.fixture(scope="module")
+def oracle(built_index):
+    _, _, pages_path = built_index
+    t = pq.read_table(pages_path, columns=["url", "text", "lang"])
+    t = t.filter(np.array([l == "en" for l in t["lang"].to_pylist()]))
+    return BM25Oracle(
+        [url_doc_id(u) for u in t["url"].to_pylist()], t["text"].to_pylist()
+    )
+
+
+def test_manifest_stats_match_oracle(built_index, oracle):
+    _, manifest, _ = built_index
+    assert manifest["n_docs"] == oracle.n_docs
+    assert manifest["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert manifest["n_partitions"] > 0
+    assert manifest["total_posting_bytes"] > 0
+    assert manifest["n_heavy_terms"] > 0  # Zipf head must trigger salting
+
+
+def test_df_matches_oracle(built_index, oracle):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    for term in ["the", "search", "café", "中文", "nonexistentterm"]:
+        assert engine.df(term) == oracle.df.get(term, 0), term
+
+
+def test_rank_identity_exhaustive(built_index, oracle):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    for q in QUERIES:
+        got = engine.topk(q, k=10)
+        want = oracle.topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"doc_ids differ for {q!r}"
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12, err_msg=q
+        )
+
+
+def test_rank_identity_pruned(built_index):
+    """Block-max MaxScore path must match the exhaustive path."""
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    for q in QUERIES:
+        got = engine.topk_pruned(q, k=10)
+        want = engine.topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"doc_ids differ for {q!r}"
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9, err_msg=q
+        )
+
+
+def test_salted_term_split_across_parts(built_index):
+    """A heavy term's postings must actually be split into >1 sub-partition."""
+    index_dir, manifest, _ = built_index
+    engine = QueryEngine(index_dir)
+    p = engine.lookup("the")
+    assert p is not None
+    assert len(p.rows) > 1  # salted into multiple (shard, sub) partitions
+    ids, _, _ = p.decode_all()
+    assert len(ids) == p.df
+    assert np.all(np.diff(ids) > 0)  # merged sorted, no duplicates

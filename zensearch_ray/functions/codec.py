@@ -64,8 +64,32 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def delta_encode_docids(doc_ids: np.ndarray) -> bytes:
-    """Strictly-increasing int64 doc_ids → delta gaps → varint bytes."""
+def _varint_byte_lengths(vals: np.ndarray) -> np.ndarray:
+    """Bytes each value occupies in LEB128 (vectorized)."""
+    shifts = (np.arange(_MAX_VARINT_BYTES, dtype=np.uint64) * np.uint64(7))
+    emitted = (vals[:, None] >> shifts[None, :]) != 0
+    emitted[:, 0] = True
+    return emitted.sum(axis=1).astype(np.int64)
+
+
+def varint_block_offsets(vals: np.ndarray, block_size: int) -> np.ndarray:
+    """Byte offset of each block's first value within the varint blob —
+    the skip pointers that make per-block partial decode possible."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    if vals.size == 0:
+        return np.empty(0, dtype=np.int32)
+    lens = _varint_byte_lengths(vals)
+    cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return cum[::block_size].astype(np.int32)
+
+
+def delta_encode_docids(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> bytes:
+    """Strictly-increasing int64 doc_ids → delta gaps → varint bytes.
+
+    The delta chain RESTARTS at every block boundary (the block's first
+    doc_id is stored absolute) so a block can be decoded independently
+    given its byte offset — required for block-max skip decoding.
+    """
     ids = np.asarray(doc_ids, dtype=np.int64)
     if ids.size == 0:
         return b""
@@ -74,13 +98,37 @@ def delta_encode_docids(doc_ids: np.ndarray) -> bytes:
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
     if ids.size > 1 and deltas[1:].min() <= 0:
         raise ValueError("doc_ids must be strictly increasing")
+    deltas[::block_size] = ids[::block_size]  # absolute restart per block
     return varint_encode(deltas.astype(np.uint64))
 
 
-def delta_decode_docids(buf: bytes | memoryview) -> np.ndarray:
-    """Inverse of delta_encode_docids → int64 doc_ids."""
+def delta_deltas_for_offsets(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """The uint64 delta stream delta_encode_docids() varint-encodes
+    (exposed so offset computation shares one definition)."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    deltas = np.empty_like(ids)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    deltas[::block_size] = ids[::block_size]
+    return deltas.astype(np.uint64)
+
+
+def delta_decode_docids(buf: bytes | memoryview, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Inverse of delta_encode_docids → int64 doc_ids (full decode)."""
     deltas = varint_decode(buf).astype(np.int64)
-    return np.cumsum(deltas)
+    n = deltas.size
+    if n == 0:
+        return deltas
+    cs = np.cumsum(deltas)
+    starts = np.arange(0, n, block_size)
+    # subtract the running sum accumulated before each block restart so
+    # each block's cumsum starts from its absolute first doc_id
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    lens = np.diff(np.concatenate((starts, [n])))
+    return cs - np.repeat(base, lens)
 
 
 def block_metadata(
@@ -123,13 +171,20 @@ def encode_posting(
     across shards at 10^12-doc scale (SURVEY.md §4.2).
     """
     block_last_doc, block_max = block_metadata(doc_ids, tfs, dls, avgdl, params, block_size)
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    dls_u = np.asarray(dls, dtype=np.uint64)
     return {
         "df": int(len(doc_ids)),
-        "docs": delta_encode_docids(doc_ids),
-        "tfs": varint_encode(np.asarray(tfs, dtype=np.uint64)),
-        "dls": varint_encode(np.asarray(dls, dtype=np.uint64)),
+        "docs": delta_encode_docids(doc_ids, block_size),
+        "tfs": varint_encode(tfs_u),
+        "dls": varint_encode(dls_u),
         "block_last_doc": block_last_doc,
         "block_max": block_max,
+        "block_doc_off": varint_block_offsets(
+            delta_deltas_for_offsets(doc_ids, block_size), block_size
+        ),
+        "block_tf_off": varint_block_offsets(tfs_u, block_size),
+        "block_dl_off": varint_block_offsets(dls_u, block_size),
     }
 
 
@@ -139,3 +194,43 @@ def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(row["tfs"]).astype(np.int64)
     dls = varint_decode(row["dls"]).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def decode_posting_blocks(
+    row: dict, block_indices: np.ndarray, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks of a posting (skip decoding).
+
+    ``block_indices`` must be sorted ascending. Uses the per-block byte
+    offsets; each block's delta chain restarts absolute, so blocks are
+    independently decodable. Returns concatenated (doc_ids, tfs, dls)
+    for the selected blocks.
+    """
+    docs_buf = memoryview(row["docs"])
+    tfs_buf = memoryview(row["tfs"])
+    dls_buf = memoryview(row["dls"])
+    doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+    dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
+    n_blocks = len(doc_off)
+    doc_end = np.concatenate((doc_off[1:], [len(docs_buf)]))
+    tf_end = np.concatenate((tf_off[1:], [len(tfs_buf)]))
+    dl_end = np.concatenate((dl_off[1:], [len(dls_buf)]))
+
+    ids_parts, tf_parts, dl_parts = [], [], []
+    for bi in np.asarray(block_indices):
+        bi = int(bi)
+        if bi < 0 or bi >= n_blocks:
+            continue
+        deltas = varint_decode(docs_buf[doc_off[bi] : doc_end[bi]]).astype(np.int64)
+        ids_parts.append(np.cumsum(deltas))  # first delta is absolute
+        tf_parts.append(varint_decode(tfs_buf[tf_off[bi] : tf_end[bi]]).astype(np.int64))
+        dl_parts.append(varint_decode(dls_buf[dl_off[bi] : dl_end[bi]]).astype(np.int64))
+    if not ids_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )

@@ -1,0 +1,289 @@
+"""Index build pipeline — the engine's one wide shuffle (SURVEY.md §4.2).
+
+Dataflow (all Ray Data, streaming, zero-copy Arrow batches)::
+
+    read_parquet(pages, columns pruned)
+      → filter(lang)                      # predicate, map-side
+      → extract html→text                 # E1, only when text absent
+      → dedup by url (keep first warc_ts) # A7, duplicate-sliver shuffle
+      → TokenizeStage (actor pool)        # E5/E7/E8 + per-doc (term, tf)
+      → [pass 1] doc stats + df partials  # A1/A2, partial-aggregated
+      → [pass 2] ExplodeStage             # salted term-shard fragments
+      → groupby(part).map_groups(build)   # THE shuffle → posting segments
+      → per-partition atomic commit + lineage manifest + metrics
+
+The reference has no indexing at all (it re-reads the whole corpus per
+query: ``database/src/database.ts:93-104``, ``search-engine/main.go:127-143``);
+this pipeline is the north_rule's replacement. Resume: committed
+partitions (per-partition manifests) are skipped at the MAP side —
+their fragments never enter the shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from zensearch_ray.functions.bm25 import BM25Params
+from zensearch_ray.functions.codec import encode_posting
+from zensearch_ray.stages.dedup import dedup_by_key
+from zensearch_ray.stages.extract import extract_batch
+from zensearch_ray.stages.tokenize import (
+    ExplodeStage,
+    TokenizeStage,
+    df_partials,
+    doc_stat_partials,
+)
+from zensearch_ray.state.manifest import IndexLayout
+
+TOKENIZER_SPEC = "nfc-casefold-nonalnum-v1"
+CODEC_SPEC = "delta-varint-blockmax128-v1"
+
+
+@dataclass
+class BuildConfig:
+    num_shards: int = 32
+    salt_subs: int = 8
+    # df above this → term is "heavy" → salted splitting; None → n_docs // 10
+    heavy_df_threshold: int | None = None
+    params: BM25Params = field(default_factory=BM25Params)
+    lang: str | None = "en"
+    dedup_urls: bool = False
+    extract_from_html: bool = False
+    id_col: str | None = None  # column holding doc_id; None → hash64(url)
+    tokenize_batch_size: int = 512
+    tokenize_concurrency: int | tuple[int, int] | None = None
+    cache_tokenized: bool = True
+
+
+def load_corpus(source, cfg: BuildConfig):
+    """source: Dataset | parquet path(s). Prunes columns at the read."""
+    import ray.data as rd
+
+    if isinstance(source, (str, list)):
+        cols = ["url", "warc_ts", "text", "lang"]
+        if cfg.extract_from_html:
+            cols.append("html")
+        if cfg.id_col:
+            cols.append(cfg.id_col)
+        ds = rd.read_parquet(source, columns=cols)
+    else:
+        ds = source
+    if cfg.lang is not None:
+        lang = cfg.lang
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+        )
+    if cfg.extract_from_html:
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
+    if cfg.dedup_urls:
+        ds = dedup_by_key(ds, "url", order_col="warc_ts")
+    return ds
+
+
+def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
+    """Returns the map_groups body that builds+commits ONE posting segment.
+
+    Runs on workers; the closure carries only small config. Within the
+    group: sort by (term, doc_id), find term run boundaries, encode each
+    term's posting list (vectorized codec), write one immutable parquet
+    segment + lineage manifest atomically, return a metrics row.
+    """
+
+    def build_partition(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part = int(group["part"][0].as_py())
+        idx = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(idx)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = g["tf"].to_numpy(zero_copy_only=False)
+        dls = g["dl"].to_numpy(zero_copy_only=False)
+
+        n = len(terms)
+        boundaries = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [n]))
+
+        rows_term: list[str] = []
+        rows_payload: list[dict] = []
+        for s, e in zip(starts, ends):
+            rows_term.append(terms[s])
+            rows_payload.append(
+                encode_posting(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, params)
+            )
+        seg = pa.table(
+            {
+                "term": pa.array(rows_term, type=pa.string()),
+                "df": pa.array([r["df"] for r in rows_payload], type=pa.int64()),
+                "docs": pa.array([r["docs"] for r in rows_payload], type=pa.binary()),
+                "tfs": pa.array([r["tfs"] for r in rows_payload], type=pa.binary()),
+                "dls": pa.array([r["dls"] for r in rows_payload], type=pa.binary()),
+                "block_last_doc": pa.array(
+                    [r["block_last_doc"] for r in rows_payload],
+                    type=pa.list_(pa.int64()),
+                ),
+                "block_max": pa.array(
+                    [r["block_max"] for r in rows_payload], type=pa.list_(pa.float32())
+                ),
+                "block_doc_off": pa.array(
+                    [r["block_doc_off"] for r in rows_payload], type=pa.list_(pa.int32())
+                ),
+                "block_tf_off": pa.array(
+                    [r["block_tf_off"] for r in rows_payload], type=pa.list_(pa.int32())
+                ),
+                "block_dl_off": pa.array(
+                    [r["block_dl_off"] for r in rows_payload], type=pa.list_(pa.int32())
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(seg, buf, compression="zstd", row_group_size=4096)
+        payload = buf.getvalue()
+        elapsed = time.perf_counter() - t0
+        metrics = {
+            "n_terms": len(rows_term),
+            "n_postings": int(n),
+            "posting_bytes": len(payload),
+            "build_sec": round(elapsed, 4),
+            "postings_per_sec": round(n / elapsed, 1) if elapsed > 0 else None,
+        }
+        IndexLayout(layout_root).commit_partition(part, payload, metrics)
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int64()),
+                "n_terms": pa.array([metrics["n_terms"]], type=pa.int64()),
+                "n_postings": pa.array([metrics["n_postings"]], type=pa.int64()),
+                "posting_bytes": pa.array([metrics["posting_bytes"]], type=pa.int64()),
+                "build_sec": pa.array([metrics["build_sec"]], type=pa.float64()),
+            }
+        )
+
+    return build_partition
+
+
+def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
+    """Build (or resume) the inverted index at ``index_dir``. Returns the
+    global manifest dict. Never calls ray.init (driver owns the session).
+    """
+    import ray
+
+    cfg = cfg or BuildConfig()
+    layout = IndexLayout(index_dir)
+    layout.ensure_dirs()
+    t_start = time.perf_counter()
+
+    corpus = load_corpus(source, cfg)
+    concurrency = cfg.tokenize_concurrency
+    if concurrency is None:
+        # actor-pool size defaults to the session's CPU count so the
+        # tokenize stage can saturate the node without starving the read
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    actor_kwargs = {"concurrency": concurrency}
+    tokenized = corpus.map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs={"id_col": cfg.id_col},
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        **actor_kwargs,
+    )
+    if cfg.cache_tokenized:
+        # tokenization is the CPU-heavy stage; pinning its output avoids
+        # recomputing it for pass 2 (object store spills to disk if needed)
+        tokenized = tokenized.materialize()
+
+    # ---- pass 1: doc stats + df (cached in docstats.json for resume) ----
+    stats = layout.read_docstats()
+    if stats is None:
+        partials = tokenized.map_batches(
+            doc_stat_partials, batch_format="pyarrow"
+        ).to_pandas()
+        n_docs = int(partials["n_docs"].sum())
+        sum_dl = int(partials["sum_dl"].sum())
+        threshold = (
+            cfg.heavy_df_threshold
+            if cfg.heavy_df_threshold is not None
+            else max(64, n_docs // 10)
+        )
+        df_agg = (
+            tokenized.map_batches(df_partials, batch_format="pyarrow")
+            .groupby("term")
+            .sum("df_partial")
+        )
+        heavy_tbl = df_agg.map_batches(
+            lambda t: t.filter(pc.greater(t["sum(df_partial)"], threshold)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        heavy_terms = sorted(heavy_tbl["term"].tolist())
+
+        # docmeta (restart-safe: rewritten wholesale until docstats commits)
+        import shutil
+
+        shutil.rmtree(layout.docmeta_dir, ignore_errors=True)
+        tokenized.select_columns(["doc_id", "url", "doc_len"]).write_parquet(
+            layout.docmeta_dir
+        )
+        stats = {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n_docs if n_docs else 0.0,
+            "heavy_df_threshold": threshold,
+            "heavy_terms": heavy_terms,
+        }
+        layout.write_docstats(stats)
+
+    avgdl = float(stats["avgdl"])
+    heavy_ref = ray.put(frozenset(stats["heavy_terms"]))
+
+    # ---- pass 2: explode → shuffle → build committed segments -----------
+    committed_before = layout.committed_parts()
+    exploded = tokenized.map_batches(
+        ExplodeStage,
+        fn_constructor_kwargs={
+            "num_shards": cfg.num_shards,
+            "salt_subs": cfg.salt_subs,
+            "heavy_terms": heavy_ref,
+            "skip_parts": frozenset(committed_before.keys()),
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        **actor_kwargs,
+    )
+    build_fn = _build_partition_fn(index_dir, avgdl, cfg.params)
+    part_stats = (
+        exploded.groupby("part")
+        .map_groups(build_fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    elapsed = time.perf_counter() - t_start
+    committed = layout.committed_parts()
+    manifest = {
+        "version": 1,
+        "tokenizer": TOKENIZER_SPEC,
+        "codec": CODEC_SPEC,
+        "n_docs": stats["n_docs"],
+        "avgdl": avgdl,
+        "num_shards": cfg.num_shards,
+        "salt_subs": cfg.salt_subs,
+        "k1": cfg.params.k1,
+        "b": cfg.params.b,
+        "heavy_df_threshold": stats["heavy_df_threshold"],
+        "n_heavy_terms": len(stats["heavy_terms"]),
+        "n_partitions": len(committed),
+        "n_partitions_built_this_run": int(len(part_stats)),
+        "total_postings": int(sum(m["n_postings"] for m in committed.values())),
+        "total_posting_bytes": int(sum(m["posting_bytes"] for m in committed.values())),
+        "build_wall_sec": round(elapsed, 3),
+        "docs_per_sec": round(stats["n_docs"] / elapsed, 1) if elapsed > 0 else None,
+    }
+    layout.write_manifest(manifest)
+    return manifest

@@ -1,0 +1,308 @@
+"""BM25 top-k query serving over the compressed segment index.
+
+Replaces the reference's relevance path — which pulls the ENTIRE corpus
+over the wire and scores every document per query
+(``search-engine/main.go:127-174``, ``internal/bm25/score.go:19-95``) —
+with selective posting-list retrieval: only the query terms' postings
+are read and decoded; the corpus never moves.
+
+Two evaluation strategies, both rank-identical to the brute-force
+oracle (verified in tests):
+
+  * ``topk`` — exhaustive: decode every posting of every query term,
+    vectorized float64 BM25, accumulate per doc, top-k by
+    (score DESC, doc_id ASC). Bit-identical scores to the oracle (same
+    kernels, same accumulation order).
+  * ``topk_pruned`` — TAAT MaxScore with block-max skip decoding:
+    terms processed in descending max-contribution order; once the sum
+    of remaining terms' upper bounds falls below the current k-th
+    score, docs not yet seen cannot enter the top-k, so remaining
+    terms decode ONLY the blocks that can contain already-seen docs
+    (block ranges located via the block_last_doc skip pointers).
+    Rank-preserving by construction; verified against ``topk``.
+
+Serving at scale: ``QueryScorer`` is an actor-pool `map_batches` class —
+segments load once per actor (``__init__``), queries stream as batches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from zensearch_ray.functions.bm25 import BM25Params, idf, tf_norm, topk_order
+from zensearch_ray.functions.codec import decode_posting, decode_posting_blocks
+from zensearch_ray.functions.ids import term_shard
+from zensearch_ray.functions.text import tokenize
+from zensearch_ray.state.manifest import IndexLayout
+
+_POSTING_COLS = [
+    "term", "df", "docs", "tfs", "dls",
+    "block_last_doc", "block_max", "block_doc_off", "block_tf_off", "block_dl_off",
+]
+
+
+class _TermPostings:
+    """Decoded-on-demand postings of one term (possibly merged from
+    several salt sub-partitions)."""
+
+    __slots__ = ("df", "rows", "_decoded")
+
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+        self.df = sum(r["df"] for r in rows)
+        self._decoded = None
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._decoded is None:
+            parts = [decode_posting(r) for r in self.rows]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            self._decoded = (ids[order], tfs[order], dls[order])
+        return self._decoded
+
+    def max_tf_norm_bound(self) -> float:
+        return max(float(np.max(r["block_max"])) for r in self.rows)
+
+    def decode_candidates(self, cand_sorted: np.ndarray):
+        """Decode only blocks whose doc-id range intersects the sorted
+        candidate doc_ids. Returns (doc_ids, tfs, dls) concatenated."""
+        ids_l, tfs_l, dls_l = [], [], []
+        for r in self.rows:
+            last = np.asarray(r["block_last_doc"], dtype=np.int64)
+            if len(last) == 0:
+                continue
+            first = np.empty_like(last)
+            # block i covers (last[i-1], last[i]]; first block starts at 0
+            first[0] = 0
+            first[1:] = last[:-1] + 1
+            # a block intersects candidates iff some candidate in [first, last]
+            lo = np.searchsorted(cand_sorted, first, side="left")
+            hit = (lo < len(cand_sorted)) & (
+                np.where(lo < len(cand_sorted), cand_sorted[np.minimum(lo, len(cand_sorted) - 1)], np.iinfo(np.int64).max)
+                <= last
+            )
+            blocks = np.flatnonzero(hit)
+            if len(blocks):
+                i, t, d = decode_posting_blocks(r, blocks)
+                ids_l.append(i)
+                tfs_l.append(t)
+                dls_l.append(d)
+        if not ids_l:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order], dls[order]
+
+
+class QueryEngine:
+    """Loads the index manifest; looks up terms via parquet predicate
+    pushdown on the per-partition segment files; caches decoded terms."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        layout = IndexLayout(index_dir)
+        self.manifest = layout.read_manifest()
+        self.layout = layout
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.num_shards = int(self.manifest["num_shards"])
+        self.salt_subs = int(self.manifest["salt_subs"])
+        self.params = BM25Params(
+            k1=float(self.manifest["k1"]), b=float(self.manifest["b"])
+        )
+        self._cache: OrderedDict[str, _TermPostings | None] = OrderedDict()
+        self._cache_cap = cache_terms
+
+    # -- lookup -----------------------------------------------------------
+    def _part_files(self, shard: int) -> list[str]:
+        out = []
+        for sub in range(self.salt_subs):
+            p = self.layout.posting_path(shard * self.salt_subs + sub)
+            if os.path.exists(p):
+                out.append(p)
+        return out
+
+    def lookup(self, term: str) -> _TermPostings | None:
+        """term → merged postings across salt sub-partitions, or None."""
+        hit = self._cache.get(term, "__miss__")
+        if hit != "__miss__":
+            self._cache.move_to_end(term)
+            return hit
+        shard = term_shard(term, self.num_shards)
+        rows: list[dict] = []
+        for path in self._part_files(shard):
+            t = pq.read_table(
+                path, columns=_POSTING_COLS, filters=[("term", "==", term)]
+            )
+            rows.extend(t.to_pylist())
+        result = _TermPostings(rows) if rows else None
+        self._cache[term] = result
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return result
+
+    def df(self, term: str) -> int:
+        p = self.lookup(term)
+        return p.df if p else 0
+
+    # -- scoring ----------------------------------------------------------
+    def _term_plan(self, query: str):
+        """tokens (with multiplicity) → [(postings, idf)] skipping
+        df=0 / idf=0 terms, mirroring the oracle's term loop."""
+        plan = []
+        for tok in tokenize(query):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return plan
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive evaluation — the checked default (SURVEY.md §7-5)."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        all_ids, all_contrib = [], []
+        for p, w in plan:
+            ids, tfs, dls = p.decode_all()
+            all_ids.append(ids)
+            all_contrib.append(w * tf_norm(tfs, dls, self.avgdl, self.params))
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        mask = scores > 0.0
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_pruned(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """TAAT MaxScore + block-max skip decoding (rank-preserving).
+
+        Safety argument: contributions are non-negative (IDF ≥ 0,
+        TF-norm > 0), so a doc absent from the accumulators after the
+        "essential" prefix has upper bound = Σ upper bounds of the
+        remaining terms; when that is < the current k-th score, it can
+        never reach the top-k. Remaining terms therefore only need the
+        blocks containing already-accumulated docs; block_max byte
+        offsets let us skip decoding the rest. Exact scores for
+        surviving docs are still computed with the full-precision
+        kernel, so returned (doc_id, score) pairs are identical to
+        ``topk``.
+        """
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        # merge duplicate query tokens: weight = multiplicity * idf
+        merged: dict[int, list] = {}
+        for p, w in plan:
+            e = merged.setdefault(id(p), [p, 0.0])
+            e[1] += w
+        entries = list(merged.values())
+        ubs = np.array([w * p.max_tf_norm_bound() for p, w in entries])
+        order = np.argsort(-ubs, kind="stable")
+
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        remaining_ub = float(ubs.sum())
+        i = 0
+        for oi in order:
+            p, w = entries[oi]
+            ub = float(ubs[oi])
+            theta = (
+                np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+                if len(acc_scores) >= k
+                else 0.0
+            )
+            if len(acc_scores) >= k and remaining_ub < theta:
+                break  # no new doc can enter; switch to candidate-only mode
+            ids, tfs, dls = p.decode_all()
+            contrib = w * tf_norm(tfs, dls, self.avgdl, self.params)
+            acc_ids, acc_scores = _merge_accumulate(acc_ids, acc_scores, ids, contrib)
+            remaining_ub -= ub
+            i += 1
+
+        # candidate-only phase: remaining terms update existing accumulators
+        for oi in order[i:]:
+            p, w = entries[oi]
+            if len(acc_ids) == 0:
+                break
+            ids, tfs, dls = p.decode_candidates(acc_ids)
+            if len(ids) == 0:
+                continue
+            contrib = w * tf_norm(tfs, dls, self.avgdl, self.params)
+            # keep only contributions for docs already accumulated
+            pos = np.searchsorted(acc_ids, ids)
+            ok = (pos < len(acc_ids)) & (acc_ids[np.minimum(pos, len(acc_ids) - 1)] == ids)
+            np.add.at(acc_scores, pos[ok], contrib[ok])
+
+        mask = acc_scores > 0.0
+        top_ids, top_sc = topk_order(acc_ids[mask], acc_scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+
+def _merge_accumulate(
+    acc_ids: np.ndarray,
+    acc_scores: np.ndarray,
+    ids: np.ndarray,
+    contrib: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (ids, contrib) into sorted accumulators (union of docs)."""
+    if len(acc_ids) == 0:
+        order = np.argsort(ids, kind="stable")
+        return ids[order], contrib[order]
+    all_ids = np.concatenate((acc_ids, ids))
+    all_sc = np.concatenate((acc_scores, contrib))
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(out, inv, all_sc)
+    return uniq, out
+
+
+class QueryScorer:
+    """Actor-pool ``map_batches`` stage: a batch of query rows →
+    (query_id, query, rank, doc_id, score) result rows.
+
+    The engine (manifest + segment readers + term cache) loads ONCE per
+    actor in ``__init__`` — the canonical stateful-stage pattern (the
+    reference analog is the per-process corpus heap at
+    ``search-engine/main.go:137-143``, loaded per QUERY; here it is
+    per actor, amortized over the query stream).
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, pruned: bool = False):
+        self.engine = QueryEngine(index_dir)
+        self.k = k
+        self.pruned = pruned
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, queries, ranks, doc_ids, scores = [], [], [], [], []
+        fn = self.engine.topk_pruned if self.pruned else self.engine.topk
+        for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+            for rank, (doc_id, score) in enumerate(fn(q, self.k), start=1):
+                qids.append(qid)
+                queries.append(q)
+                ranks.append(rank)
+                doc_ids.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "query": pa.array(queries, type=pa.string()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
