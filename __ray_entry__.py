@@ -4,13 +4,18 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or anywhere in zensearch_ray.
+
+Determinism conventions shared by every (query, oracle) pair:
+  * float outputs are rounded with SQL ROUND semantics
+    (half-away-from-zero, ``zensearch_ray.functions.rounding.round6``);
+  * money/value sums are exact integer cents (floor(x*100+0.5));
+  * top-k outputs carry an explicit ``rank`` and are ordered by
+    (measure DESC, id ASC);
+  * column names match the SQL aliases exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +23,372 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# one definition of SQL-side tokenization, matching the pinned Unicode
+# tokenizer on this corpus (documents.text is verified pure [a-z0-9 ])
+_TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+    " AS term FROM documents"
+)
+_TOKLIST = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+BM25_QUERY = "spark window merge stream table"
+_BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
+NEAR_DUP_THRESHOLD = 0.4
+_STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (term-
+    sharded shuffle → compressed segments) and serve the demo query set
+    through the actor-pool scorer. Returns the ranked-results Dataset."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.corpus import index_dir_for
+    from zensearch_ray.pipelines.query import QueryScorer
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = index_dir_for(sf_dir)
+    demo_queries = [
+        BM25_QUERY,
+        "fast hash join",
+        "the a",
+        "customer order line",
+        "nosuchtermxyz",
+    ]
+    qds = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(demo_queries)]
+    )
+    return qds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": 10},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from zensearch_ray.pipelines import corpus, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bm25(sf_dir: str):
+        return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
+
+    def bm25_pruned(sf_dir: str):
+        return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, pruned=True)
+
+    def embedding_topk(sf_dir: str):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        probe = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )
+        vec = probe["embedding"].to_pylist()[0]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        from zensearch_ray.stages.ann import cosine_topk
+
+        out = cosine_topk(ds, vec, k=10)
+        out.insert(0, "rank", range(1, len(out) + 1))
+        return out
+
+    def embedding_near_dup(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import near_dup_pairs
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return near_dup_pairs(ds, NEAR_DUP_THRESHOLD)
+
+    def jaccard(sf_dir: str):
+        import duckdb
+        import ray.data as rd
+
+        from zensearch_ray.functions.text import tokenize
+        from zensearch_ray.stages.minhash import jaccard_topk
+
+        probe_text = duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' WHERE doc_id = 0"
+        ).fetchone()[0]
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = jaccard_topk(ds, set(tokenize(probe_text)), k=10, exclude_id=0)
+        out.insert(0, "rank", range(1, len(out) + 1))
+        return out
+
+    def token_quality(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import token_quality_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(token_quality_batch, batch_format="pyarrow")
+
+    def fingerprint(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import fingerprint_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    # ---- non-SQL-expressible operators (driver records rows-only) ----
+    def lang_id(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import LangIdStage
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+    def simhash(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.minhash import SimHashStage
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+    def minhash_groups(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        from zensearch_ray.stages.minhash import (
+            lsh_candidate_pairs,
+            verify_and_group,
+        )
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        pairs = lsh_candidate_pairs(ds)
+        groups = verify_and_group(ds, pairs)
+        all_ids = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).to_pandas()["doc_id"]
+        return pd.DataFrame(
+            {
+                "doc_id": all_ids,
+                "group_id": [groups.get(int(d), int(d)) for d in all_ids],
+            }
+        )
+
+    def ann_ivf(sf_dir: str):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from zensearch_ray.stages.ann import IvfIndex
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        ivf = IvfIndex(vecs, ids)
+        got_ids, sims = ivf.search(vecs[0], k=10, nprobe=4)
+        return pd.DataFrame({"vec_id": got_ids, "sim": sims})
+
+    def media_features(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.multimodal import (
+            MediaFeatureStage,
+            synthesize_media_table,
+        )
+
+        media = rd.from_arrow(synthesize_media_table(200, seed=42))
+        return media.map_batches(
+            MediaFeatureStage, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 4),
+        )
+
+    return {
+        # full-text engine (SURVEY.md §2.2/2.5/2.6/2.8)
+        "doc_stats": corpus.doc_stats,
+        "corpus_stats": corpus.corpus_stats,
+        "term_df": corpus.term_df,
+        "term_tf": corpus.term_tf,
+        "bm25_topk": bm25,
+        "bm25_topk_pruned": bm25_pruned,
+        # dedup family
+        "exact_dedup": corpus.exact_dedup,
+        "minhash_dup_groups": minhash_groups,
+        "simhash": simhash,
+        "jaccard_topk": jaccard,
+        # text analysis
+        "token_quality": token_quality,
+        "doc_fingerprint": fingerprint,
+        "lang_id": lang_id,
+        "lang_source_counts": corpus.lang_source_counts,
+        # similarity search
+        "embedding_topk": embedding_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "ann_ivf_topk": ann_ivf,
+        # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
+        "lineitem_pricing": relational.lineitem_pricing,
+        "top_orders": lambda sf: relational.top_orders(sf, 10),
+        "customers_without_orders": relational.customers_without_urgent_orders,
+        "orders_per_nation": relational.orders_per_nation,
+        "events_hourly": relational.events_hourly,
+        # multimodal plumbing (stubbed codec, real pipeline)
+        "media_features": media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "doc_stats": (
+            f"SELECT doc_id, len({_TOKLIST})::BIGINT AS doc_len FROM documents"
+        ),
+        "corpus_stats": f"""
+            WITH d AS (SELECT len({_TOKLIST}) AS dl FROM documents)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(dl)::BIGINT AS total_tokens,
+                   round(sum(dl)::DOUBLE / count(*), 6) AS avgdl
+            FROM d
+        """,
+        "term_df": f"""
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM ({_TOKS}) GROUP BY term
+        """,
+        "term_tf": f"""
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM ({_TOKS}) GROUP BY doc_id, term
+        """,
+        "bm25_topk": _bm25_sql(),
+        "bm25_topk_pruned": _bm25_sql(),
+        "exact_dedup": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "jaccard_topk": f"""
+            WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS})),
+            probe AS (SELECT term FROM toks WHERE doc_id = 0),
+            psz AS (SELECT count(*)::DOUBLE AS c FROM probe),
+            sz AS (SELECT doc_id, count(*)::DOUBLE AS c FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT t.doc_id, count(*)::DOUBLE AS i FROM toks t
+                JOIN probe p USING (term) WHERE t.doc_id <> 0 GROUP BY t.doc_id
+            ),
+            j AS (
+                SELECT s.doc_id,
+                       round(COALESCE(i.i, 0) /
+                             (s.c + (SELECT c FROM psz) - COALESCE(i.i, 0)), 6)
+                       AS jaccard
+                FROM sz s LEFT JOIN inter i USING (doc_id)
+                WHERE s.doc_id <> 0
+            )
+            SELECT row_number() OVER (ORDER BY jaccard DESC, doc_id)::BIGINT AS rank,
+                   doc_id, jaccard
+            FROM j ORDER BY jaccard DESC, doc_id LIMIT 10
+        """,
+        "token_quality": f"""
+            WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_unique,
+                   round(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))::DOUBLE
+                         / len(toks), 6) AS stop_ratio,
+                   round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
+                         / len(toks), 6) AS mean_token_len
+            FROM t
+        """,
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint"
+            " FROM documents"
+        ),
+        "lang_source_counts": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "embedding_topk": """
+            WITH probe AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+            sims AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                                                    (SELECT e FROM probe)), 6) AS sim
+                FROM embeddings
+            )
+            SELECT row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                   vec_id, sim
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= {NEAR_DUP_THRESHOLD}
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n_rows,
+                   round(sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "orders_per_nation": """
+            SELECT n.n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_value_cents
+            FROM events GROUP BY user_id, hour_epoch
+        """,
+    }
+
+
+def _bm25_sql() -> str:
+    """BM25 (k1=1.2, b=0.75, idf=ln(N/df), score>0, top-10 by score
+    DESC, doc_id ASC) expressed in ANSI SQL over the documents view —
+    the DuckDB oracle for both evaluation strategies."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
     """
-    return {}

@@ -1,0 +1,169 @@
+"""Corpus-level text pipelines over the ``documents`` test table —
+the SQL-checkable faces of the engine's tokenize/stat/df/BM25 operators.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame whose
+columns match the DuckDB oracle in ``__ray_entry__.oracle_sql`` exactly
+(names AND values).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from zensearch_ray.functions.ids import hash64
+from zensearch_ray.functions.rounding import round6
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+from zensearch_ray.stages.tokenize import TokenizeStage, df_partials, doc_stat_partials
+from zensearch_ray.state.manifest import IndexLayout
+
+
+def _documents(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _tokenized(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        TokenizeStage,
+        fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def doc_stats(sf_dir: str):
+    """Per-doc token count (E8 semantics)."""
+    return _tokenized(sf_dir).select_columns(["doc_id", "doc_len"])
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Global (N, total_tokens, avgdl) — A1 as partial-then-combine."""
+    partials = _tokenized(sf_dir).map_batches(
+        doc_stat_partials, batch_format="pyarrow"
+    ).to_pandas()
+    n = int(partials["n_docs"].sum())
+    total = int(partials["sum_dl"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "total_tokens": [total],
+            "avgdl": [round6(total / n) if n else 0.0],
+        }
+    )
+
+
+def term_df(sf_dir: str):
+    """term → document frequency (A2), map-side partials + tiny groupby."""
+    agg = (
+        _tokenized(sf_dir)
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+    return agg
+
+
+def term_tf(sf_dir: str):
+    """(doc_id, term, tf) exploded histogram (A3, token equality)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for did, ts, fs in zip(
+            batch["doc_id"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["tfs"].to_pylist(),
+        ):
+            doc_ids.extend([did] * len(ts))
+            terms.extend(ts)
+            tfs.extend(fs)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    return _tokenized(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def exact_dedup(sf_dir: str):
+    """Exact content dedup over documents: keep min-doc_id row per
+    identical text (A7/D1 semantics as an explicit operator)."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.dedup import dedup_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_by_key(ds, "text", order_col="doc_id")
+
+
+def lang_source_counts(sf_dir: str):
+    """Filter-free rollup by (lang, source): doc counts + char sums —
+    the map-side-partial + tiny-groupby aggregation shape."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(n_docs=1)
+        return batch.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("n_chars", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 over the documents table, via the real index (cached per sf_dir)
+# ---------------------------------------------------------------------------
+
+_INDEX_CFG = BuildConfig(
+    num_shards=8, salt_subs=4, lang=None, id_col="doc_id", heavy_df_threshold=None
+)
+
+
+def index_dir_for(sf_dir: str) -> str:
+    """Deterministic per-corpus index location under the system tmp dir;
+    built once, reused (the manifest marks completeness)."""
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_{key}")
+    layout = IndexLayout(d)
+    if not layout.is_complete():
+        build_index(_documents(sf_dir), d, _INDEX_CFG)
+    return d
+
+
+def bm25_topk(sf_dir: str, query: str, k: int = 10, pruned: bool = False) -> pd.DataFrame:
+    """BM25 top-k over documents via the posting-list engine.
+
+    Columns (rank, doc_id, score) with score rounded to 6 decimals —
+    the oracle SQL rounds identically.
+    """
+    engine = QueryEngine(index_dir_for(sf_dir))
+    hits = engine.topk_pruned(query, k) if pruned else engine.topk(query, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )

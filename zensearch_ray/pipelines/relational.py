@@ -1,0 +1,180 @@
+"""Relational operator pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's generic operator surface (SURVEY.md §2.4
+joins J1-J4, §2.5 aggregations A1/A8, §2.6 sort/limit O1) in their
+idiomatic Ray Data shapes:
+
+  * partial aggregation inside ``map_batches`` before the (tiny)
+    global ``groupby`` — never shuffle raw fact rows;
+  * broadcast hash/anti joins for small dimension sides (``ray.put``
+    once, resolve per task from the local object store) — no shuffle;
+  * global sort + limit only for top-k-sized outputs.
+
+Money/doubles are aggregated as exact integer cents
+(``floor(x*100 + 0.5)``, half-away-from-zero like SQL ROUND) so Ray and
+the DuckDB oracle agree bit-for-bit regardless of float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+from zensearch_ray.functions.rounding import round6
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Exact integer cents with SQL-ROUND semantics (half away from
+    zero for the non-negative money values here)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (A5/A8-class aggregation)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            sum_qty=batch["l_quantity"].astype(np.int64),
+            revenue_cents=_cents(
+                (batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy()
+            ),
+            n_rows=1,
+        )
+        return (
+            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "revenue_cents", "n_rows"]
+            ].sum()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    ).to_pandas()
+    agg["avg_qty"] = round6((agg["sum_qty"] / agg["n_rows"]).to_numpy())
+    return agg
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by (o_totalprice DESC, o_orderkey ASC) — O1 made
+    deterministic, served by sort+limit (per-partition top-k + merge
+    under the hood)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """Left-anti join (J2, the reference's crawl-list vs indexed_sites
+    check at database/src/database.ts:107-133): customers with no
+    URGENT-priority order — predicate-pushdown read of the order side,
+    distinct keys broadcast once, anti-filter map-side. No shuffle."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    with_orders = frozenset(orders.unique("o_custkey"))
+    ref = ray.put(with_orders)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def orders_per_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation rollup (J1/J4): both dim sides are
+    small → broadcast custkey→nation-name map; facts stream through a
+    map-side lookup + partial agg; global groupby is |nations|-sized."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        c: nk_to_name[nk]
+        for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_to_nation)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        batch = batch.assign(
+            n_name=batch["o_custkey"].map(lookup),
+            total_cents=_cents(batch["o_totalprice"].to_numpy()),
+            n_orders=1,
+        )
+        return batch.groupby("n_name", as_index=False)[["n_orders", "total_cents"]].sum()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (the streaming-shaped operator the
+    reference lacks, SURVEY.md §2.7): events → per (user_id, hour)
+    counts + exact-cents value sums. Window = epoch-hour bucket; batch
+    partials first, so the shuffle carries one row per (user, hour,
+    batch)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # datetime64 at any resolution → epoch seconds → hour bucket
+        secs = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        hour = (secs // 3600) * 3600
+        batch = batch.assign(
+            hour_epoch=hour,
+            n_events=1,
+            sum_value_cents=_cents(batch["value"].to_numpy()),
+        )
+        return batch.groupby(["user_id", "hour_epoch"], as_index=False)[
+            ["n_events", "sum_value_cents"]
+        ].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hour_epoch"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )

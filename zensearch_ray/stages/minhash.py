@@ -1,0 +1,242 @@
+"""Near-duplicate detection family: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (ray_guide / SURVEY.md §4.2 patterns):
+
+  * signatures are computed per batch (vectorized numpy over token
+    hashes — no Python loop over permutations);
+  * LSH banding explodes each doc into ``n_bands`` small
+    ``(band, band_hash, doc_id)`` rows and the ONLY shuffle is the
+    groupby over those band buckets;
+  * candidate pairs (rare) come back to the driver; verification
+    re-reads ONLY the involved docs' shingle sets; grouping is
+    union-find over the verified pairs (candidate set is small by
+    construction — documented assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from zensearch_ray.functions.ids import hash64
+from zensearch_ray.functions.rounding import round6
+from zensearch_ray.functions.text import tokenize
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perms: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perms, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perms, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (unique). Falls back to
+    unigrams for docs shorter than k tokens."""
+    toks = tokenize(text)
+    if len(toks) >= k:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        shingles = set(toks)
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter((hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*h + b) mod p minwise over shingles — one matmul-shaped
+    broadcast op, no loop over permutations."""
+    if hashes.size == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    h = hashes[:, None] % _MERSENNE
+    vals = (a[None, :] * h + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+class MinHashStage:
+    """map_batches: docs → LSH band rows (band, band_hash, doc_id).
+
+    n_perms = n_bands * rows_per_band. Candidate recall follows the
+    standard S-curve: P(candidate) = 1 - (1 - j^r)^b.
+    """
+
+    def __init__(self, n_bands: int = 16, rows_per_band: int = 8, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id", seed: int = 42):
+        self.n_bands = n_bands
+        self.r = rows_per_band
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.a, self.b = _perm_params(n_bands * rows_per_band, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bands_out, hashes_out, ids_out = [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+            for band in range(self.n_bands):
+                chunk = sig[band * self.r : (band + 1) * self.r]
+                bands_out.append(band)
+                hashes_out.append(hash64(chunk.tobytes()))
+                ids_out.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(bands_out, type=pa.int32()),
+                "band_hash": pa.array(hashes_out, type=pa.int64()),
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+            }
+        )
+
+
+def lsh_candidate_pairs(ds, stage_kwargs: dict | None = None, max_bucket: int = 1000):
+    """Dataset of docs → driver-side set of candidate (a, b) pairs.
+
+    The shuffle is over tiny band rows. Buckets larger than
+    ``max_bucket`` are dropped (they indicate degenerate content, e.g.
+    empty docs; a production run would salt them) — the cap is explicit
+    in the signature, not silent.
+    """
+    band_rows = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=stage_kwargs or {},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group["doc_id"].to_pylist())
+        out_a, out_b = [], []
+        if 1 < len(ids) <= max_bucket:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table(
+            {
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return set(zip(pairs["a"].tolist(), pairs["b"].tolist())) if len(pairs) else set()
+
+
+def verify_and_group(ds, pairs: set, shingle_k: int = 3, threshold: float = 0.8,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Verify candidate pairs' true Jaccard; union-find verified pairs
+    into duplicate groups. Returns {doc_id: group_id} for ALL docs in
+    any verified group (group_id = min doc_id of the group)."""
+    if not pairs:
+        return {}
+    involved = {d for p in pairs for d in p}
+
+    def shingles_for(batch: pa.Table) -> pa.Table:
+        ids, sets_ = [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if doc_id in involved:
+                ids.append(doc_id)
+                sets_.append(shingle_hashes(text, shingle_k).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(sets_, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    rows = ds.map_batches(shingles_for, batch_format="pyarrow").to_pandas()
+    sh = {int(r.doc_id): set(r.shingles) for r in rows.itertuples()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    groups = {}
+    for d in parent:
+        groups[d] = find(d)
+    return {d: g for d, g in groups.items()}
+
+
+class SimHashStage:
+    """map_batches: docs → 63-bit SimHash fingerprints (near-dup when
+    hamming distance small). Deterministic blake2b token hashing."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self._memo: dict[str, np.ndarray] = {}
+
+    def _bits(self, token: str) -> np.ndarray:
+        v = self._memo.get(token)
+        if v is None:
+            h = np.uint64(hash64(token))
+            v = ((h >> np.arange(63, dtype=np.uint64)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            self._memo[token] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        for i, text in enumerate(batch[self.text_col].to_pylist()):
+            acc = np.zeros(63, dtype=np.int64)
+            for tok in tokenize(text):
+                acc += self._bits(tok)
+            bits = (acc > 0).astype(np.uint64)
+            out[i] = int((bits << np.arange(63, dtype=np.uint64)).sum())
+        return pa.table({"doc_id": batch[self.id_col], "simhash": pa.array(out)})
+
+
+def jaccard_topk(ds, probe_tokens: set[str], k: int = 10, exclude_id: int | None = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram-Jaccard top-k of a broadcast probe token set vs every doc.
+
+    Per-batch partial top-k → small driver merge (same shape as
+    ann.cosine_topk). Ties broken (jaccard DESC, doc_id ASC).
+    """
+    import ray
+
+    probe_ref = ray.put(frozenset(probe_tokens))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)
+        ids, sims = [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if exclude_id is not None and doc_id == exclude_id:
+                continue
+            toks = set(tokenize(text))
+            union = len(toks | probe)
+            ids.append(doc_id)
+            sims.append(len(toks & probe) / union if union else 0.0)
+        t = pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "jaccard": pa.array(sims, type=pa.float64()),
+            }
+        )
+        if t.num_rows > k:
+            order = np.lexsort((np.array(ids), -np.array(sims)))[:k]
+            t = t.take(order)
+        return t
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand["jaccard"] = round6(cand["jaccard"].to_numpy())
+    cand = cand.sort_values(["jaccard", id_col], ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)

@@ -1,0 +1,122 @@
+"""Text-analysis stages for training-data pipelines: token stats,
+quality scoring, language ID, document fingerprinting.
+
+All are vectorized-per-batch ``map_batches`` bodies over Arrow batches;
+language ID and fingerprinting are deterministic (no models — n-gram /
+stopword heuristics only, per the no-network constraint).
+
+Reference analogs: doc-length counting
+(``search-engine/utilities/doc_length.go:5-16``), the crude
+language-path filter (``crawler/internal/crawler/crawler.go:79-80``,
+``page_navigator.go:55-63``) — here upgraded to a content-based
+heuristic — and lowercase normalization (``bm25/tf.go:21``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from zensearch_ray.functions.rounding import round6
+from zensearch_ray.functions.text import tokenize
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "at", "by")
+
+
+def token_quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc quality metrics: token count, unique count, stopword
+    ratio, mean token length (all under the pinned tokenizer)."""
+    stop = set(STOPWORDS)
+    ids = batch[id_col]
+    n_tokens = np.empty(batch.num_rows, dtype=np.int64)
+    n_unique = np.empty(batch.num_rows, dtype=np.int64)
+    stop_ratio = np.empty(batch.num_rows, dtype=np.float64)
+    mean_len = np.empty(batch.num_rows, dtype=np.float64)
+    for i, text in enumerate(batch[text_col].to_pylist()):
+        toks = tokenize(text)
+        n = len(toks)
+        n_tokens[i] = n
+        n_unique[i] = len(set(toks))
+        if n:
+            stop_ratio[i] = sum(1 for t in toks if t in stop) / n
+            mean_len[i] = sum(len(t) for t in toks) / n
+        else:
+            stop_ratio[i] = 0.0
+            mean_len[i] = 0.0
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tokens),
+            "n_unique": pa.array(n_unique),
+            "stop_ratio": pa.array(round6(stop_ratio)),
+            "mean_token_len": pa.array(round6(mean_len)),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Document fingerprint = md5 hex of the canonical token stream
+    (tokens joined by single spaces) — a content-normalized exact-dup
+    key robust to whitespace/case/punctuation differences."""
+    fps = [
+        hashlib.md5(" ".join(tokenize(t)).encode("utf-8")).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch[id_col], "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+# character-class profiles for the language-ID heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "por"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"},
+}
+
+
+class LangIdStage:
+    """Deterministic language-ID heuristic (actor-pool stage).
+
+    Rules, in order: CJK char ratio > 0.2 → zh/ja (ja iff kana present);
+    Cyrillic ratio > 0.2 → ru; else the language whose stopword list
+    overlaps the doc's tokens most (ties → 'en'); no evidence → 'und'.
+    A real deployment swaps this class for a fastText-style model — the
+    Ray plumbing (actor pool, batch signature) is identical.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def _classify(text: str) -> str:
+        if not text:
+            return "und"
+        n = len(text)
+        cjk = sum(1 for c in text if "一" <= c <= "鿿")
+        kana = sum(1 for c in text if "぀" <= c <= "ヿ")
+        cyr = sum(1 for c in text if "Ѐ" <= c <= "ӿ")
+        if (cjk + kana) / n > 0.2:
+            return "ja" if kana > 0 else "zh"
+        if cyr / n > 0.2:
+            return "ru"
+        toks = set(tokenize(text))
+        best_lang, best_hits = "und", 0
+        for lang in ("en", "es", "de", "fr"):  # fixed order → deterministic ties
+            hits = len(toks & _LANG_STOPWORDS[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._classify(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "pred_lang": pa.array(preds, type=pa.string()),
+            }
+        )
