@@ -1,0 +1,54 @@
+"""Bucketed groupby-sum: the high-cardinality aggregation pattern.
+
+``Dataset.groupby(keys).aggregate(...)`` pays per-GROUP Python overhead
+in the sort-based aggregate — pathological when groups ≈ rows (e.g.
+per-(user, hour) windows: 100k rows → 95k groups took ~27s on 32 CPUs).
+
+This helper shuffles rows into ``n_buckets`` coarse buckets by a stable
+hash of the FIRST key (co-locating every row of a group), then runs ONE
+vectorized ``pandas.groupby().sum()`` per bucket — per-bucket Python
+overhead instead of per-group. Output rows are identical to the native
+aggregate. Works for any group cardinality; n_buckets sizes the
+shuffle fan-out, not correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from zensearch_ray.functions.ids import hash64
+
+_BUCKET_COL = "__bucket"
+
+
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    t = col.type
+    if pa.types.is_integer(t):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # Knuth multiplicative hash → uniform buckets even for dense ids
+        return ((vals * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int32)
+    return np.fromiter(
+        (hash64(s) % n_buckets for s in col.to_pylist()),
+        dtype=np.int32,
+        count=len(col),
+    )
+
+
+def bucketed_groupby_sum(ds, keys: list[str], sum_cols: list[str], n_buckets: int = 64):
+    """groupby(keys).sum(sum_cols) via hash buckets + per-bucket pandas."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET_COL, pa.array(_bucket_of(batch[keys[0]], n_buckets))
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(keys, as_index=False)[sum_cols].sum()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_BUCKET_COL)
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -34,12 +34,7 @@ from zensearch_ray.functions.bm25 import BM25Params
 from zensearch_ray.functions.codec import encode_posting
 from zensearch_ray.stages.dedup import dedup_by_key
 from zensearch_ray.stages.extract import extract_batch
-from zensearch_ray.stages.tokenize import (
-    ExplodeStage,
-    TokenizeStage,
-    df_partials,
-    doc_stat_partials,
-)
+from zensearch_ray.stages.tokenize import explode_batch, tokenize_batch
 from zensearch_ray.state.manifest import IndexLayout
 
 TOKENIZER_SPEC = "nfc-casefold-nonalnum-v1"
@@ -57,7 +52,7 @@ class BuildConfig:
     dedup_urls: bool = False
     extract_from_html: bool = False
     id_col: str | None = None  # column holding doc_id; None → hash64(url)
-    tokenize_batch_size: int = 512
+    tokenize_batch_size: int = 2048
     tokenize_concurrency: int | tuple[int, int] | None = None
     cache_tokenized: bool = True
 
@@ -180,48 +175,53 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     layout = IndexLayout(index_dir)
     layout.ensure_dirs()
     t_start = time.perf_counter()
+    phases: dict[str, float] = {}
+
+    def mark(name: str, since: float) -> float:
+        now = time.perf_counter()
+        phases[name] = round(now - since, 3)
+        return now
 
     corpus = load_corpus(source, cfg)
-    concurrency = cfg.tokenize_concurrency
-    if concurrency is None:
-        # actor-pool size defaults to the session's CPU count so the
-        # tokenize stage can saturate the node without starving the read
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    actor_kwargs = {"concurrency": concurrency}
+    # tokenize/explode are STATELESS → task pools (warm-worker reuse,
+    # no per-actor cold start that scales with CPU count); an explicit
+    # tokenize_concurrency opts into an actor pool for stateful setups
+    actor_kwargs: dict = {}
+    if cfg.tokenize_concurrency is not None:
+        actor_kwargs["concurrency"] = cfg.tokenize_concurrency
     tokenized = corpus.map_batches(
-        TokenizeStage,
-        fn_constructor_kwargs={"id_col": cfg.id_col},
+        tokenize_batch,
+        fn_kwargs={"id_col": cfg.id_col},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        **actor_kwargs,
     )
     if cfg.cache_tokenized:
         # tokenization is the CPU-heavy stage; pinning its output avoids
         # recomputing it for pass 2 (object store spills to disk if needed)
         tokenized = tokenized.materialize()
+    t = mark("tokenize", t_start)
 
-    # ---- pass 1: doc stats + df (cached in docstats.json for resume) ----
+    # ---- pass 1: doc stats + df, FUSED into one corpus execution
+    # (cached in docstats.json for resume) ----
     stats = layout.read_docstats()
     if stats is None:
-        partials = tokenized.map_batches(
-            doc_stat_partials, batch_format="pyarrow"
+        from zensearch_ray.functions.agg import bucketed_groupby_sum
+        from zensearch_ray.stages.tokenize import DOCSTAT_SENTINEL, stats_partials
+
+        agg = bucketed_groupby_sum(
+            tokenized.map_batches(stats_partials, batch_format="pyarrow"),
+            keys=["term"],
+            sum_cols=["df_partial", "sum_dl"],
         ).to_pandas()
-        n_docs = int(partials["n_docs"].sum())
-        sum_dl = int(partials["sum_dl"].sum())
+        sent = agg["term"] == DOCSTAT_SENTINEL
+        n_docs = int(agg.loc[sent, "df_partial"].sum())
+        sum_dl = int(agg.loc[sent, "sum_dl"].sum())
         threshold = (
             cfg.heavy_df_threshold
             if cfg.heavy_df_threshold is not None
             else max(64, n_docs // 10)
         )
-        df_agg = (
-            tokenized.map_batches(df_partials, batch_format="pyarrow")
-            .groupby("term")
-            .sum("df_partial")
-        )
-        heavy_tbl = df_agg.map_batches(
-            lambda t: t.filter(pc.greater(t["sum(df_partial)"], threshold)),
-            batch_format="pyarrow",
-        ).to_pandas()
+        heavy_tbl = agg[~sent & (agg["df_partial"] > threshold)]
         heavy_terms = sorted(heavy_tbl["term"].tolist())
 
         # docmeta (restart-safe: rewritten wholesale until docstats commits)
@@ -231,6 +231,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         tokenized.select_columns(["doc_id", "url", "doc_len"]).write_parquet(
             layout.docmeta_dir
         )
+        t = mark("stats_df_docmeta", t)
         stats = {
             "n_docs": n_docs,
             "sum_dl": sum_dl,
@@ -246,16 +247,15 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # ---- pass 2: explode → shuffle → build committed segments -----------
     committed_before = layout.committed_parts()
     exploded = tokenized.map_batches(
-        ExplodeStage,
-        fn_constructor_kwargs={
+        explode_batch,
+        fn_kwargs={
             "num_shards": cfg.num_shards,
             "salt_subs": cfg.salt_subs,
-            "heavy_terms": heavy_ref,
+            "heavy_ref": heavy_ref,
             "skip_parts": frozenset(committed_before.keys()),
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        **actor_kwargs,
     )
     build_fn = _build_partition_fn(index_dir, avgdl, cfg.params)
     part_stats = (
@@ -263,6 +263,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         .map_groups(build_fn, batch_format="pyarrow")
         .to_pandas()
     )
+    mark("explode_shuffle_build", t)
 
     elapsed = time.perf_counter() - t_start
     committed = layout.committed_parts()
@@ -283,6 +284,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "total_postings": int(sum(m["n_postings"] for m in committed.values())),
         "total_posting_bytes": int(sum(m["posting_bytes"] for m in committed.values())),
         "build_wall_sec": round(elapsed, 3),
+        "phase_secs": phases,
         "docs_per_sec": round(stats["n_docs"] / elapsed, 1) if elapsed > 0 else None,
     }
     layout.write_manifest(manifest)

@@ -21,7 +21,7 @@ from zensearch_ray.functions.ids import hash64
 from zensearch_ray.functions.rounding import round6
 from zensearch_ray.pipelines.build_index import BuildConfig, build_index
 from zensearch_ray.pipelines.query import QueryEngine
-from zensearch_ray.stages.tokenize import TokenizeStage, df_partials, doc_stat_partials
+from zensearch_ray.stages.tokenize import df_partials, doc_stat_partials, tokenize_batch
 from zensearch_ray.state.manifest import IndexLayout
 
 
@@ -33,10 +33,9 @@ def _documents(sf_dir: str):
 
 def _tokenized(sf_dir: str):
     return _documents(sf_dir).map_batches(
-        TokenizeStage,
-        fn_constructor_kwargs={"id_col": "doc_id"},
+        tokenize_batch,
+        fn_kwargs={"id_col": "doc_id"},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
@@ -62,14 +61,19 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def term_df(sf_dir: str):
-    """term → document frequency (A2), map-side partials + tiny groupby."""
-    agg = (
-        _tokenized(sf_dir)
-        .map_batches(df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df_partial", alias_name="df"))
+    """term → document frequency (A2): map-side partials, then a
+    bucketed groupby-sum (vocabulary can be huge — per-bucket pandas
+    combine, not per-term Python)."""
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    agg = bucketed_groupby_sum(
+        _tokenized(sf_dir).map_batches(df_partials, batch_format="pyarrow"),
+        keys=["term"],
+        sum_cols=["df_partial"],
     )
-    return agg
+    return agg.map_batches(
+        lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+    )
 
 
 def term_tf(sf_dir: str):

@@ -170,11 +170,12 @@ def events_hourly(sf_dir: str):
             ["n_events", "sum_value_cents"]
         ].sum()
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour_epoch"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
-        )
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    # (user, hour) cardinality ~ rows: bucketed aggregation, not the
+    # per-group native aggregate (see functions/agg.py)
+    return bucketed_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id", "hour_epoch"],
+        sum_cols=["n_events", "sum_value_cents"],
     )

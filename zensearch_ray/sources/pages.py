@@ -138,6 +138,19 @@ def render_html(rng: np.random.Generator, text: str, title: str) -> bytes:
 _LANGS = ["en", "es", "de", "ja"]
 
 
+_VOCAB_CACHE: dict = {}
+
+
+def _vocab_and_probs(vocab_size: int, vocab_seed: int = 4242):
+    """Vocabulary + Zipf probs from their OWN seed, independent of the
+    row stream — so distributed shard generation shares one vocabulary."""
+    key = (vocab_size, vocab_seed)
+    if key not in _VOCAB_CACHE:
+        rng = np.random.default_rng(vocab_seed)
+        _VOCAB_CACHE[key] = (_build_vocab(rng, vocab_size), _zipf_probs(vocab_size))
+    return _VOCAB_CACHE[key]
+
+
 def generate_pages_table(
     n_rows: int,
     seed: int = 42,
@@ -145,11 +158,16 @@ def generate_pages_table(
     n_hosts: int = 20,
     dup_fraction: float = 0.0,
     en_fraction: float = 0.9,
+    row_offset: int = 0,
 ) -> pa.Table:
-    """Build the pages table deterministically (seed-stable)."""
+    """Build the pages table deterministically (seed-stable).
+
+    ``row_offset`` shifts url indices and warc_ts so disjoint shards
+    generated in parallel (different seeds, contiguous offsets) form one
+    coherent corpus with globally unique urls.
+    """
     rng = np.random.default_rng(seed)
-    vocab = _build_vocab(rng, vocab_size)
-    probs = _zipf_probs(vocab_size)
+    vocab, probs = _vocab_and_probs(vocab_size)
 
     urls: list[str] = []
     texts: list[str] = []
@@ -158,7 +176,7 @@ def generate_pages_table(
     for i in range(n_rows):
         host = int(rng.integers(0, n_hosts))
         w1, w2 = vocab[int(rng.integers(20, 60))], vocab[int(rng.integers(20, 60))]
-        url = f"https://site{host}.example.com/{w1}-{w2}/{i}"
+        url = f"https://site{host}.example.com/{w1}-{w2}/{row_offset + i}"
         text = generate_text(rng, vocab, probs)
         title = " ".join(text.split(" ")[:4])
         urls.append(url)
@@ -176,7 +194,7 @@ def generate_pages_table(
 
     total = n_rows + n_dups
     ts = pa.array(
-        (EPOCH_2026 + np.arange(total, dtype=np.int64) * 1_000_000),
+        (EPOCH_2026 + (row_offset + np.arange(total, dtype=np.int64)) * 1_000_000),
         type=pa.timestamp("us"),
     )
     return pa.table(
@@ -188,6 +206,45 @@ def generate_pages_table(
             "lang": pa.array(langs, type=pa.string()),
         }
     )
+
+
+def generate_pages_dist(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 16, **kwargs) -> str:
+    """Deterministic PARALLEL corpus generation: one Ray task per shard,
+    shard i seeded ``seed*100000 + i`` with contiguous row offsets →
+    identical corpus at any parallelism. Skips generation if the
+    completion marker exists (generation is an input fixture, not part
+    of any timed pipeline). Returns out_dir."""
+    import json
+    import os
+
+    import ray
+
+    marker = os.path.join(out_dir, "_COMPLETE.json")
+    spec = {"n_rows": n_rows, "seed": seed, "n_shards": n_shards, **kwargs}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == spec:
+                return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    @ray.remote
+    def gen_shard(i: int) -> str:
+        lo = i * n_rows // n_shards
+        hi = (i + 1) * n_rows // n_shards
+        table = generate_pages_table(
+            hi - lo, seed=seed * 100000 + i, row_offset=lo, **kwargs
+        )
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(table, path, row_group_size=4096)
+        return path
+
+    ray.get([gen_shard.remote(i) for i in range(n_shards)])
+    with open(marker, "w") as f:
+        json.dump(spec, f)
+    return out_dir
 
 
 def generate_pages_parquet(path: str, n_rows: int, seed: int = 42, **kwargs) -> str:

@@ -40,14 +40,15 @@ def _key_count_partials(key_col: str):
 
 def find_duplicate_keys(ds, key_col: str):
     """Dataset → python set of key values that occur more than once."""
-    counts = (
-        ds.map_batches(_key_count_partials(key_col), batch_format="pyarrow")
-        .groupby(key_col)
-        .sum("cnt_partial")
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    counts = bucketed_groupby_sum(
+        ds.map_batches(_key_count_partials(key_col), batch_format="pyarrow"),
+        keys=[key_col],
+        sum_cols=["cnt_partial"],
     )
-    cnt_col = "sum(cnt_partial)"
     dup = counts.map_batches(
-        lambda t: t.filter(pc.greater(t[cnt_col], 1)), batch_format="pyarrow"
+        lambda t: t.filter(pc.greater(t["cnt_partial"], 1)), batch_format="pyarrow"
     ).to_pandas()
     if dup.empty:
         return set()

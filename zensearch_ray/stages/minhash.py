@@ -106,24 +106,32 @@ def lsh_candidate_pairs(ds, stage_kwargs: dict | None = None, max_bucket: int = 
         concurrency=(1, 8),
     )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
+    n_coarse = 64  # LSH buckets are ~#docs × n_bands → coarse-bucket the
+    # shuffle and do vectorized within-bucket grouping (functions/agg.py
+    # rationale: never pay per-group Python in a groups≈rows shuffle)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        coarse = ((bh * np.uint64(2654435761)) % np.uint64(n_coarse)).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    import pandas as pd
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        if 1 < len(ids) <= max_bucket:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table(
-            {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-            }
-        )
+        for (_, _), bucket in group.groupby(["band", "band_hash"]):
+            if 1 < len(bucket) <= max_bucket:
+                ids = sorted(bucket["doc_id"].tolist())
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b}, dtype="int64")
 
     pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+        band_rows.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
     )
     return set(zip(pairs["a"].tolist(), pairs["b"].tolist())) if len(pairs) else set()

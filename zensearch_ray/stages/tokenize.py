@@ -113,39 +113,99 @@ class ExplodeStage:
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False)
-        terms_lists = batch["terms"].to_pylist()
-        tfs_lists = batch["tfs"].to_pylist()
+        """Vectorized explode: Arrow list-flatten (zero-copy) + per-batch
+        dictionary encoding so shard/heavy lookups run once per UNIQUE
+        term, then numpy gathers — no Python loop over postings."""
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms_col = batch["terms"].combine_chunks()
+        tfs_col = batch["tfs"].combine_chunks()
+        if isinstance(terms_col, pa.ChunkedArray):
+            terms_col = terms_col.combine_chunks()
+        if isinstance(tfs_col, pa.ChunkedArray):
+            tfs_col = tfs_col.combine_chunks()
 
-        out_part: list[int] = []
-        out_term: list[str] = []
-        out_doc: list[int] = []
-        out_tf: list[int] = []
-        out_dl: list[int] = []
-        for i in range(len(terms_lists)):
-            did = int(doc_ids[i])
-            dl = int(doc_lens[i])
-            sub_salt = did % self.salt_subs
-            for term, tf in zip(terms_lists[i], tfs_lists[i]):
-                sub = sub_salt if term in self.heavy else 0
-                part = part_key(self._shard(term), sub, self.salt_subs)
-                if part in self.skip_parts:
-                    continue
-                out_part.append(part)
-                out_term.append(term)
-                out_doc.append(did)
-                out_tf.append(tf)
-                out_dl.append(dl)
-        return pa.table(
+        lens = np.asarray(
+            pa.compute.list_value_length(terms_col), dtype=np.int64
+        )
+        flat_terms = terms_col.flatten()  # zero-copy string array
+        flat_tfs = np.asarray(tfs_col.flatten(), dtype=np.int32)
+        rep_doc = np.repeat(doc_ids, lens)
+        rep_dl = np.repeat(doc_lens, lens).astype(np.int32)
+
+        dic = flat_terms.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        vocab = dic.dictionary.to_pylist()
+        shard_by_code = np.fromiter(
+            (self._shard(t) for t in vocab), dtype=np.int64, count=len(vocab)
+        )
+        heavy_by_code = np.fromiter(
+            (t in self.heavy for t in vocab), dtype=bool, count=len(vocab)
+        )
+        shard = shard_by_code[codes]
+        sub = np.where(heavy_by_code[codes], rep_doc % self.salt_subs, 0)
+        part = shard * self.salt_subs + sub
+
+        out = pa.table(
             {
-                "part": pa.array(out_part, type=pa.int64()),
-                "term": pa.array(out_term, type=pa.string()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "tf": pa.array(out_tf, type=pa.int32()),
-                "dl": pa.array(out_dl, type=pa.int32()),
+                "part": pa.array(part, type=pa.int64()),
+                "term": flat_terms,
+                "doc_id": pa.array(rep_doc, type=pa.int64()),
+                "tf": pa.array(flat_tfs, type=pa.int32()),
+                "dl": pa.array(rep_dl, type=pa.int32()),
             }
         )
+        if self.skip_parts:
+            keep = ~np.isin(part, np.fromiter(self.skip_parts, dtype=np.int64))
+            out = out.filter(pa.array(keep))
+        return out
+
+
+def tokenize_batch(batch: pa.Table, id_col: str | None = None) -> pa.Table:
+    """Function form of TokenizeStage for STATELESS task pools.
+
+    The tokenizer holds no model state, so running it as plain tasks
+    (warm-worker reuse, elastic) beats an actor pool whose per-actor
+    cold start scales with CPU count — measured: actor pools cost ~5s
+    of startup at 32 CPUs for a ~45 CPU-second corpus, destroying N→4N
+    scaling. Keep the class for genuinely stateful tokenizers (models).
+    """
+    return TokenizeStage(id_col=id_col)(batch)
+
+
+_HEAVY_CACHE: dict = {}
+_SHARD_MEMO: dict[str, int] = {}
+
+
+def explode_batch(
+    batch: pa.Table,
+    num_shards: int,
+    salt_subs: int,
+    heavy_ref=None,
+    skip_parts: frozenset | None = None,
+) -> pa.Table:
+    """Function form of ExplodeStage (stateless task pool). The heavy-term
+    set is broadcast as an ObjectRef and resolved once per worker via a
+    module-level cache; the term→shard memo is worker-global."""
+    import ray
+
+    if heavy_ref is None:
+        heavy = frozenset()
+    elif isinstance(heavy_ref, ray.ObjectRef):
+        key = heavy_ref.hex()
+        if key not in _HEAVY_CACHE:
+            _HEAVY_CACHE.clear()  # only one build's set needed at a time
+            _HEAVY_CACHE[key] = frozenset(ray.get(heavy_ref))
+        heavy = _HEAVY_CACHE[key]
+    else:
+        heavy = frozenset(heavy_ref)
+    stage = ExplodeStage.__new__(ExplodeStage)
+    stage.heavy = heavy
+    stage.num_shards = num_shards
+    stage.salt_subs = salt_subs
+    stage.skip_parts = frozenset(skip_parts or ())
+    stage._shard_memo = _SHARD_MEMO
+    return stage(batch)
 
 
 def doc_stat_partials(batch: pa.Table) -> pa.Table:
@@ -176,5 +236,31 @@ def df_partials(batch: pa.Table) -> pa.Table:
         {
             "term": pa.array(list(counts.keys()), type=pa.string()),
             "df_partial": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )
+
+
+DOCSTAT_SENTINEL = ""  # impossible term (tokenizer never emits empty)
+
+
+def stats_partials(batch: pa.Table) -> pa.Table:
+    """Fused pass-1 partial: df partials PLUS one doc-stat row under the
+    sentinel term ("" → df_partial = n_docs, and a parallel sum_dl
+    column). One corpus execution computes A1 and A2 together — fixed
+    per-execution overhead is what limits N→4N scaling efficiency, so
+    pass-1 makes exactly one pass."""
+    dl = batch["doc_len"].to_numpy(zero_copy_only=False)
+    counts: dict[str, int] = {}
+    for terms in batch["terms"].to_pylist():
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+    terms = [DOCSTAT_SENTINEL, *counts.keys()]
+    dfp = [len(dl), *counts.values()]
+    sum_dl = [int(dl.sum())] + [0] * len(counts)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df_partial": pa.array(dfp, type=pa.int64()),
+            "sum_dl": pa.array(sum_dl, type=pa.int64()),
         }
     )
