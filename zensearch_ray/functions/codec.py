@@ -206,31 +206,38 @@ def decode_posting_blocks(
     independently decodable. Returns concatenated (doc_ids, tfs, dls)
     for the selected blocks.
     """
-    docs_buf = memoryview(row["docs"])
-    tfs_buf = memoryview(row["tfs"])
-    dls_buf = memoryview(row["dls"])
     doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
-    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
-    dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
     n_blocks = len(doc_off)
-    doc_end = np.concatenate((doc_off[1:], [len(docs_buf)]))
-    tf_end = np.concatenate((tf_off[1:], [len(tfs_buf)]))
-    dl_end = np.concatenate((dl_off[1:], [len(dls_buf)]))
-
-    ids_parts, tf_parts, dl_parts = [], [], []
-    for bi in np.asarray(block_indices):
-        bi = int(bi)
-        if bi < 0 or bi >= n_blocks:
-            continue
-        deltas = varint_decode(docs_buf[doc_off[bi] : doc_end[bi]]).astype(np.int64)
-        ids_parts.append(np.cumsum(deltas))  # first delta is absolute
-        tf_parts.append(varint_decode(tfs_buf[tf_off[bi] : tf_end[bi]]).astype(np.int64))
-        dl_parts.append(varint_decode(dls_buf[dl_off[bi] : dl_end[bi]]).astype(np.int64))
-    if not ids_parts:
+    sel = np.asarray(block_indices, dtype=np.int64)
+    sel = sel[(sel >= 0) & (sel < n_blocks)]
+    if sel.size == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    return (
-        np.concatenate(ids_parts),
-        np.concatenate(tf_parts),
-        np.concatenate(dl_parts),
-    )
+
+    df = int(row["df"])
+    # value count per selected block (all full except possibly the last)
+    counts = np.where(sel < n_blocks - 1, block_size, df - (n_blocks - 1) * block_size)
+
+    def gather_decode(buf, off) -> np.ndarray:
+        """ONE varint decode over the concatenated selected byte ranges
+        (slicing is O(1) views; the decode itself is a single numpy pass
+        instead of one per block)."""
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        end = np.concatenate((off[1:], [arr.size]))
+        return varint_decode(
+            np.concatenate([arr[off[i] : end[i]] for i in sel]).tobytes()
+        ).astype(np.int64)
+
+    deltas = gather_decode(row["docs"], doc_off)
+    # per-block delta chains restart absolute → cumsum then subtract the
+    # carry accumulated before each block start (vectorized fixup)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cs = np.cumsum(deltas)
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    ids = cs - np.repeat(base, counts)
+    # tf/dl streams need no restart fixup — the gathered ranges hold
+    # exactly the selected blocks' values
+    tfs = gather_decode(row["tfs"], np.asarray(row["block_tf_off"], dtype=np.int64))
+    dls = gather_decode(row["dls"], np.asarray(row["block_dl_off"], dtype=np.int64))
+    return ids, tfs, dls

@@ -73,6 +73,15 @@ class _TermPostings:
     def decode_candidates(self, cand_sorted: np.ndarray):
         """Decode only blocks whose doc-id range intersects the sorted
         candidate doc_ids. Returns (doc_ids, tfs, dls) concatenated."""
+        if self._decoded is not None:
+            # full decode already cached (warm term) — slicing it beats
+            # re-decoding blocks from bytes
+            ids, tfs, dls = self._decoded
+            pos = np.searchsorted(cand_sorted, ids)
+            hit = (pos < len(cand_sorted)) & (
+                cand_sorted[np.minimum(pos, len(cand_sorted) - 1)] == ids
+            )
+            return ids[hit], tfs[hit], dls[hit]
         ids_l, tfs_l, dls_l = [], [], []
         for r in self.rows:
             last = np.asarray(r["block_last_doc"], dtype=np.int64)
