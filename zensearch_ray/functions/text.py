@@ -40,8 +40,9 @@ def doc_length(text: str) -> int:
 
 def term_frequencies(text: str) -> dict[str, int]:
     """Per-document term → tf histogram (token-equality counting,
-    replacing the reference's substring ``strings.Count`` at tf.go:21)."""
-    tf: dict[str, int] = {}
-    for tok in tokenize(text):
-        tf[tok] = tf.get(tok, 0) + 1
-    return tf
+    replacing the reference's substring ``strings.Count`` at tf.go:21).
+    Counter counts in C (_count_elements); key order is still first
+    occurrence, identical to a manual dict loop."""
+    from collections import Counter
+
+    return Counter(tokenize(text))
