@@ -67,7 +67,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from zensearch_ray.pipelines import corpus, relational
+    from zensearch_ray.pipelines import corpus, relational, windows
 
     def bm25(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
         "events_hourly": relational.events_hourly,
+        # windowed / ordered custom operators (pipelines/windows.py)
+        "events_sessionize": windows.events_sessionize,
+        "events_asof_orders": windows.events_asof_orders,
+        "top_event_per_user": windows.top_event_per_user,
+        "events_props_agg": windows.events_props_agg,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
     }
@@ -356,6 +361,49 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
                        AS sum_value_cents
             FROM events GROUP BY user_id, hour_epoch
+        """,
+        # floor(epoch(...)) matches numpy datetime64[us] -> [s] truncation
+        "events_sessionize": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+            g AS (SELECT user_id, ts_s,
+                         CASE WHEN lag(ts_s) OVER w IS NULL
+                                OR ts_s - lag(ts_s) OVER w > 1800
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+            s AS (SELECT user_id, ts_s,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM g)
+            SELECT user_id,
+                   min(ts_s)::BIGINT AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   (max(ts_s) - min(ts_s))::BIGINT AS duration_sec
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_asof_orders": """
+            WITH o AS (SELECT o_custkey AS key,
+                              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ots,
+                              max(o_orderkey)::BIGINT AS o_orderkey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                   o.o_orderkey
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.key AND CAST(floor(epoch(e.ts)) AS BIGINT) >= o.ots
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id, round(value, 6) AS value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "events_props_agg": r"""
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k
+            FROM events GROUP BY event_type
         """,
     }
 
