@@ -1,0 +1,55 @@
+"""URL scalar functions (operator E4, reference
+``crawler/utilities/origin_url.go:7-13`` ``GetHostname``; link filters
+``crawler/internal/crawler/page_navigator.go:33,111-152``).
+
+Used inside ``map_batches`` bodies — pure, deterministic, no I/O.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+# the reference's 17 binary-extension link filters (page_navigator.go:33)
+BINARY_EXTENSIONS = frozenset(
+    ".pdf .png .jpg .jpeg .gif .svg .zip .tar .gz .mp3 .mp4 .avi .mov .exe .dmg .iso .webp".split()
+)
+
+
+def hostname_path(url: str) -> tuple[str, str]:
+    """(hostname, path) of a URL — empty strings when unparseable."""
+    try:
+        parts = urlsplit(url)
+        return parts.hostname or "", parts.path or ""
+    except ValueError:
+        return "", ""
+
+
+def strip_fragment(url: str) -> str:
+    """Drop the #fragment (the reference strips it before enqueueing,
+    page_navigator.go:131-138)."""
+    i = url.find("#")
+    return url if i < 0 else url[:i]
+
+
+def is_binary_link(url: str) -> bool:
+    """True for links the reference's LINK_FILTERS would drop."""
+    path = hostname_path(strip_fragment(url))[1].lower()
+    dot = path.rfind(".")
+    return dot >= 0 and path[dot:] in BINARY_EXTENSIONS
+
+
+def host_counts_batch(batch, url_col: str = "url"):
+    """map_batches body: per-batch partial (hostname, n_docs) counts —
+    combine with a small groupby-sum (J3/J4 analog over the page table)."""
+    import pyarrow as pa
+
+    counts: dict[str, int] = {}
+    for u in batch[url_col].to_pylist():
+        h = hostname_path(u)[0]
+        counts[h] = counts.get(h, 0) + 1
+    return pa.table(
+        {
+            "hostname": pa.array(list(counts.keys()), type=pa.string()),
+            "n_docs": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )

@@ -197,6 +197,27 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_docs(self, query: str, k: int = 10, pruned: bool = False) -> list[dict]:
+        """Ranked results resolved to documents — the reference's search
+        response shape (url + score; ``express-server/src/app/index.ts:194-197``
+        renders ranked webpages). Reads ONLY the docmeta rows of the k
+        result doc_ids via parquet predicate pushdown; the corpus never
+        loads."""
+        hits = self.topk_pruned(query, k) if pruned else self.topk(query, k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        meta = pq.ParquetDataset(
+            self.layout.docmeta_dir, filters=[("doc_id", "in", ids)]
+        ).read(columns=["doc_id", "url"])
+        url_of = dict(
+            zip(meta["doc_id"].to_pylist(), meta["url"].to_pylist())
+        )
+        return [
+            {"rank": i + 1, "doc_id": d, "url": url_of.get(d, ""), "score": s}
+            for i, (d, s) in enumerate(hits)
+        ]
+
     def topk_pruned(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """TAAT MaxScore + block-max skip decoding (rank-preserving).
 
