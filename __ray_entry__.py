@@ -175,18 +175,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def ann_ivf(sf_dir: str):
-        import numpy as np
-        import pandas as pd
         import pyarrow.parquet as pq
+        import ray.data as rd
 
-        from zensearch_ray.stages.ann import IvfIndex
+        from zensearch_ray.stages.ann import ivf_topk_dist
 
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        ivf = IvfIndex(vecs, ids)
-        got_ids, sims = ivf.search(vecs[0], k=10, nprobe=4)
-        return pd.DataFrame({"vec_id": got_ids, "sim": sims})
+        probe = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )["embedding"].to_pylist()[0]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return ivf_topk_dist(ds, probe, k=10)
 
     def media_features(sf_dir: str):
         import ray.data as rd

@@ -106,24 +106,88 @@ def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id", emb_col: str = 
     return ds.map_batches(pairs_batch, batch_format="pyarrow")
 
 
+def _kmeans_centroids(m: np.ndarray, n_lists: int, seed: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means (seeded init, fixed iterations).
+    Shared by the driver-side IvfIndex and the distributed path so both
+    produce identical assignments."""
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(m))
+    centroids = m[rng.choice(len(m), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / (np.linalg.norm(v) or 1.0)
+    return centroids
+
+
+def ivf_topk_dist(
+    ds,
+    probe_vec: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Distributed IVF-flat top-k — the 100 TB scale path.
+
+    Train centroids on a driver-side SAMPLE (first ``train_sample``
+    rows here for determinism; production would seed-sample), broadcast
+    (centroids, probe-list ids, query) once via ``ray.put``, then ONE
+    streaming ``map_batches`` pass: each batch assigns its rows to
+    lists (argmax against broadcast centroids), keeps only rows whose
+    list is probed (~nprobe/n_lists of the data), scores the survivors
+    and emits a per-batch partial top-k. Tiny driver merge; no shuffle,
+    nothing materialized. Results identical to ``IvfIndex.search`` with
+    the same training sample = full data (verified in tests).
+    """
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    m_s = normalize_rows(np.array(sample[emb_col].tolist(), dtype=np.float64))
+    centroids = _kmeans_centroids(m_s, n_lists, seed, iters=10)
+
+    q = np.asarray(probe_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe_lists = np.argsort(-(centroids @ q))[:nprobe]
+    ref = ray.put((centroids, frozenset(probe_lists.tolist()), q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents, probed, qv = ray.get(ref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        assign = np.argmax(m @ cents.T, axis=1)
+        keep = np.isin(assign, list(probed))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        sims = m[keep] @ qv
+        take = min(k, len(sims))
+        part = np.argpartition(-sims, take - 1)[:take] if take else np.empty(0, int)
+        return pa.table(
+            {
+                id_col: pa.array(ids[part], type=pa.int64()),
+                "sim": pa.array(sims[part], type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand["sim"] = round6(cand["sim"].to_numpy())
+    cand = cand.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
 class IvfIndex:
     """IVF-flat ANN: deterministic centroid init (seeded k-means, few
     iters) on a driver-side sample, then per-batch assignment; queries
     probe the ``nprobe`` nearest lists. Approximate — tests measure
-    recall vs ``cosine_topk`` (≥0.9 expected at nprobe≥4 here)."""
+    recall vs ``cosine_topk`` (data-dependent; exact at nprobe=n_lists)."""
 
     def __init__(self, vectors: np.ndarray, ids: np.ndarray, n_lists: int = 16, seed: int = 42, iters: int = 10):
         m = normalize_rows(np.asarray(vectors, dtype=np.float64))
-        rng = np.random.default_rng(seed)
-        n_lists = min(n_lists, len(m))
-        centroids = m[rng.choice(len(m), size=n_lists, replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(m @ centroids.T, axis=1)
-            for c in range(n_lists):
-                members = m[assign == c]
-                if len(members):
-                    v = members.mean(axis=0)
-                    centroids[c] = v / (np.linalg.norm(v) or 1.0)
+        centroids = _kmeans_centroids(m, n_lists, seed, iters)
         self.centroids = centroids
         self.assign = np.argmax(m @ centroids.T, axis=1)
         self.m = m
