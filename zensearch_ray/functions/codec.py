@@ -188,6 +188,112 @@ def encode_posting(
     }
 
 
+def encode_partition(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode ALL terms of one sorted partition in a single vectorized
+    pass per column — no Python loop over terms.
+
+    Inputs are the partition's postings sorted by (term, doc_id);
+    ``starts``/``ends`` delimit each term's run. Byte-identical to
+    calling ``encode_posting`` per term (same delta-restart scheme),
+    but one ``varint_encode`` per column instead of three per TERM —
+    the Zipf vocabulary tail makes per-term calls the build bottleneck.
+
+    Returns a dict of pyarrow arrays ready to assemble the segment
+    table: df, docs, tfs, dls (binary, zero-copy slices of one blob via
+    offset buffers), block_last_doc, block_max, block_*_off (lists).
+    """
+    import pyarrow as pa
+
+    n = len(doc_ids)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    lens = ends - starts
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+
+    # --- delta stream with absolute restarts at term starts + block
+    # boundaries within each term (identical to delta_encode_docids) ---
+    off_in_term = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    restart = (off_in_term % block_size) == 0
+    prev = np.empty_like(doc_ids)
+    if n:
+        prev[0] = 0
+        prev[1:] = doc_ids[:-1]
+    gaps = doc_ids - prev
+    if np.any(~restart & (gaps <= 0)):
+        raise ValueError("doc_ids must be strictly increasing within a term")
+    deltas = np.where(restart, doc_ids, gaps).astype(np.uint64)
+    tfs_u = np.asarray(tfs).astype(np.uint64)
+    dls_u = np.asarray(dls).astype(np.uint64)
+
+    def stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        """(varint blob, cumulative byte offset per value incl. end)."""
+        blob = varint_encode(vals)
+        cum = np.empty(len(vals) + 1, dtype=np.int64)
+        cum[0] = 0
+        np.cumsum(_varint_byte_lengths(vals), out=cum[1:])
+        return blob, cum
+
+    docs_blob, doc_cum = stream(deltas)
+    tfs_blob, tf_cum = stream(tfs_u)
+    dls_blob, dl_cum = stream(dls_u)
+
+    def binary_col(blob: bytes, cum: np.ndarray) -> pa.Array:
+        # terms tile the partition → per-term byte ranges are contiguous;
+        # build the BinaryArray zero-copy from an offsets buffer
+        offs = np.empty(len(starts) + 1, dtype=np.int32)
+        offs[:-1] = cum[starts]
+        offs[-1] = cum[n]
+        assert cum[n] < 2**31
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)],
+        )
+
+    # --- global block metadata, sliced per term via list offsets ---
+    norms = tf_norm(np.asarray(tfs), np.asarray(dls), avgdl, params)
+    block_starts = np.flatnonzero(restart)
+    block_ends = np.concatenate((block_starts[1:] - 1, [n - 1])) if n else block_starts
+    block_last = doc_ids[block_ends]
+    bmax = np.maximum.reduceat(norms, block_starts).astype(np.float32) if n else np.empty(0, np.float32)
+    bmax = np.nextafter(bmax, np.float32(np.inf), dtype=np.float32)
+
+    n_blocks = ((lens + block_size - 1) // block_size).astype(np.int64)
+    list_offs = np.zeros(len(starts) + 1, dtype=np.int32)
+    list_offs[1:] = np.cumsum(n_blocks).astype(np.int32)
+
+    def list_col(values: pa.Array) -> pa.Array:
+        return pa.ListArray.from_arrays(pa.array(list_offs, type=pa.int32()), values)
+
+    # per-block BYTE offsets relative to the term's blob slice
+    term_of_block = np.repeat(np.arange(len(starts), dtype=np.int64), n_blocks)
+
+    def block_off(cum: np.ndarray) -> pa.Array:
+        rel = (cum[block_starts] - cum[starts[term_of_block]]).astype(np.int32)
+        return list_col(pa.array(rel, type=pa.int32()))
+
+    return {
+        "df": pa.array(lens, type=pa.int64()),
+        "docs": binary_col(docs_blob, doc_cum),
+        "tfs": binary_col(tfs_blob, tf_cum),
+        "dls": binary_col(dls_blob, dl_cum),
+        "block_last_doc": list_col(pa.array(block_last, type=pa.int64())),
+        "block_max": list_col(pa.array(bmax, type=pa.float32())),
+        "block_doc_off": block_off(doc_cum),
+        "block_tf_off": block_off(tf_cum),
+        "block_dl_off": block_off(dl_cum),
+    }
+
+
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a segment row → (doc_ids int64, tfs int64, dls int64)."""
     doc_ids = delta_decode_docids(row["docs"])

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from zensearch_ray.functions.bm25 import BM25Params
-from zensearch_ray.functions.codec import encode_posting
+from zensearch_ray.functions.codec import encode_partition
 from zensearch_ray.stages.dedup import dedup_by_key
 from zensearch_ray.stages.extract import extract_batch
 from zensearch_ray.stages.tokenize import explode_batch, tokenize_batch
@@ -94,50 +94,31 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
     def build_partition(group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         part = int(group["part"][0].as_py())
+        # shuffle output arrives as MANY small chunks (one per map task);
+        # flatten once so every kernel below runs on contiguous arrays
+        group = group.combine_chunks()
         idx = pc.sort_indices(
             group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
         )
-        g = group.take(idx)
-        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        g = group.take(idx).combine_chunks()
         doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
         tfs = g["tf"].to_numpy(zero_copy_only=False)
         dls = g["dl"].to_numpy(zero_copy_only=False)
 
-        n = len(terms)
-        boundaries = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        # term run boundaries via dictionary codes — no Python strings
+        n = g.num_rows
+        codes = np.asarray(
+            pc.dictionary_encode(g["term"].chunk(0)).indices, dtype=np.int64
+        )
+        boundaries = np.flatnonzero(codes[1:] != codes[:-1]) + 1
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [n]))
 
-        rows_term: list[str] = []
-        rows_payload: list[dict] = []
-        for s, e in zip(starts, ends):
-            rows_term.append(terms[s])
-            rows_payload.append(
-                encode_posting(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, params)
-            )
+        cols = encode_partition(doc_ids, tfs, dls, starts, ends, avgdl, params)
         seg = pa.table(
             {
-                "term": pa.array(rows_term, type=pa.string()),
-                "df": pa.array([r["df"] for r in rows_payload], type=pa.int64()),
-                "docs": pa.array([r["docs"] for r in rows_payload], type=pa.binary()),
-                "tfs": pa.array([r["tfs"] for r in rows_payload], type=pa.binary()),
-                "dls": pa.array([r["dls"] for r in rows_payload], type=pa.binary()),
-                "block_last_doc": pa.array(
-                    [r["block_last_doc"] for r in rows_payload],
-                    type=pa.list_(pa.int64()),
-                ),
-                "block_max": pa.array(
-                    [r["block_max"] for r in rows_payload], type=pa.list_(pa.float32())
-                ),
-                "block_doc_off": pa.array(
-                    [r["block_doc_off"] for r in rows_payload], type=pa.list_(pa.int32())
-                ),
-                "block_tf_off": pa.array(
-                    [r["block_tf_off"] for r in rows_payload], type=pa.list_(pa.int32())
-                ),
-                "block_dl_off": pa.array(
-                    [r["block_dl_off"] for r in rows_payload], type=pa.list_(pa.int32())
-                ),
+                "term": g["term"].chunk(0).take(pa.array(starts, type=pa.int64())),
+                **cols,
             }
         )
         buf = io.BytesIO()
@@ -145,7 +126,7 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
         payload = buf.getvalue()
         elapsed = time.perf_counter() - t0
         metrics = {
-            "n_terms": len(rows_term),
+            "n_terms": len(starts),
             "n_postings": int(n),
             "posting_bytes": len(payload),
             "build_sec": round(elapsed, 4),

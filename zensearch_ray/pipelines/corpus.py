@@ -80,20 +80,19 @@ def term_tf(sf_dir: str):
     """(doc_id, term, tf) exploded histogram (A3, token equality)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, terms, tfs = [], [], []
-        for did, ts, fs in zip(
-            batch["doc_id"].to_pylist(),
-            batch["terms"].to_pylist(),
-            batch["tfs"].to_pylist(),
-        ):
-            doc_ids.extend([did] * len(ts))
-            terms.extend(ts)
-            tfs.extend(fs)
+        import pyarrow.compute as pc
+
+        terms_col = batch["terms"].combine_chunks()
+        tfs_col = batch["tfs"].combine_chunks()
+        lens = np.asarray(pc.list_value_length(terms_col), dtype=np.int64)
+        rep_doc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "term": pa.array(terms, type=pa.string()),
-                "tf": pa.array(tfs, type=pa.int64()),
+                "doc_id": pa.array(rep_doc, type=pa.int64()),
+                "term": terms_col.flatten(),  # zero-copy
+                "tf": tfs_col.flatten().cast(pa.int64()),
             }
         )
 
