@@ -93,3 +93,22 @@ def test_salted_term_split_across_parts(built_index):
     ids, _, _ = p.decode_all()
     assert len(ids) == p.df
     assert np.all(np.diff(ids) > 0)  # merged sorted, no duplicates
+
+
+def test_mixed_shard_counts_same_session(ray_session, pages_small, tmp_path):
+    """Regression: Ray reuses worker processes across builds; a worker-
+    global term→shard memo computed under one num_shards must not leak
+    into a build with another (it silently routed postings to wrong
+    partitions → queries over the second index returned nothing)."""
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+
+    q = "search engine page site"
+    engines = []
+    for shards in (8, 4, 6):
+        d = str(tmp_path / f"idx{shards}")
+        build_index(pages_small, d, BuildConfig(num_shards=shards, salt_subs=2, lang="en"))
+        engines.append(QueryEngine(d))
+    results = [e.topk(q, 10) for e in engines]
+    assert all(len(r) == 10 for r in results)
+    # shard count is a physical layout choice — results must be identical
+    assert results[0] == results[1] == results[2]

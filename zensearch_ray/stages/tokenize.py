@@ -174,7 +174,10 @@ def tokenize_batch(batch: pa.Table, id_col: str | None = None) -> pa.Table:
 
 
 _HEAVY_CACHE: dict = {}
-_SHARD_MEMO: dict[str, int] = {}
+# term→shard memos are worker-global BUT keyed by num_shards: Ray reuses
+# worker processes across builds, and a memo computed under a different
+# shard count would silently route postings to wrong partitions
+_SHARD_MEMOS: dict[int, dict[str, int]] = {}
 
 
 def explode_batch(
@@ -204,7 +207,7 @@ def explode_batch(
     stage.num_shards = num_shards
     stage.salt_subs = salt_subs
     stage.skip_parts = frozenset(skip_parts or ())
-    stage._shard_memo = _SHARD_MEMO
+    stage._shard_memo = _SHARD_MEMOS.setdefault(num_shards, {})
     return stage(batch)
 
 
