@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_pruned(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, pruned=True)
 
+    def bm25_and(sf_dir: str):
+        return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
+
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -212,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_tf": corpus.term_tf,
         "bm25_topk": bm25,
         "bm25_topk_pruned": bm25_pruned,
+        "bm25_topk_and": bm25_and,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -264,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
+        "bm25_topk_and": _bm25_and_sql(),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
@@ -408,6 +413,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
     }
+
+
+def _bm25_and_sql() -> str:
+    """Conjunctive-BM25 oracle: same scoring, but only documents that
+    contain EVERY distinct query term (posting-list intersection); no
+    score>0 filter — membership is defined by the intersection."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        matched AS (
+            SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(DISTINCT term) = (SELECT count(*) FROM qterms)
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
 
 
 def _bm25_sql() -> str:

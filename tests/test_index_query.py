@@ -112,3 +112,27 @@ def test_mixed_shard_counts_same_session(ray_session, pages_small, tmp_path):
     assert all(len(r) == 10 for r in results)
     # shard count is a physical layout choice — results must be identical
     assert results[0] == results[1] == results[2]
+
+
+def test_topk_and_is_intersection_of_topk(built_index, oracle):
+    """AND mode = oracle full ranking restricted to docs containing all
+    distinct query terms."""
+    from zensearch_ray.functions.text import tokenize
+
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    for q in ["search engine", "the of", "data web site", "zzz-not-a-word search"]:
+        toks = set(tokenize(q))
+        # brute-force AND oracle over the tokenized corpus
+        matched = [
+            d
+            for d, tfmap in zip(oracle.doc_ids, oracle.tfs)
+            if all(t in tfmap for t in toks)
+        ]
+        scores = {d: s for d, s in zip(oracle.doc_ids, oracle.score(q))}
+        want = sorted(((d, scores[d]) for d in matched), key=lambda x: (-x[1], x[0]))[:10]
+        got = engine.topk_and(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12, err_msg=q
+        )

@@ -1,0 +1,95 @@
+"""``ray job submit``-able CLI (SURVEY.md §3.3): build / query / resume.
+
+    python -m zensearch_ray build --input PAGES_DIR --output INDEX_DIR \
+        [--shards 64] [--salt-subs 8] [--lang en] [--extract-html] [--id-col COL]
+    python -m zensearch_ray query --index INDEX_DIR "search terms" \
+        [-k 10] [--mode exhaustive|pruned|and] [--urls]
+
+Owns the Ray session ONLY when none exists (``ray job submit`` and the
+test driver both initialise Ray themselves; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+
+    _ensure_ray()
+    cfg = BuildConfig(
+        num_shards=args.shards,
+        salt_subs=args.salt_subs,
+        lang=args.lang if args.lang != "any" else None,
+        extract_from_html=args.extract_html,
+        dedup_urls=args.dedup_urls,
+        id_col=args.id_col,
+    )
+    manifest = build_index(args.input, args.output, cfg)
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(args.index)
+    for q in args.query:
+        if args.urls:
+            rows = engine.topk_docs(q, k=args.k, pruned=args.mode == "pruned")
+        else:
+            fn = {
+                "exhaustive": engine.topk,
+                "pruned": engine.topk_pruned,
+                "and": engine.topk_and,
+            }[args.mode]
+            rows = [
+                {"rank": i + 1, "doc_id": d, "score": s}
+                for i, (d, s) in enumerate(fn(q, args.k))
+            ]
+        print(json.dumps({"query": q, "results": rows}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="zensearch_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an inverted index")
+    b.add_argument("--input", required=True, help="pages parquet file/dir")
+    b.add_argument("--output", required=True, help="index directory")
+    b.add_argument("--shards", type=int, default=64)
+    b.add_argument("--salt-subs", type=int, default=8)
+    b.add_argument("--lang", default="en", help="'any' disables the filter")
+    b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--dedup-urls", action="store_true")
+    b.add_argument("--id-col", default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("query", nargs="+")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
+    q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

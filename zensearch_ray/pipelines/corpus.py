@@ -155,14 +155,20 @@ def index_dir_for(sf_dir: str) -> str:
     return d
 
 
-def bm25_topk(sf_dir: str, query: str, k: int = 10, pruned: bool = False) -> pd.DataFrame:
+def bm25_topk(
+    sf_dir: str, query: str, k: int = 10, pruned: bool = False, conjunctive: bool = False
+) -> pd.DataFrame:
     """BM25 top-k over documents via the posting-list engine.
 
     Columns (rank, doc_id, score) with score rounded to 6 decimals —
-    the oracle SQL rounds identically.
+    the oracle SQL rounds identically. ``conjunctive`` switches to
+    posting-list-intersection (AND) semantics.
     """
     engine = QueryEngine(index_dir_for(sf_dir))
-    hits = engine.topk_pruned(query, k) if pruned else engine.topk(query, k)
+    if conjunctive:
+        hits = engine.topk_and(query, k)
+    else:
+        hits = engine.topk_pruned(query, k) if pruned else engine.topk(query, k)
     return pd.DataFrame(
         {
             "rank": np.arange(1, len(hits) + 1, dtype=np.int64),

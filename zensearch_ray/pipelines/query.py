@@ -197,6 +197,42 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive (AND) top-k: only documents containing EVERY
+        distinct query term are scored — the posting-list intersection
+        the north_star names. Intersection runs ascending-df first
+        (smallest list seeds the candidate set, each further list can
+        only shrink it); scores are the same BM25 sum as ``topk``, so
+        the result is ``topk`` restricted to the intersection."""
+        plan = self._term_plan(query)
+        toks = set(tokenize(query))
+        # a distinct query term with no postings → empty intersection.
+        # (idf==0 terms still constrain membership but add 0 score.)
+        seen_terms = set()
+        entries: dict[int, list] = {}
+        for tok in toks:
+            p = self.lookup(tok)
+            if p is None:
+                return []
+            seen_terms.add(tok)
+            entries[id(p)] = p
+        postings = sorted(entries.values(), key=lambda p: p.df)
+        cand = postings[0].decode_all()[0]
+        for p in postings[1:]:
+            if len(cand) == 0:
+                return []
+            ids = p.decode_all()[0]
+            cand = cand[np.isin(cand, ids, assume_unique=True)]
+        if len(cand) == 0:
+            return []
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for p, w in plan:  # plan keeps query-token multiplicity
+            ids, tfs, dls = p.decode_all()
+            pos = np.searchsorted(ids, cand)
+            scores += w * tf_norm(tfs[pos], dls[pos], self.avgdl, self.params)
+        top_ids, top_sc = topk_order(cand, scores, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def topk_docs(self, query: str, k: int = 10, pruned: bool = False) -> list[dict]:
         """Ranked results resolved to documents — the reference's search
         response shape (url + score; ``express-server/src/app/index.ts:194-197``
