@@ -155,6 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
 
+    def simhash_pairs(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.minhash import simhash_near_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_near_pairs(ds, max_hamming=6, n_bands=7)
+
     def minhash_groups(sf_dir: str):
         import pandas as pd
         import ray.data as rd
@@ -220,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
         "simhash": simhash,
+        "simhash_near_pairs": simhash_pairs,
         "jaccard_topk": jaccard,
         # text analysis
         "token_quality": token_quality,

@@ -33,3 +33,28 @@ def test_dedup_no_duplicates_passthrough(ray_session):
     ds = rd.from_arrow(t)
     out = dedup_by_key(ds, "url", order_col="warc_ts")
     assert out.count() == 50
+
+
+def test_simhash_near_pairs_exact_recall(ray_session):
+    """Banded simhash pair detection must find exactly the pairs a
+    brute-force hamming scan finds (pigeonhole: n_bands > max_hamming)."""
+    import numpy as np
+    import ray.data as rd
+
+    from zensearch_ray.stages.minhash import SimHashStage, simhash_near_pairs
+
+    SF = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    # brute-force oracle over all fingerprints
+    fp = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=2).to_pandas()
+    ids = fp["doc_id"].to_numpy()
+    h = fp["simhash"].to_numpy().astype(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        x = h[i] ^ h[i + 1 :]
+        for j in np.flatnonzero(np.array([bin(int(v)).count("1") for v in x]) <= 6):
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            want.add((min(a, b), max(a, b)))
+    got_df = simhash_near_pairs(ds, max_hamming=6, n_bands=7)
+    got = set(zip(got_df["a"].tolist(), got_df["b"].tolist()))
+    assert got == want

@@ -212,6 +212,91 @@ class SimHashStage:
         return pa.table({"doc_id": batch[self.id_col], "simhash": pa.array(out)})
 
 
+def simhash_near_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole: with ``n_bands`` > ``max_hamming`` bit-bands, two
+    fingerprints within ``max_hamming`` bits MUST agree exactly on at
+    least one band — so banding finds every qualifying pair (exact
+    recall), and the only shuffle is the groupby over (band, band_bits)
+    buckets. Candidates are verified with a popcount of the XOR.
+    Returns a DataFrame (a, b, hamming), a < b.
+    """
+    import pandas as pd
+
+    assert n_bands > max_hamming, "pigeonhole guarantee needs n_bands > max_hamming"
+    fp = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    width = 63 // n_bands + 1
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands_l, bits_l, ids_l, fp_l = [], [], [], []
+        for band in range(n_bands):
+            lo = band * width
+            bits = (h >> np.uint64(lo)) & np.uint64((1 << width) - 1)
+            bands_l.append(np.full(len(h), band, dtype=np.int32))
+            bits_l.append(bits.astype(np.int64))
+            ids_l.append(ids)
+            fp_l.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_l)),
+                "bits": pa.array(np.concatenate(bits_l)),
+                "doc_id": pa.array(np.concatenate(ids_l), type=pa.int64()),
+                "fp": pa.array(np.concatenate(fp_l), type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for (_, _), bucket in group.groupby(["band", "bits"]):
+            if len(bucket) < 2:
+                continue
+            ids = bucket["doc_id"].to_numpy()
+            fps = bucket["fp"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, fps = ids[order], fps[order]
+            for i in range(len(ids)):
+                x = fps[i] ^ fps[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                hit = ham <= max_hamming
+                for j, hm in zip(np.flatnonzero(hit), ham[hit]):
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_h.append(hm)
+        return pd.DataFrame(
+            {"a": out_a, "b": out_b, "hamming": out_h}, dtype="int64"
+        )
+
+    n_coarse = 64
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        b = batch["bits"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        coarse = ((b * np.uint64(2654435761)) % np.uint64(n_coarse)).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    pairs = (
+        fp.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(emit, batch_format="pandas")
+        .to_pandas()
+    )
+    # the same pair can surface from several agreeing bands — dedup
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return pairs
+
+
 def jaccard_topk(ds, probe_tokens: set[str], k: int = 10, exclude_id: int | None = None,
                  text_col: str = "text", id_col: str = "doc_id"):
     """Unigram-Jaccard top-k of a broadcast probe token set vs every doc.
