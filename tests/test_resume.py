@@ -70,3 +70,16 @@ def test_partition_manifests_carry_metrics(ray_session, pages_small, tmp_path):
     assert g["total_posting_bytes"] == sum(
         m["posting_bytes"] for m in layout.committed_parts().values()
     )
+
+
+def test_empty_corpus_build(ray_session, pages_small, tmp_path):
+    """A filter that matches nothing must produce a valid empty index
+    and empty query results, not a crash."""
+    index_dir = str(tmp_path / "empty_idx")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, lang="xx-no-such-lang")
+    manifest = build_index(pages_small, index_dir, cfg)
+    assert manifest["n_docs"] == 0
+    assert manifest["total_postings"] == 0
+    engine = QueryEngine(index_dir)
+    assert engine.topk("anything", 10) == []
+    assert engine.topk_and("anything", 10) == []

@@ -194,16 +194,21 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
             keys=["term"],
             sum_cols=["df_partial", "sum_dl"],
         ).to_pandas()
-        sent = agg["term"] == DOCSTAT_SENTINEL
-        n_docs = int(agg.loc[sent, "df_partial"].sum())
-        sum_dl = int(agg.loc[sent, "sum_dl"].sum())
-        threshold = (
-            cfg.heavy_df_threshold
-            if cfg.heavy_df_threshold is not None
-            else max(64, n_docs // 10)
-        )
-        heavy_tbl = agg[~sent & (agg["df_partial"] > threshold)]
-        heavy_terms = sorted(heavy_tbl["term"].tolist())
+        if "term" not in agg.columns:
+            # corpus empty after filters — still commit a valid index
+            n_docs, sum_dl, heavy_terms = 0, 0, []
+            threshold = cfg.heavy_df_threshold or 64
+        else:
+            sent = agg["term"] == DOCSTAT_SENTINEL
+            n_docs = int(agg.loc[sent, "df_partial"].sum())
+            sum_dl = int(agg.loc[sent, "sum_dl"].sum())
+            threshold = (
+                cfg.heavy_df_threshold
+                if cfg.heavy_df_threshold is not None
+                else max(64, n_docs // 10)
+            )
+            heavy_tbl = agg[~sent & (agg["df_partial"] > threshold)]
+            heavy_terms = sorted(heavy_tbl["term"].tolist())
 
         # docmeta (restart-safe: rewritten wholesale until docstats commits)
         import shutil
