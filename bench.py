@@ -8,7 +8,7 @@ sweep of representative pipelines over $GRAFT_SF_DIR tables.
 
 Usage:
     python bench.py              # one JSON line on stdout
-    python bench.py --scaling    # run at num_cpus=4 and 16 in fresh
+    python bench.py --scaling    # run at num_cpus=2 and 8 in fresh
                                  # processes; report scaling efficiency
 
 Env:
@@ -202,7 +202,7 @@ def run_scaling() -> dict:
     dominates fixed session/scheduling overhead — the same reasoning as
     measuring cluster scaling at representative load, not toy load.
 
-    Levels default to 4 and 16 (GRAFT_SCALING_LEVELS to override): a
+    Levels default to 2 and 8 (GRAFT_SCALING_LEVELS to override): a
     multiprocessing capacity probe of this sandbox shows near-linear
     speedup only up to ~16 workers (16 physical cores; 17-32 are SMT
     siblings delivering ~1.4x, not 2x) — so 8-vs-32 would measure the
@@ -210,7 +210,7 @@ def run_scaling() -> dict:
     cores. Numbers recorded in BASELINE.md §3."""
     n_pages = os.environ.get("GRAFT_PAGES_SCALING", "800000")
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")
     )
 
     def run(ncpu: int) -> dict:
