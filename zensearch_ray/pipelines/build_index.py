@@ -101,6 +101,7 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
             group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
         )
         g = group.take(idx).combine_chunks()
+        t_sort = time.perf_counter()
         doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
         tfs = g["tf"].to_numpy(zero_copy_only=False)
         dls = g["dl"].to_numpy(zero_copy_only=False)
@@ -121,6 +122,7 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
                 **cols,
             }
         )
+        t_enc = time.perf_counter()
         buf = io.BytesIO()
         pq.write_table(seg, buf, compression="zstd", row_group_size=4096)
         payload = buf.getvalue()
@@ -130,6 +132,9 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
             "n_postings": int(n),
             "posting_bytes": len(payload),
             "build_sec": round(elapsed, 4),
+            "sort_sec": round(t_sort - t0, 4),
+            "encode_sec": round(t_enc - t_sort, 4),
+            "write_sec": round(elapsed - (t_enc - t0), 4),
             "postings_per_sec": round(n / elapsed, 1) if elapsed > 0 else None,
         }
         IndexLayout(layout_root).commit_partition(part, payload, metrics)
