@@ -54,8 +54,13 @@ def test_query_matches_oracle(ray_session, con, name):
     for col in got.columns:
         g, w = got[col], want[col]
         if g.dtype != w.dtype:
-            # tolerate int64 vs Int64-style mismatches but not int vs float
-            assert pd.api.types.is_numeric_dtype(g) == pd.api.types.is_numeric_dtype(w), (
+            # The driver's value-hash is typed: int64 vs float64 hashes
+            # differently even when values agree (round-1 asof failure).
+            # Tolerate only same-kind variants (int64 vs Int64, etc.).
+            assert pd.api.types.is_integer_dtype(g) == pd.api.types.is_integer_dtype(w), (
+                f"{name}.{col}: dtype {g.dtype} vs {w.dtype}"
+            )
+            assert pd.api.types.is_float_dtype(g) == pd.api.types.is_float_dtype(w), (
                 f"{name}.{col}: dtype {g.dtype} vs {w.dtype}"
             )
         if pd.api.types.is_float_dtype(w):

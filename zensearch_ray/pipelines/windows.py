@@ -145,7 +145,11 @@ def events_asof_orders(sf_dir: str):
             suffixes=("", "_o"),
         )
         merged = merged.dropna(subset=["o_orderkey"])
-        out = merged.rename(columns={"key": "user_id"}).astype({"o_orderkey": np.int64})
+        # event_id inherits float64 from the union with null-event_id order
+        # rows; cast back so the output matches the oracle's BIGINT.
+        out = merged.rename(columns={"key": "user_id"}).astype(
+            {"o_orderkey": np.int64, "event_id": np.int64, "user_id": np.int64}
+        )
         return out[["event_id", "user_id", "ts_s", "o_orderkey"]]
 
     return (
