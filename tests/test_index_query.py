@@ -6,7 +6,6 @@ import pyarrow.parquet as pq
 import pytest
 
 from zensearch_ray.functions.bm25 import BM25Oracle
-from zensearch_ray.functions.ids import url_doc_id
 from zensearch_ray.pipelines.build_index import BuildConfig, build_index
 from zensearch_ray.pipelines.query import QueryEngine
 
@@ -34,11 +33,15 @@ def built_index(ray_session, pages_small, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def oracle(built_index):
+    # dense id contract: doc_id == row position within the (sorted) file
+    # list, assigned BEFORE the lang filter
     _, _, pages_path = built_index
-    t = pq.read_table(pages_path, columns=["url", "text", "lang"])
-    t = t.filter(np.array([l == "en" for l in t["lang"].to_pylist()]))
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    ids = np.arange(t.num_rows, dtype=np.int64)
+    mask = np.array([l == "en" for l in t["lang"].to_pylist()])
     return BM25Oracle(
-        [url_doc_id(u) for u in t["url"].to_pylist()], t["text"].to_pylist()
+        ids[mask].tolist(),
+        [tx for tx, m in zip(t["text"].to_pylist(), mask) if m],
     )
 
 

@@ -72,6 +72,18 @@ def test_partition_manifests_carry_metrics(ray_session, pages_small, tmp_path):
     )
 
 
+def test_resume_with_different_config_refused(ray_session, pages_small, tmp_path):
+    """Resuming into an index_dir built under a different config must
+    raise, not silently mix incompatibly-sharded partitions (r1 ADVICE)."""
+    import pytest
+
+    index_dir = str(tmp_path / "idx_fp")
+    build_index(pages_small, index_dir, _cfg())
+    other = BuildConfig(num_shards=8, salt_subs=2, heavy_df_threshold=60, lang="en")
+    with pytest.raises(ValueError, match="config"):
+        build_index(pages_small, index_dir, other)
+
+
 def test_empty_corpus_build(ray_session, pages_small, tmp_path):
     """A filter that matches nothing must produce a valid empty index
     and empty query results, not a crash."""

@@ -93,6 +93,10 @@ def delta_encode_docids(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE) -> by
     ids = np.asarray(doc_ids, dtype=np.int64)
     if ids.size == 0:
         return b""
+    if ids[0] < 0:
+        # negative ids would varint-wrap and silently break block-skip
+        # decoding (query-time candidate misses) — fail at build time
+        raise ValueError("doc_ids must be non-negative")
     deltas = np.empty_like(ids)
     deltas[0] = ids[0]
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
@@ -230,6 +234,8 @@ def encode_partition(
     gaps = doc_ids - prev
     if np.any(~restart & (gaps <= 0)):
         raise ValueError("doc_ids must be strictly increasing within a term")
+    if n and doc_ids.min() < 0:
+        raise ValueError("doc_ids must be non-negative")
     deltas = np.where(restart, doc_ids, gaps).astype(np.uint64)
     tfs_u = np.asarray(tfs).astype(np.uint64)
     dls_u = np.asarray(dls).astype(np.uint64)
@@ -252,7 +258,12 @@ def encode_partition(
         offs = np.empty(len(starts) + 1, dtype=np.int32)
         offs[:-1] = cum[starts]
         offs[-1] = cum[n]
-        assert cum[n] < 2**31
+        if cum[n] >= 2**31:  # int32 offset overflow would truncate —
+            # raise (not assert: must survive python -O), split shards finer
+            raise ValueError(
+                f"partition posting blob {cum[n]} bytes exceeds int32 binary "
+                "offsets; increase num_shards/salt_subs"
+            )
         return pa.Array.from_buffers(
             pa.binary(),
             len(starts),

@@ -51,23 +51,39 @@ class BuildConfig:
     lang: str | None = "en"
     dedup_urls: bool = False
     extract_from_html: bool = False
-    id_col: str | None = None  # column holding doc_id; None → hash64(url)
+    id_col: str | None = None  # column holding doc_id; None → dense/hash64(url)
+    # path sources without id_col get DENSE row-offset doc_ids (metadata-
+    # only assignment, ~4x smaller delta-varint postings than hash ids);
+    # Dataset sources without id_col fall back to hash64(url)
+    dense_ids: bool = True
     tokenize_batch_size: int = 2048
     tokenize_concurrency: int | tuple[int, int] | None = None
     cache_tokenized: bool = True
 
 
-def load_corpus(source, cfg: BuildConfig):
-    """source: Dataset | parquet path(s). Prunes columns at the read."""
+def load_corpus(source, cfg: BuildConfig) -> tuple:
+    """source: Dataset | parquet path(s). Prunes columns at the read.
+
+    Returns ``(ds, effective_id_col)``: the column tokenize should take
+    doc_ids from (``None`` → hash64(url) fallback for Dataset sources).
+    """
     import ray.data as rd
 
+    id_col = cfg.id_col
     if isinstance(source, (str, list)):
         cols = ["url", "warc_ts", "text", "lang"]
         if cfg.extract_from_html:
             cols.append("html")
         if cfg.id_col:
             cols.append(cfg.id_col)
-        ds = rd.read_parquet(source, columns=cols)
+            ds = rd.read_parquet(source, columns=cols)
+        elif cfg.dense_ids:
+            from zensearch_ray.sources.dense import read_parquet_dense
+
+            ds = read_parquet_dense(source, columns=cols, id_name="doc_id")
+            id_col = "doc_id"
+        else:
+            ds = rd.read_parquet(source, columns=cols)
     else:
         ds = source
     if cfg.lang is not None:
@@ -79,10 +95,39 @@ def load_corpus(source, cfg: BuildConfig):
         ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
     if cfg.dedup_urls:
         ds = dedup_by_key(ds, "url", order_col="warc_ts")
-    return ds
+    return ds, id_col
 
 
-def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
+def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
+    """Stable hash of every config knob that affects index CONTENTS or
+    physical partition layout. Written into docstats.json and each
+    partition manifest; resume refuses to mix partitions built under a
+    different fingerprint (postings would be routed to shards the query
+    engine never probes)."""
+    import hashlib
+    import json
+
+    spec = {
+        "tokenizer": TOKENIZER_SPEC,
+        "codec": CODEC_SPEC,
+        "num_shards": cfg.num_shards,
+        "salt_subs": cfg.salt_subs,
+        "heavy_df_threshold": cfg.heavy_df_threshold,
+        "k1": cfg.params.k1,
+        "b": cfg.params.b,
+        "lang": cfg.lang,
+        "dedup_urls": cfg.dedup_urls,
+        "extract_from_html": cfg.extract_from_html,
+        "id_mode": id_mode,
+    }
+    return hashlib.blake2s(
+        json.dumps(spec, sort_keys=True).encode(), digest_size=8
+    ).hexdigest()
+
+
+def _build_partition_fn(
+    layout_root: str, avgdl: float, params: BM25Params, config_fp: str = ""
+):
     """Returns the map_groups body that builds+commits ONE posting segment.
 
     Runs on workers; the closure carries only small config. Within the
@@ -136,6 +181,7 @@ def _build_partition_fn(layout_root: str, avgdl: float, params: BM25Params):
             "encode_sec": round(t_enc - t_sort, 4),
             "write_sec": round(elapsed - (t_enc - t0), 4),
             "postings_per_sec": round(n / elapsed, 1) if elapsed > 0 else None,
+            "config_fp": config_fp,
         }
         IndexLayout(layout_root).commit_partition(part, payload, metrics)
         return pa.table(
@@ -168,7 +214,31 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         phases[name] = round(now - since, 3)
         return now
 
-    corpus = load_corpus(source, cfg)
+    corpus, id_col = load_corpus(source, cfg)
+    if cfg.id_col:
+        id_mode = f"col:{cfg.id_col}"
+    elif id_col == "doc_id":
+        id_mode = "dense-file-offset"
+    else:
+        id_mode = "hash64(url)"
+    fp = config_fingerprint(cfg, id_mode)
+    # resume safety (ADVICE r1): refuse to mix artifacts built under a
+    # different config — stale shard routing is silent data corruption
+    prior_stats = layout.read_docstats()
+    if prior_stats is not None and prior_stats.get("config_fp") != fp:
+        raise ValueError(
+            f"index_dir {index_dir} holds docstats built under config "
+            f"{prior_stats.get('config_fp')!r} != current {fp!r}; "
+            "use a fresh index_dir (or delete it) to rebuild with a new config"
+        )
+    for part, m in layout.committed_parts().items():
+        if m.get("config_fp") != fp:
+            raise ValueError(
+                f"index_dir {index_dir} partition {part} was committed under "
+                f"config {m.get('config_fp')!r} != current {fp!r}; "
+                "use a fresh index_dir to rebuild with a new config"
+            )
+
     # tokenize/explode are STATELESS → task pools (warm-worker reuse,
     # no per-actor cold start that scales with CPU count); an explicit
     # tokenize_concurrency opts into an actor pool for stateful setups
@@ -177,7 +247,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         actor_kwargs["concurrency"] = cfg.tokenize_concurrency
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": cfg.id_col},
+        fn_kwargs={"id_col": id_col},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
@@ -189,7 +259,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
 
     # ---- pass 1: doc stats + df, FUSED into one corpus execution
     # (cached in docstats.json for resume) ----
-    stats = layout.read_docstats()
+    stats = prior_stats
     if stats is None:
         from zensearch_ray.functions.agg import bucketed_groupby_sum
         from zensearch_ray.stages.tokenize import DOCSTAT_SENTINEL, stats_partials
@@ -229,6 +299,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
             "avgdl": sum_dl / n_docs if n_docs else 0.0,
             "heavy_df_threshold": threshold,
             "heavy_terms": heavy_terms,
+            "config_fp": fp,
         }
         layout.write_docstats(stats)
 
@@ -248,7 +319,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
-    build_fn = _build_partition_fn(index_dir, avgdl, cfg.params)
+    build_fn = _build_partition_fn(index_dir, avgdl, cfg.params, config_fp=fp)
     part_stats = (
         exploded.groupby("part")
         .map_groups(build_fn, batch_format="pyarrow")
@@ -262,6 +333,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "version": 1,
         "tokenizer": TOKENIZER_SPEC,
         "codec": CODEC_SPEC,
+        "config_fp": fp,
+        "id_mode": id_mode,
         "n_docs": stats["n_docs"],
         "avgdl": avgdl,
         "num_shards": cfg.num_shards,
