@@ -164,26 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_near_pairs(ds, max_hamming=6, n_bands=7)
 
     def minhash_groups(sf_dir: str):
-        import pandas as pd
         import ray.data as rd
 
-        from zensearch_ray.stages.minhash import (
-            lsh_candidate_pairs,
-            verify_and_group,
-        )
+        from zensearch_ray.stages.minhash import dup_groups
 
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        pairs = lsh_candidate_pairs(ds)
-        groups = verify_and_group(ds, pairs)
-        all_ids = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
-        ).to_pandas()["doc_id"]
-        return pd.DataFrame(
-            {
-                "doc_id": all_ids,
-                "group_id": [groups.get(int(d), int(d)) for d in all_ids],
-            }
-        )
+        return dup_groups(ds, num_partitions=4)
 
     def ann_ivf(sf_dir: str):
         import pyarrow.parquet as pq

@@ -29,15 +29,26 @@ def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
         vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         # Knuth multiplicative hash → uniform buckets even for dense ids
         return ((vals * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int32)
-    return np.fromiter(
-        (hash64(s) % n_buckets for s in col.to_pylist()),
-        dtype=np.int32,
-        count=len(col),
+    # strings: hash each UNIQUE value once (dictionary encode), gather —
+    # per-unique Python blake2b instead of per-row (VERDICT r1 item 2)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    dic = arr.dictionary_encode()
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    vocab = dic.dictionary.to_pylist()
+    by_code = np.fromiter(
+        (hash64(s) % n_buckets for s in vocab), dtype=np.int32, count=len(vocab)
     )
+    return by_code[codes]
 
 
-def bucketed_groupby_sum(ds, keys: list[str], sum_cols: list[str], n_buckets: int = 64):
-    """groupby(keys).sum(sum_cols) via hash buckets + per-bucket pandas."""
+def bucketed_groupby_agg(
+    ds, keys: list[str], aggs: dict[str, str], n_buckets: int = 64
+):
+    """groupby(keys).agg(aggs) via hash buckets + per-bucket pandas.
+
+    ``aggs``: column → "sum" | "min" | "max" (pandas agg names). One
+    coarse shuffle; per-BUCKET vectorized combine, never per-group
+    Python (see module docstring)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -45,10 +56,17 @@ def bucketed_groupby_sum(ds, keys: list[str], sum_cols: list[str], n_buckets: in
         )
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby(keys, as_index=False)[sum_cols].sum()
+        return group.groupby(keys, as_index=False).agg(
+            **{c: (c, how) for c, how in aggs.items()}
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby(_BUCKET_COL)
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def bucketed_groupby_sum(ds, keys: list[str], sum_cols: list[str], n_buckets: int = 64):
+    """groupby(keys).sum(sum_cols) via hash buckets + per-bucket pandas."""
+    return bucketed_groupby_agg(ds, keys, {c: "sum" for c in sum_cols}, n_buckets)

@@ -94,13 +94,13 @@ def customers_without_urgent_orders(sf_dir: str):
         columns=["o_custkey"],
         filter=(pc.field("o_orderpriority") == "1-URGENT"),
     )
-    with_orders = frozenset(orders.unique("o_custkey"))
-    ref = ray.put(with_orders)
+    with_orders = orders.unique("o_custkey")
+    ref = ray.put(pa.array(with_orders, type=pa.int64()))
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
+        mask = pc.is_in(batch["c_custkey"], value_set=keys.cast(batch["c_custkey"].type))
+        return batch.filter(pc.invert(mask))
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     return cust.map_batches(anti, batch_format="pyarrow")

@@ -69,41 +69,67 @@ def cosine_topk(ds, probe_vec: np.ndarray, k: int = 10, id_col: str = "vec_id", 
     return cand.reset_index(drop=True)
 
 
-def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id", emb_col: str = "embedding"):
-    """All (a, b) pairs, a < b, with cosine ≥ threshold — exact.
+def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
+                   emb_col: str = "embedding", target_block_rows: int = 8192):
+    """All (a, b) pairs, a < b, with cosine ≥ threshold — exact,
+    distributed as a block-pair self-join.
 
-    The FULL normalized matrix is broadcast once (ray.put); each batch
-    matmuls its rows against it and keeps pairs (i, j) with j > i. This
-    is the exact O(N²) baseline — usable when the embedding table fits
-    a node's memory (the LSH/IVF bucketed variants are the 100 TB
-    path). Work distributes over batches; only matching pairs return.
+    The table is snapshotted into object-store blocks of
+    ``target_block_rows`` (never materialized on the driver — the
+    round-1 scale-killer), each block is normalized once by a Ray task,
+    and one task per unordered block pair (i ≤ j) matmuls the two
+    blocks and emits its qualifying pairs. The dot-product count is
+    inherently O(N²) — that is the exactness contract; what scales is
+    the decomposition: B(B+1)/2 bounded-memory tasks, results returned
+    as a Dataset via ``from_arrow_refs``. For approximate-at-scale use
+    the IVF/LSH paths instead.
+
+    Raw ``@ray.remote`` is justified here: the Dataset API cannot
+    express a blockwise self-join (every block must meet every other
+    block exactly once).
     """
     import ray
+    import ray.data as rd
 
-    full = ds.select_columns([id_col, emb_col]).to_pandas()
-    ids_all = full[id_col].to_numpy().astype(np.int64)
-    m_all = normalize_rows(np.array(full[emb_col].tolist(), dtype=np.float64))
-    order = np.argsort(ids_all)
-    ids_all, m_all = ids_all[order], m_all[order]
-    ref = ray.put((ids_all, m_all))
+    packed = ds.select_columns([id_col, emb_col]).materialize()
+    n_rows = packed.count()
+    n_blocks = max(1, -(-n_rows // target_block_rows))
+    if packed.num_blocks() != n_blocks:
+        packed = packed.repartition(n_blocks).materialize()
+    block_refs = packed.to_arrow_refs()
 
-    def pairs_batch(batch: pa.Table) -> pa.Table:
-        ids_a, m_a = ray.get(ref)
-        my_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mine = normalize_rows(_matrix(batch[emb_col]))
-        sims = mine @ m_a.T  # (batch, N)
+    @ray.remote
+    def norm_block(tbl: pa.Table):
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, normalize_rows(_matrix(tbl[emb_col]))
+
+    @ray.remote
+    def pair_block(blk_a, blk_b, same: bool):
+        ids_a, m_a = blk_a
+        ids_b, m_b = blk_b
+        sims = m_a @ m_b.T
         rows, cols = np.nonzero(sims >= threshold)
-        keep = my_ids[rows] < ids_a[cols]  # a < b, also drops self-pairs
-        rows, cols = rows[keep], cols[keep]
+        # orient every pair a < b; self-block keeps the upper triangle
+        lo = np.minimum(ids_a[rows], ids_b[cols])
+        hi = np.maximum(ids_a[rows], ids_b[cols])
+        keep = lo < hi if same else np.ones(len(rows), dtype=bool)
+        if same:  # drop the mirrored duplicate of each cross pair
+            keep &= ids_a[rows] < ids_b[cols]
         return pa.table(
             {
-                "a": pa.array(my_ids[rows], type=pa.int64()),
-                "b": pa.array(ids_a[cols], type=pa.int64()),
-                "sim": pa.array(round6(sims[rows, cols]), type=pa.float64()),
+                "a": pa.array(lo[keep], type=pa.int64()),
+                "b": pa.array(hi[keep], type=pa.int64()),
+                "sim": pa.array(round6(sims[rows[keep], cols[keep]]), type=pa.float64()),
             }
         )
 
-    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+    norm_refs = [norm_block.remote(r) for r in block_refs]
+    out_refs = [
+        pair_block.remote(norm_refs[i], norm_refs[j], i == j)
+        for i in range(len(norm_refs))
+        for j in range(i, len(norm_refs))
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 def _kmeans_centroids(m: np.ndarray, n_lists: int, seed: int, iters: int) -> np.ndarray:
