@@ -117,6 +117,30 @@ def test_mixed_shard_counts_same_session(ray_session, pages_small, tmp_path):
     assert results[0] == results[1] == results[2]
 
 
+def test_topk_docs_title_and_mode(ray_session, pages_small, tmp_path):
+    """topk_docs carries url+title (reference result shape) and honors
+    the evaluation mode (r1 ADVICE: --urls silently ignored --mode)."""
+    index_dir = str(tmp_path / "idx_title")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, lang="en", extract_from_html=True)
+    build_index(pages_small, index_dir, cfg)
+    engine = QueryEngine(index_dir)
+
+    rows = engine.topk_docs("search engine page", k=5)
+    assert rows and all(r["url"] for r in rows)
+    # generator contract: <title> is the first 4 words of the text
+    texts = pq.read_table(pages_small, columns=["text"])["text"].to_pylist()
+    for r in rows:
+        assert r["title"] == " ".join(texts[r["doc_id"]].split(" ")[:4])
+
+    rows_and = engine.topk_docs("search engine", k=5, mode="and")
+    want = engine.topk_and("search engine", k=5)
+    assert [r["doc_id"] for r in rows_and] == [d for d, _ in want]
+    rows_pruned = engine.topk_docs("search engine", k=5, mode="pruned")
+    assert [r["doc_id"] for r in rows_pruned] == [
+        d for d, _ in engine.topk_pruned("search engine", k=5)
+    ]
+
+
 def test_topk_and_is_intersection_of_topk(built_index, oracle):
     """AND mode = oracle full ranking restricted to docs containing all
     distinct query terms."""

@@ -56,7 +56,7 @@ def test_topk_docs_resolves_urls(ray_session, pages_small, tmp_path):
         assert d["score"] > 0
     # pruned path resolves to the same documents (scores approx — the
     # two paths accumulate terms in different float orders)
-    pruned = engine.topk_docs("search engine page", k=5, pruned=True)
+    pruned = engine.topk_docs("search engine page", k=5, mode="pruned")
     assert [(d["rank"], d["doc_id"], d["url"]) for d in pruned] == [
         (d["rank"], d["doc_id"], d["url"]) for d in docs
     ]

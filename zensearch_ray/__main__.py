@@ -38,7 +38,7 @@ def cmd_build(args) -> int:
         dedup_urls=args.dedup_urls,
         id_col=args.id_col,
     )
-    manifest = build_index(args.input, args.output, cfg)
+    manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
     return 0
 
@@ -49,7 +49,7 @@ def cmd_query(args) -> int:
     engine = QueryEngine(args.index)
     for q in args.query:
         if args.urls:
-            rows = engine.topk_docs(q, k=args.k, pruned=args.mode == "pruned")
+            rows = engine.topk_docs(q, k=args.k, mode=args.mode)
         else:
             fn = {
                 "exhaustive": engine.topk,
@@ -77,6 +77,10 @@ def main(argv=None) -> int:
     b.add_argument("--extract-html", action="store_true")
     b.add_argument("--dedup-urls", action="store_true")
     b.add_argument("--id-col", default=None)
+    b.add_argument(
+        "--append", action="store_true",
+        help="add the input as a new segment generation of an existing index",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -147,8 +147,10 @@ _INDEX_CFG = BuildConfig(
 def index_dir_for(sf_dir: str) -> str:
     """Deterministic per-corpus index location under the system tmp dir;
     built once, reused (the manifest marks completeness)."""
+    # v2: dense-id/title docmeta schema — new cache key so a stale
+    # round-1 index under /tmp is never reused against new readers
     key = hash64(os.path.realpath(sf_dir)) % 10**12
-    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}")
     layout = IndexLayout(d)
     if not layout.is_complete():
         build_index(_documents(sf_dir), d, _INDEX_CFG)

@@ -68,7 +68,12 @@ class _TermPostings:
         return self._decoded
 
     def max_tf_norm_bound(self) -> float:
-        return max(float(np.max(r["block_max"])) for r in self.rows)
+        # _bound_scale corrects stale block-max bounds from segments
+        # encoded under an older (smaller) avgdl — see QueryEngine.lookup
+        return max(
+            float(np.max(r["block_max"])) * r.get("_bound_scale", 1.0)
+            for r in self.rows
+        )
 
     def decode_candidates(self, cand_sorted: np.ndarray):
         """Decode only blocks whose doc-id range intersects the sorted
@@ -133,15 +138,19 @@ class QueryEngine:
 
     # -- lookup -----------------------------------------------------------
     def _part_files(self, shard: int) -> list[str]:
+        """Every generation's segment file of every sub-partition of the
+        shard (appends add generations; salting may differ per
+        generation, so all sub-partitions are probed)."""
         out = []
         for sub in range(self.salt_subs):
-            p = self.layout.posting_path(shard * self.salt_subs + sub)
-            if os.path.exists(p):
-                out.append(p)
+            out.extend(
+                self.layout.part_posting_files(shard * self.salt_subs + sub)
+            )
         return out
 
     def lookup(self, term: str) -> _TermPostings | None:
-        """term → merged postings across salt sub-partitions, or None."""
+        """term → merged postings across salt sub-partitions and append
+        generations, or None."""
         hit = self._cache.get(term, "__miss__")
         if hit != "__miss__":
             self._cache.move_to_end(term)
@@ -152,7 +161,18 @@ class QueryEngine:
             t = pq.read_table(
                 path, columns=_POSTING_COLS, filters=[("term", "==", term)]
             )
-            rows.extend(t.to_pylist())
+            if t.num_rows == 0:
+                continue
+            # stale-bound correction: a segment encoded under avgdl_0 has
+            # block_max bounds valid for avgdl_0; with the merged avgdl a
+            # doc's tf_norm can grow by at most avgdl_now/avgdl_0 (see
+            # append_index docstring), so scaling keeps pruning safe
+            meta = t.schema.metadata or {}
+            enc = float(meta.get(b"encode_avgdl", self.avgdl) or self.avgdl)
+            scale = max(1.0, self.avgdl / enc) if enc > 0 else 1.0
+            for r in t.to_pylist():
+                r["_bound_scale"] = scale
+                rows.append(r)
         result = _TermPostings(rows) if rows else None
         self._cache[term] = result
         if len(self._cache) > self._cache_cap:
@@ -233,24 +253,43 @@ class QueryEngine:
         top_ids, top_sc = topk_order(cand, scores, k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
-    def topk_docs(self, query: str, k: int = 10, pruned: bool = False) -> list[dict]:
+    def topk_docs(self, query: str, k: int = 10, mode: str = "exhaustive") -> list[dict]:
         """Ranked results resolved to documents — the reference's search
-        response shape (url + score; ``express-server/src/app/index.ts:194-197``
-        renders ranked webpages). Reads ONLY the docmeta rows of the k
-        result doc_ids via parquet predicate pushdown; the corpus never
-        loads."""
-        hits = self.topk_pruned(query, k) if pruned else self.topk(query, k)
+        response shape (url + title + score;
+        ``express-server/src/app/index.ts:194-197`` renders ranked
+        webpages with titles). ``mode``: exhaustive | pruned | and —
+        every evaluation strategy serves the same result shape (r1
+        ADVICE: --urls used to silently ignore --mode and). Reads ONLY
+        the docmeta rows of the k result doc_ids via parquet predicate
+        pushdown; the corpus never loads."""
+        fn = {
+            "exhaustive": self.topk,
+            "pruned": self.topk_pruned,
+            "and": self.topk_and,
+        }[mode]
+        hits = fn(query, k)
         if not hits:
             return []
         ids = [d for d, _ in hits]
         meta = pq.ParquetDataset(
             self.layout.docmeta_dir, filters=[("doc_id", "in", ids)]
-        ).read(columns=["doc_id", "url"])
-        url_of = dict(
-            zip(meta["doc_id"].to_pylist(), meta["url"].to_pylist())
-        )
+        ).read(columns=["doc_id", "url", "title"])
+        meta_of = {
+            d: (u, t)
+            for d, u, t in zip(
+                meta["doc_id"].to_pylist(),
+                meta["url"].to_pylist(),
+                meta["title"].to_pylist(),
+            )
+        }
         return [
-            {"rank": i + 1, "doc_id": d, "url": url_of.get(d, ""), "score": s}
+            {
+                "rank": i + 1,
+                "doc_id": d,
+                "url": meta_of.get(d, ("", ""))[0],
+                "title": meta_of.get(d, ("", ""))[1],
+                "score": s,
+            }
             for i, (d, s) in enumerate(hits)
         ]
 

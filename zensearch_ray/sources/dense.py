@@ -139,14 +139,25 @@ class DenseParquetDatasource(Datasource):
         ]
 
 
-def read_parquet_dense(paths, columns: list[str], id_name: str = "doc_id"):
+def planned_rows(frags: list[dict]) -> int:
+    """Total rows a fragment plan covers (id ceiling of the read)."""
+    return frags[-1]["offset"] + frags[-1]["num_rows"] if frags else 0
+
+
+def read_parquet_dense(paths, columns: list[str], id_name: str = "doc_id",
+                       base_offset: int = 0, frags: list[dict] | None = None):
     """Dataset over the parquet files with an appended dense ``id_name``
-    int64 column. One read task per row group (the write side already
-    targets bounded row groups, so a fragment is a bounded unit of work
-    and memory at any corpus size)."""
+    int64 column (``base_offset`` + file/row-group offset + row
+    position; a non-zero base is how index APPENDS keep new ids above
+    every existing id). One read task per row group (the write side
+    already targets bounded row groups, so a fragment is a bounded unit
+    of work and memory at any corpus size)."""
     import ray.data as rd
 
-    frags = plan_fragments(paths)
+    if frags is None:
+        frags = plan_fragments(paths)
+    if base_offset:
+        frags = [{**f, "offset": f["offset"] + base_offset} for f in frags]
     if not frags:
         schema = pa.schema(
             [pa.field(c, pa.string()) for c in columns]
@@ -156,3 +167,11 @@ def read_parquet_dense(paths, columns: list[str], id_name: str = "doc_id"):
 
     src = DenseParquetDatasource(frags, columns, id_name)
     return rd.read_datasource(src, override_num_blocks=len(frags))
+
+
+def read_parquet_dense_with_ceiling(paths, columns, id_name="doc_id", base_offset=0):
+    """(Dataset, id ceiling) — ceiling = base_offset + planned rows,
+    i.e. the first id a FUTURE append may use."""
+    frags = plan_fragments(paths)
+    ds = read_parquet_dense(paths, columns, id_name, base_offset, frags)
+    return ds, base_offset + planned_rows(frags)

@@ -48,7 +48,9 @@ class _TextExtractor(HTMLParser):
         self._stack: list[str] = []
         self._depth_extract = 0  # ancestors in EXTRACT_TAGS
         self._depth_skip = 0  # ancestors in _SKIP_TAGS
+        self._depth_title = 0  # inside <title> (reference types.go Title)
         self.tokens: list[str] = []
+        self.title_tokens: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _VOID_TAGS:
@@ -58,6 +60,8 @@ class _TextExtractor(HTMLParser):
             self._depth_extract += 1
         elif tag in _SKIP_TAGS:
             self._depth_skip += 1
+        elif tag == "title":
+            self._depth_title += 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
@@ -70,34 +74,55 @@ class _TextExtractor(HTMLParser):
                         self._depth_extract -= 1
                     elif popped in _SKIP_TAGS:
                         self._depth_skip -= 1
+                    elif popped == "title":
+                        self._depth_title -= 1
                 del self._stack[i:]
                 break
 
     def handle_data(self, data: str) -> None:
-        if self._depth_extract > 0 and self._depth_skip == 0:
+        if self._depth_title > 0:
+            self.title_tokens.extend(data.split())
+        elif self._depth_extract > 0 and self._depth_skip == 0:
             self.tokens.extend(data.split())
 
 
-def extract_text(html: bytes | str) -> str:
-    """Extract text from one HTML document under the pinned E1 spec."""
+def extract_text_and_title(html: bytes | str) -> tuple[str, str]:
+    """(body text, <title> text) of one HTML document under the pinned
+    E1 spec. The title rides the whole result path like the reference's
+    ``IndexedWebpage.Title`` (``search-engine/internal/types/types.go:3-13``,
+    rendered at ``express-server/src/app/index.ts:194-197``)."""
     if isinstance(html, (bytes, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     parser = _TextExtractor()
     parser.feed(html)
     parser.close()
-    return " ".join(parser.tokens)
+    return " ".join(parser.tokens), " ".join(parser.title_tokens)
 
 
-def extract_batch(batch: pa.Table, html_col: str = "html", out_col: str = "text") -> pa.Table:
-    """``map_batches`` body: html binary column → extracted text column.
+def extract_text(html: bytes | str) -> str:
+    """Extract text from one HTML document under the pinned E1 spec."""
+    return extract_text_and_title(html)[0]
 
-    Replaces ``out_col`` if present (used by conformance tests to
-    recompute and compare).
+
+def extract_batch(
+    batch: pa.Table,
+    html_col: str = "html",
+    out_col: str = "text",
+    title_col: str = "title",
+) -> pa.Table:
+    """``map_batches`` body: html binary column → extracted text +
+    title columns. Replaces ``out_col`` if present (used by conformance
+    tests to recompute and compare).
     """
-    texts = pa.array(
-        [extract_text(h) for h in batch[html_col].to_pylist()], type=pa.string()
-    )
+    pairs = [extract_text_and_title(h) for h in batch[html_col].to_pylist()]
+    texts = pa.array([p[0] for p in pairs], type=pa.string())
+    titles = pa.array([p[1] for p in pairs], type=pa.string())
     if out_col in batch.column_names:
         idx = batch.column_names.index(out_col)
-        return batch.set_column(idx, out_col, texts)
-    return batch.append_column(out_col, texts)
+        batch = batch.set_column(idx, out_col, texts)
+    else:
+        batch = batch.append_column(out_col, texts)
+    if title_col in batch.column_names:
+        idx = batch.column_names.index(title_col)
+        return batch.set_column(idx, title_col, titles)
+    return batch.append_column(title_col, titles)

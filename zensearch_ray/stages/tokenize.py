@@ -56,6 +56,11 @@ class TokenizeStage:
             if "url" in batch.column_names
             else pa.array([""] * len(texts), type=pa.string())
         )
+        titles = (
+            batch["title"]
+            if "title" in batch.column_names
+            else pa.array([""] * len(texts), type=pa.string())
+        )
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
         doc_lens = np.empty(len(texts), dtype=np.int64)
@@ -68,6 +73,7 @@ class TokenizeStage:
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "url": urls,
+                "title": titles,
                 "doc_len": pa.array(doc_lens, type=pa.int64()),
                 "terms": pa.array(terms_col, type=pa.list_(pa.string())),
                 "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),

@@ -45,14 +45,34 @@ class IndexLayout:
         for d in (self.root, self.docmeta_dir, self.postings_dir, self.part_manifest_dir):
             os.makedirs(d, exist_ok=True)
 
-    def posting_path(self, part: int) -> str:
-        return os.path.join(self.postings_dir, f"part={part}.parquet")
+    def posting_path(self, part: int, gen: int = 0) -> str:
+        """Segment file for (partition, generation). Generation 0 is the
+        cold build; each append adds generation g > 0 segments beside
+        the existing ones (immutable — appends never rewrite)."""
+        suffix = "" if gen == 0 else f".g{gen}"
+        return os.path.join(self.postings_dir, f"part={part}{suffix}.parquet")
 
-    def part_manifest_path(self, part: int) -> str:
-        return os.path.join(self.part_manifest_dir, f"part-{part}.json")
+    def part_posting_files(self, part: int) -> list[str]:
+        """Every committed generation's segment for one partition."""
+        import glob as _glob
+
+        out = [
+            p
+            for p in _glob.glob(os.path.join(self.postings_dir, f"part={part}.g*.parquet"))
+        ]
+        base = self.posting_path(part, 0)
+        if os.path.exists(base):
+            out.append(base)
+        return sorted(out)
+
+    def part_manifest_path(self, part: int, gen: int = 0) -> str:
+        suffix = "" if gen == 0 else f".g{gen}"
+        return os.path.join(self.part_manifest_dir, f"part-{part}{suffix}.json")
 
     # -- per-partition commit protocol ------------------------------------
-    def commit_partition(self, part: int, table_bytes: bytes, metrics: dict[str, Any]) -> None:
+    def commit_partition(
+        self, part: int, table_bytes: bytes, metrics: dict[str, Any], gen: int = 0
+    ) -> None:
         """Atomically publish one posting segment + its lineage manifest.
 
         The parquet payload is renamed into place FIRST, the manifest
@@ -60,36 +80,58 @@ class IndexLayout:
         exists, so a crash between the two renames is safe (segment
         without manifest → rebuilt and overwritten on resume).
         """
-        final = self.posting_path(part)
+        final = self.posting_path(part, gen)
         tmp = final + ".tmp"
         with open(tmp, "wb") as f:
             f.write(table_bytes)
         os.replace(tmp, final)
         _atomic_write_json(
-            self.part_manifest_path(part), {"part": part, "file": final, **metrics}
+            self.part_manifest_path(part, gen),
+            {"part": part, "gen": gen, "file": final, **metrics},
         )
 
-    def committed_parts(self) -> dict[int, dict]:
-        """part → manifest for every committed partition."""
+    def committed_parts(self, gen: int = 0) -> dict[int, dict]:
+        """part → manifest for every committed partition of one generation."""
         out: dict[int, dict] = {}
         if not os.path.isdir(self.part_manifest_dir):
             return out
         for name in os.listdir(self.part_manifest_dir):
-            if name.startswith("part-") and name.endswith(".json"):
-                with open(os.path.join(self.part_manifest_dir, name)) as f:
-                    m = json.load(f)
+            if not (name.startswith("part-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.part_manifest_dir, name)) as f:
+                m = json.load(f)
+            if int(m.get("gen", 0)) == gen:
                 out[int(m["part"])] = m
         return out
 
-    # -- pass-1 cache ------------------------------------------------------
-    def write_docstats(self, stats: dict) -> None:
-        _atomic_write_json(self.docstats_path, stats)
+    def committed_parts_all_gens(self) -> list[dict]:
+        out: list[dict] = []
+        if not os.path.isdir(self.part_manifest_dir):
+            return out
+        for name in sorted(os.listdir(self.part_manifest_dir)):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(self.part_manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
 
-    def read_docstats(self) -> dict | None:
-        if not os.path.exists(self.docstats_path):
+    # -- pass-1 cache ------------------------------------------------------
+    def _docstats_path(self, gen: int = 0) -> str:
+        return self.docstats_path if gen == 0 else f"{self.docstats_path}.g{gen}"
+
+    def write_docstats(self, stats: dict, gen: int = 0) -> None:
+        _atomic_write_json(self._docstats_path(gen), stats)
+
+    def read_docstats(self, gen: int = 0) -> dict | None:
+        path = self._docstats_path(gen)
+        if not os.path.exists(path):
             return None
-        with open(self.docstats_path) as f:
+        with open(path) as f:
             return json.load(f)
+
+    def docmeta_gen_dir(self, gen: int = 0) -> str:
+        """Docmeta files per generation (gen 0 stays flat for
+        compatibility; appends nest — ParquetDataset reads recursively)."""
+        return self.docmeta_dir if gen == 0 else os.path.join(self.docmeta_dir, f"g{gen}")
 
     # -- global manifest ---------------------------------------------------
     def write_manifest(self, manifest: dict) -> None:
