@@ -27,26 +27,44 @@ BLOCK_SIZE = 128  # postings per block-max block
 _MAX_VARINT_BYTES = 10  # 64-bit values need at most ceil(64/7) = 10 bytes
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints, vectorized.
+def _max_varint_len(vals: np.ndarray) -> int:
+    """Bytes the LARGEST value needs — caps the work matrices below.
+    With dense doc_ids most deltas are 1-2 bytes, so sizing the matrix
+    to the max (instead of the worst-case 10) cuts encode CPU ~4x
+    (measured: encode dominated in-partition build time at 1M docs)."""
+    if vals.size == 0:
+        return 1
+    m = int(vals.max())
+    return max(1, (m.bit_length() + 6) // 7)
 
-    Builds an (n, 10) byte matrix of 7-bit groups with continuation
-    bits, then flattens through a validity mask.
-    """
+
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(LEB128 blob, per-value byte lengths) in ONE pass — the emitted
+    mask is the expensive part and both outputs need it."""
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
-    n = vals.size
-    shifts = (np.arange(_MAX_VARINT_BYTES, dtype=np.uint64) * np.uint64(7))
-    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)  # (n, 10)
+        return b"", np.empty(0, dtype=np.int64)
+    width = _max_varint_len(vals)
+    if width == 1:  # all values < 128 → the bytes ARE the values
+        return vals.astype(np.uint8).tobytes(), np.ones(vals.size, dtype=np.int64)
+    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))
+    shifted = vals[:, None] >> shifts[None, :]  # (n, width)
+    groups = shifted & np.uint64(0x7F)
     # byte i is emitted iff i == 0 or vals >> 7i != 0
-    emitted = (vals[:, None] >> shifts[None, :]) != 0
+    emitted = shifted != 0
     emitted[:, 0] = True
     # continuation bit set iff a later byte is emitted
     cont = np.zeros_like(emitted)
     cont[:, :-1] = emitted[:, 1:]
     out = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
-    return out[emitted].tobytes()
+    return out[emitted].tobytes(), emitted.sum(axis=1).astype(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints, vectorized (byte
+    matrix capped at the largest value's width; see
+    ``varint_encode_with_lengths``)."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -65,8 +83,12 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
 
 
 def _varint_byte_lengths(vals: np.ndarray) -> np.ndarray:
-    """Bytes each value occupies in LEB128 (vectorized)."""
-    shifts = (np.arange(_MAX_VARINT_BYTES, dtype=np.uint64) * np.uint64(7))
+    """Bytes each value occupies in LEB128 (vectorized; matrix width
+    capped at the max value's byte length)."""
+    width = _max_varint_len(vals)
+    if width == 1:
+        return np.ones(vals.size, dtype=np.int64)
+    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))
     emitted = (vals[:, None] >> shifts[None, :]) != 0
     emitted[:, 0] = True
     return emitted.sum(axis=1).astype(np.int64)
@@ -242,10 +264,10 @@ def encode_partition(
 
     def stream(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
         """(varint blob, cumulative byte offset per value incl. end)."""
-        blob = varint_encode(vals)
+        blob, lens = varint_encode_with_lengths(vals)
         cum = np.empty(len(vals) + 1, dtype=np.int64)
         cum[0] = 0
-        np.cumsum(_varint_byte_lengths(vals), out=cum[1:])
+        np.cumsum(lens, out=cum[1:])
         return blob, cum
 
     docs_blob, doc_cum = stream(deltas)
