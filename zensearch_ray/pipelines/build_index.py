@@ -145,6 +145,13 @@ def _build_partition_fn(
     def build_partition(group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         part = int(group["part"][0].as_py())
+        # the term column arrives dictionary-encoded (shuffle-volume
+        # optimization) — decode locally, AFTER the exchange
+        tcol = group["term"]
+        if pa.types.is_dictionary(tcol.type):
+            group = group.set_column(
+                group.column_names.index("term"), "term", tcol.cast(pa.string())
+            )
         # shuffle output arrives as MANY small chunks (one per map task);
         # flatten once so every kernel below runs on contiguous arrays
         group = group.combine_chunks()
@@ -356,6 +363,7 @@ def build_index(
             "salt_subs": cfg.salt_subs,
             "heavy_ref": heavy_ref,
             "skip_parts": frozenset(committed_before.keys()),
+            "docid32": id_ceiling is not None and id_ceiling < 2**31,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
@@ -493,6 +501,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
             "salt_subs": cfg.salt_subs,
             "heavy_ref": heavy_ref,
             "skip_parts": frozenset(committed_before.keys()),
+            "docid32": id_ceiling is not None and id_ceiling < 2**31,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,

@@ -98,6 +98,7 @@ class ExplodeStage:
         salt_subs: int,
         heavy_terms=None,
         skip_parts=None,
+        docid32: bool = False,
     ):
         import ray
 
@@ -107,6 +108,7 @@ class ExplodeStage:
         self.num_shards = num_shards
         self.salt_subs = salt_subs
         self.skip_parts = frozenset(skip_parts or ())
+        self.docid32 = docid32
         # per-actor memo: term → shard (vocab is Zipfian; memoization makes
         # shard hashing amortized O(1) per term occurrence)
         self._shard_memo: dict[str, int] = {}
@@ -152,11 +154,19 @@ class ExplodeStage:
         sub = np.where(heavy_by_code[codes], rep_doc % self.salt_subs, 0)
         part = shard * self.salt_subs + sub
 
+        # shuffle-volume discipline: the exploded stream is THE exchange,
+        # so every byte matters at scale. term ships dictionary-encoded
+        # (int32 codes + per-block vocab, ~2-3x smaller than repeated
+        # strings); part is int32; doc_id drops to int32 when the BUILD
+        # guarantees ids fit (dense id_ceiling < 2^31 — the decision is
+        # per build, not per batch, so every block shares one schema).
         out = pa.table(
             {
-                "part": pa.array(part, type=pa.int64()),
-                "term": flat_terms,
-                "doc_id": pa.array(rep_doc, type=pa.int64()),
+                "part": pa.array(part.astype(np.int32)),
+                "term": dic,
+                "doc_id": pa.array(
+                    rep_doc.astype(np.int32) if self.docid32 else rep_doc
+                ),
                 "tf": pa.array(flat_tfs, type=pa.int32()),
                 "dl": pa.array(rep_dl, type=pa.int32()),
             }
@@ -192,6 +202,7 @@ def explode_batch(
     salt_subs: int,
     heavy_ref=None,
     skip_parts: frozenset | None = None,
+    docid32: bool = False,
 ) -> pa.Table:
     """Function form of ExplodeStage (stateless task pool). The heavy-term
     set is broadcast as an ObjectRef and resolved once per worker via a
@@ -213,6 +224,7 @@ def explode_batch(
     stage.num_shards = num_shards
     stage.salt_subs = salt_subs
     stage.skip_parts = frozenset(skip_parts or ())
+    stage.docid32 = docid32
     stage._shard_memo = _SHARD_MEMOS.setdefault(num_shards, {})
     return stage(batch)
 
