@@ -1,0 +1,41 @@
+"""Warm query service: result parity with the direct engine, replica
+warmness across invocations, batch fan-out ordering."""
+
+import pytest
+
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+from zensearch_ray.pipelines.service import QueryService
+
+
+@pytest.fixture(scope="module")
+def service_index(ray_session, pages_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("svc_idx"))
+    build_index(
+        pages_small, d,
+        BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en"),
+    )
+    return d
+
+
+def test_service_matches_engine_and_stays_warm(service_index):
+    engine = QueryEngine(service_index)
+    queries = ["search engine ranking", "the of and", "café straße", "data web"]
+    with QueryService(service_index, replicas=2) as svc:
+        pids_before = set(svc.replica_pids())
+        assert len(pids_before) == 2
+        for q in queries:
+            assert svc.search(q) == engine.topk(q, 10), q
+            assert svc.search(q, mode="and") == engine.topk_and(q, 10), q
+        # second round of calls hits the SAME warm replicas
+        for q in queries:
+            svc.search(q)
+        assert set(svc.replica_pids()) == pids_before
+
+        docs = svc.search("search engine", docs=True)
+        assert docs and {"rank", "doc_id", "url", "title", "score"} <= set(docs[0])
+
+        batch = svc.search_batch(queries * 3, k=5)
+        assert len(batch) == len(queries) * 3
+        for q, res in zip(queries * 3, batch):
+            assert res == engine.topk(q, 5), q

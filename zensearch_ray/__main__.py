@@ -64,6 +64,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive serving loop (reference GET /search analog): reads
+    one query per stdin line, prints one JSON result line, keeps the
+    engine replicas warm between queries."""
+    from zensearch_ray.pipelines.service import QueryService
+
+    _ensure_ray()
+    with QueryService(
+        args.index, replicas=args.replicas, k=args.k, mode=args.mode
+    ) as svc:
+        for line in sys.stdin:
+            q = line.strip()
+            if not q:
+                continue
+            rows = svc.search(q, docs=True)
+            print(json.dumps({"query": q, "results": rows}), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="zensearch_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -90,6 +109,13 @@ def main(argv=None) -> int:
     q.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
+    s.add_argument("--index", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
+    s.add_argument("--replicas", type=int, default=2)
+    s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
