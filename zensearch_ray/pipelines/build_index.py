@@ -216,36 +216,55 @@ def _build_partition_fn(
     return build_partition
 
 
+_HEAVY_SAMPLE_DOCS = 65536
+
+
 def _pass1_stats(tokenized, cfg: BuildConfig, layout: IndexLayout, fp: str,
                  gen: int = 0) -> dict:
-    """Fused pass-1 over ONE generation's corpus slice: (n_docs, Σdl,
-    heavy terms) + docmeta write. Cached per generation for resume."""
+    """Pass-1 over ONE generation's corpus slice: (n_docs, Σdl, heavy
+    terms) + docmeta write. Cached per generation for resume.
+
+    Corpus stats shuffle ONE row per batch. Heavy-term detection runs
+    on a bounded doc SAMPLE with a proportionally scaled threshold —
+    salting is a partition-layout knob (the query engine reads every
+    sub-partition of a shard), so approximate heavy sets never affect
+    results, and the full-corpus vocab-scale df shuffle (the round-1
+    design, ~0.8× the size of the posting exchange itself) disappears.
+    Below _HEAVY_SAMPLE_DOCS docs the sample IS the corpus → exact.
+    """
     stats = layout.read_docstats(gen)
     if stats is not None:
         return stats
     from zensearch_ray.functions.agg import bucketed_groupby_sum
-    from zensearch_ray.stages.tokenize import DOCSTAT_SENTINEL, stats_partials
+    from zensearch_ray.stages.tokenize import df_partials, doc_stat_partials
 
-    agg = bucketed_groupby_sum(
-        tokenized.map_batches(stats_partials, batch_format="pyarrow"),
-        keys=["term"],
-        sum_cols=["df_partial", "sum_dl"],
+    totals = tokenized.map_batches(
+        doc_stat_partials, batch_format="pyarrow"
     ).to_pandas()
-    if "term" not in agg.columns:
-        # corpus empty after filters — still commit a valid index
-        n_docs, sum_dl, heavy_terms = 0, 0, []
-        threshold = cfg.heavy_df_threshold or 64
+    n_docs = int(totals["n_docs"].sum()) if len(totals) else 0
+    sum_dl = int(totals["sum_dl"].sum()) if len(totals) else 0
+    threshold = (
+        cfg.heavy_df_threshold
+        if cfg.heavy_df_threshold is not None
+        else max(64, n_docs // 10)
+    )
+    if n_docs == 0:
+        heavy_terms = []
     else:
-        sent = agg["term"] == DOCSTAT_SENTINEL
-        n_docs = int(agg.loc[sent, "df_partial"].sum())
-        sum_dl = int(agg.loc[sent, "sum_dl"].sum())
-        threshold = (
-            cfg.heavy_df_threshold
-            if cfg.heavy_df_threshold is not None
-            else max(64, n_docs // 10)
+        sample_n = min(n_docs, _HEAVY_SAMPLE_DOCS)
+        scaled = max(1, round(threshold * sample_n / n_docs))
+        agg = bucketed_groupby_sum(
+            tokenized.limit(sample_n).map_batches(
+                df_partials, batch_format="pyarrow"
+            ),
+            keys=["term"],
+            sum_cols=["df_partial"],
         )
-        heavy_tbl = agg[~sent & (agg["df_partial"] > threshold)]
-        heavy_terms = sorted(heavy_tbl["term"].tolist())
+        heavy_tbl = agg.map_batches(
+            lambda t: t.filter(pc.greater(t["df_partial"], scaled)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        heavy_terms = sorted(heavy_tbl["term"].tolist()) if len(heavy_tbl) else []
 
     # docmeta (restart-safe: this generation's dir rewritten wholesale
     # until its docstats commits)

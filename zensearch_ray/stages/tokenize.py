@@ -248,51 +248,21 @@ def df_partials(batch: pa.Table) -> pa.Table:
     Pre-aggregation before the global df groupby (operator A2): the
     groupby then runs over |vocab|-sized partials, not corpus-sized
     rows. Used to detect df-heavy terms for salted splitting.
-    """
-    counts: dict[str, int] = {}
-    for terms in batch["terms"].to_pylist():
-        for t in terms:
-            counts[t] = counts.get(t, 0) + 1
-    return pa.table(
-        {
-            "term": pa.array(list(counts.keys()), type=pa.string()),
-            "df_partial": pa.array(list(counts.values()), type=pa.int64()),
-        }
-    )
-
-
-DOCSTAT_SENTINEL = ""  # impossible term (tokenizer never emits empty)
-
-
-def stats_partials(batch: pa.Table) -> pa.Table:
-    """Fused pass-1 partial: df partials PLUS one doc-stat row under the
-    sentinel term ("" → df_partial = n_docs, and a parallel sum_dl
-    column). One corpus execution computes A1 and A2 together — fixed
-    per-execution overhead is what limits N→4N scaling efficiency, so
-    pass-1 makes exactly one pass.
 
     Fully vectorized: per-doc ``terms`` lists are already unique (they
     are tf-histogram keys), so flatten + value_counts IS the per-batch
     document frequency — no Python loop over tokens."""
     import pyarrow.compute as pc
 
-    dl = batch["doc_len"].to_numpy(zero_copy_only=False)
     terms_col = batch["terms"]
     if isinstance(terms_col, pa.ChunkedArray):
         terms_col = terms_col.combine_chunks()
     vc = pc.value_counts(terms_col.flatten())
-    terms = pa.concat_arrays(
-        [pa.array([DOCSTAT_SENTINEL], type=pa.string()), vc.field("values").cast(pa.string())]
-    )
-    dfp = pa.concat_arrays(
-        [pa.array([len(dl)], type=pa.int64()), vc.field("counts").cast(pa.int64())]
-    )
-    sum_dl = np.zeros(len(terms), dtype=np.int64)
-    sum_dl[0] = int(dl.sum())
     return pa.table(
         {
-            "term": terms,
-            "df_partial": dfp,
-            "sum_dl": pa.array(sum_dl, type=pa.int64()),
+            "term": vc.field("values").cast(pa.string()),
+            "df_partial": vc.field("counts").cast(pa.int64()),
         }
     )
+
+
