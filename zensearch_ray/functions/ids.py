@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from hashlib import blake2b
 
-import numpy as np
-import pyarrow as pa
 
 
 def hash64(s: str | bytes) -> int:
@@ -39,10 +37,3 @@ def term_shard(term: str, num_shards: int) -> int:
     return hash64(term) % num_shards
 
 
-def hash64_array(strings: pa.Array | list[str]) -> np.ndarray:
-    """hash64 over a string column → int64 numpy array."""
-    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
-        strings = strings.to_pylist()
-    return np.fromiter(
-        (hash64(s) for s in strings), dtype=np.int64, count=len(strings)
-    )
