@@ -34,6 +34,7 @@ _TOKLIST = "list_filter(string_split(text, ' '), x -> x <> '')"
 BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 NEAR_DUP_THRESHOLD = 0.4
+N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
 
 
@@ -67,7 +68,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from zensearch_ray.pipelines import corpus, relational, windows
+    from zensearch_ray.pipelines import analytics, corpus, relational, windows
 
     def bm25(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
@@ -187,6 +188,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ivf_topk_dist(ds, probe, k=10)
 
+    def embedding_multi(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import cosine_topk_multi
+
+        probes = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_MULTI_PROBES)],
+        )
+        order = np.argsort(probes["vec_id"].to_numpy())
+        ids = probes["vec_id"].to_numpy()[order]
+        mat = np.array(probes["embedding"].to_pylist(), dtype=np.float64)[order]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return cosine_topk_multi(ds, mat, ids, k=10)
+
     def media_features(sf_dir: str):
         import ray.data as rd
 
@@ -236,6 +257,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": windows.events_asof_orders,
         "top_event_per_user": windows.top_event_per_user,
         "events_props_agg": windows.events_props_agg,
+        # analytics family (pipelines/analytics.py): distinct, range
+        # join, running windows, grouped top-N, sampling, quantiles
+        "events_user_running": analytics.events_user_running,
+        "events_range_join": analytics.events_range_join,
+        "events_daily_active": analytics.events_daily_active,
+        "top3_events_per_user": lambda sf: analytics.topn_events_per_user(sf, 3),
+        "events_sample": analytics.events_sample,
+        "lineitem_quantiles": analytics.lineitem_quantiles,
+        "embedding_multi_topk": embedding_multi,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
     }
@@ -406,6 +436,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_user_running": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_s,
+                   row_number() OVER w::BIGINT AS run_n,
+                   sum(cents) OVER w::BIGINT AS run_sum_cents
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING)
+        """,
+        "events_range_join": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+            SELECT a.event_id, count(*)::BIGINT AS n_window
+            FROM e a JOIN e b ON b.user_id = a.user_id
+                             AND b.ts_s >= a.ts_s AND b.ts_s < a.ts_s + 3600
+            GROUP BY a.event_id
+        """,
+        "events_daily_active": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   count(DISTINCT user_id)::BIGINT AS n_active
+            FROM events GROUP BY day_epoch
+        """,
+        "top3_events_per_user": """
+            SELECT user_id, rn::BIGINT AS rank, event_id, round(value, 6) AS value
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "events_sample": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE (event_id * 48271) % 65536 < 6553
+        """,
+        "lineitem_quantiles": """
+            SELECT 0.25::DOUBLE AS q, quantile_disc(l_extendedprice, 0.25) AS value
+            FROM lineitem
+            UNION ALL SELECT 0.5::DOUBLE, quantile_disc(l_extendedprice, 0.5)
+            FROM lineitem
+            UNION ALL SELECT 0.9::DOUBLE, quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem
+            UNION ALL SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99)
+            FROM lineitem
+        """,
+        "embedding_multi_topk": f"""
+            WITH probes AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+                            FROM embeddings WHERE vec_id < {N_MULTI_PROBES}),
+            sims AS (
+                SELECT p.query_id, v.vec_id,
+                       round(list_cosine_similarity(v.embedding::DOUBLE[], p.e), 6)
+                           AS sim
+                FROM embeddings v CROSS JOIN probes p
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                   vec_id, sim
+            FROM sims QUALIFY rank <= 10
         """,
     }
 

@@ -1,0 +1,299 @@
+"""Large-scale analytics operators beyond the reference's surface:
+exact distinct counting, range joins, running-window aggregates,
+grouped top-N, deterministic sampling, and exact distributed quantile
+selection. (The reference has no analytics at all — its only aggregate
+is the per-query BM25 loop, ``search-engine/main.go:127-143``; these
+are the training-pipeline operators the brief adds as first-class.)
+
+Shared scale shapes (same rationale as ``pipelines/windows.py`` /
+``functions/agg.py``):
+
+  * map-side PARTIALS before any shuffle — raw fact rows never move;
+  * ONE coarse hash-bucket shuffle co-locating each entity's rows,
+    vectorized pandas/numpy inside the bucket, never per-group Python;
+  * driver only ever sees output-sized or sample-sized data.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from zensearch_ray.functions.rounding import round6
+
+_N_BUCKETS = 64
+
+
+def _with_bucket(key_col: str):
+    def add(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((vals * np.uint64(2654435761)) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    return add
+
+
+def _epoch_seconds(series: pd.Series) -> np.ndarray:
+    return series.to_numpy().astype("datetime64[s]").astype(np.int64)
+
+
+def events_user_running(sf_dir: str):
+    """Running-window aggregate (cumulative count + cumulative exact-cents
+    value sum) per user, ordered by (ts, event_id) — the batch form of a
+    streaming per-key accumulator. One bucket shuffle; inside the bucket
+    everything is sort + groupby-cumsum, no per-group Python.
+
+    Output: one row per event — (event_id, user_id, ts_s, run_n,
+    run_sum_cents)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.assign(
+            ts_s=_epoch_seconds(group["ts"]),
+            cents=np.floor(group["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        )
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        by_user = g.groupby("user_id")
+        g["run_n"] = by_user.cumcount() + 1
+        g["run_sum_cents"] = by_user["cents"].cumsum()
+        return g[["event_id", "user_id", "ts_s", "run_n", "run_sum_cents"]].astype(
+            {"run_n": np.int64, "run_sum_cents": np.int64}
+        )
+
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def events_range_join(sf_dir: str, window_sec: int = 3600):
+    """Range (interval) join: for every event, count the SAME user's
+    events with ``ts <= other_ts < ts + window_sec`` — the probe side
+    and build side of a band join, self-joined here because the test
+    tables' only overlapping time domain is events×events. The count
+    includes the probe event itself (SQL inner-join semantics with the
+    closed lower bound), so every event emits a row.
+
+    Shape: ONE bucket shuffle on the entity key (same partitioning
+    assumption as the as-of join: one entity's rows fit one bucket
+    group). Inside the bucket the band probe is fully vectorized: key
+    factorization → composite ``(key_code << 32) | ts`` sorted array →
+    two ``searchsorted`` calls yield every probe's in-window count.
+    The joined PAIRS are never materialized — output is the aggregate,
+    so the cost is O(rows log rows) per bucket, not O(pairs)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    window = np.int64(window_sec)
+
+    def count_in_window(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group["user_id"].to_numpy().astype(np.int64)
+        codes, _ = pd.factorize(keys)
+        codes = codes.astype(np.int64)
+        ts = _epoch_seconds(group["ts"])
+        # epoch seconds fit 32 bits through 2106; guard anyway
+        if len(ts) and (ts.min() < 0 or ts.max() >= (1 << 32) - window):
+            raise ValueError("timestamps outside composite range")
+        comp = np.sort((codes << np.int64(32)) | ts)
+        lo = np.searchsorted(comp, (codes << np.int64(32)) | ts, side="left")
+        hi = np.searchsorted(comp, (codes << np.int64(32)) | (ts + window), side="left")
+        return pd.DataFrame(
+            {
+                "event_id": group["event_id"].to_numpy().astype(np.int64),
+                "n_window": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_in_window, batch_format="pandas")
+    )
+
+
+def events_daily_active(sf_dir: str):
+    """Exact count-distinct users per day, the canonical two-level
+    distinct shape: per-batch partial dedup of (day, user) pairs (the
+    shuffle carries distinct pairs, not events), bucket shuffle on
+    user (every copy of a pair lands in one bucket → bucket-local
+    dedup is globally exact), per-bucket per-day partial counts, and a
+    |days|-sized final groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = _epoch_seconds(batch["ts"])
+        day = (secs // 86400) * 86400
+        out = pd.DataFrame({"user_id": batch["user_id"], "day_epoch": day})
+        return out.drop_duplicates(ignore_index=True)
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group.drop_duplicates(["user_id", "day_epoch"])
+        out = pairs.groupby("day_epoch", as_index=False).agg(n_active=("user_id", "size"))
+        return out.astype({"n_active": np.int64})
+
+    partials = (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    return partials.groupby("day_epoch").aggregate(Sum("n_active", alias_name="n_active"))
+
+
+def topn_events_per_user(sf_dir: str, n: int = 3):
+    """Grouped top-N (N>1 generalization of ``windows.top_event_per_user``):
+    each user's N highest-value events, ties by smallest event_id, with
+    an explicit 1..N rank. Map-side head(N) partials bound the shuffle
+    to N rows per user per batch."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def headn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("user_id", as_index=False).head(n)
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        df = headn(df)
+        df = df.assign(rank=(df.groupby("user_id").cumcount() + 1).astype(np.int64))
+        df["value"] = round6(df["value"].to_numpy())
+        return df[["user_id", "rank", "event_id", "value"]]
+
+    partials = ds.map_batches(headn, batch_format="pandas")
+    return (
+        partials.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(ranked, batch_format="pandas")
+    )
+
+
+SAMPLE_MOD = 65536
+SAMPLE_MUL = 48271  # MINSTD multiplier — small enough that id*mul fits int64
+
+
+def events_sample(sf_dir: str, keep_per_65536: int = 6553):
+    """Deterministic hash sampling (~``keep_per_65536``/65536 of rows):
+    keep rows where ``(event_id * 48271) mod 65536`` falls under the
+    threshold. Map-only, no shuffle, reproducible across runs and
+    cluster sizes — the scalable alternative to ``random_sample`` when
+    a pipeline must be re-runnable (and SQL-checkable) bit-for-bit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        mask = (ids * SAMPLE_MUL) % SAMPLE_MOD < keep_per_65536
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    sample_per_block: int = 256,
+):
+    """EXACT distributed quantiles by two-scan bracketed selection —
+    never sorts or materializes the column globally.
+
+    Scan A streams per-block partials: row count + a stride sample
+    (≤ ``sample_per_block`` values/block). The sample brackets each
+    target rank with a safety margin; scan B counts rows strictly below
+    each bracket and collects only in-bracket values (a small slice of
+    the data), from which the exact k-th order statistic is read off.
+    If a bracket misses (sample skew), the margin widens ×4 and scan B
+    reruns — guaranteed to terminate at the full-range bracket.
+
+    Rank convention matches DuckDB ``quantile_disc``: 0-based index
+    ``max(ceil(q·n) - 1, 0)`` into the ascending sort.
+    Returns a pandas DataFrame (q, value), output-sized.
+    """
+
+    def part_a(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        step = max(1, math.ceil(len(v) / sample_per_block))
+        return pa.table(
+            {"n": pa.array([len(v)], type=pa.int64()),
+             "sample": pa.array([v[::step].astype(np.float64)])}
+        )
+
+    parts = ds.map_batches(part_a, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": [np.nan] * len(qs)})
+    sample = np.sort(np.concatenate([np.asarray(s) for s in parts["sample"]]))
+    m = len(sample)
+    ks = np.array([max(math.ceil(q * n) - 1, 0) for q in qs], dtype=np.int64)
+
+    margin = max(8, int(4 * math.sqrt(m)))
+    while True:
+        pos = (ks * m) // max(n, 1)
+        lo_i = np.maximum(pos - margin, 0)
+        hi_i = np.minimum(pos + margin, m - 1)
+        lo = sample[lo_i].copy()
+        hi = sample[hi_i].copy()
+        if margin >= m:  # full-range bracket — cannot miss
+            lo[:] = -np.inf
+            hi[:] = np.inf
+        def part_b(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            below = np.array([(v < l).sum() for l in lo], dtype=np.int64)
+            inbr = [v[(v >= l) & (v <= h)] for l, h in zip(lo, hi)]
+            return pa.table(
+                {
+                    "qi": pa.array(np.arange(len(lo), dtype=np.int64)),
+                    "below": pa.array(below),
+                    "inbr": pa.array(list(inbr), type=pa.list_(pa.float64())),
+                }
+            )
+
+        agg = ds.map_batches(part_b, batch_format="pyarrow").to_pandas()
+        values, ok = [], True
+        for qi, k in enumerate(ks):
+            rows = agg[agg["qi"] == qi]
+            n_below = int(rows["below"].sum())
+            inbr = np.sort(np.concatenate([np.asarray(x) for x in rows["inbr"]])) \
+                if len(rows) else np.empty(0)
+            idx = int(k) - n_below
+            if 0 <= idx < len(inbr):
+                values.append(float(inbr[idx]))
+            else:
+                ok = False
+                break
+        if ok:
+            return pd.DataFrame({"q": list(qs), "value": values})
+        margin *= 4
+
+
+def lineitem_quantiles(sf_dir: str):
+    """Exact l_extendedprice quantiles over lineitem (the widest fact
+    table) via ``exact_quantiles`` — column-pruned read, two streaming
+    scans, output-sized result."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice")

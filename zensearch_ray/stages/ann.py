@@ -69,6 +69,57 @@ def cosine_topk(ds, probe_vec: np.ndarray, k: int = 10, id_col: str = "vec_id", 
     return cand.reset_index(drop=True)
 
 
+def cosine_topk_multi(ds, probe_mat: np.ndarray, probe_ids: np.ndarray, k: int = 10,
+                      id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Batched similarity search: exact cosine top-k for EVERY row of a
+    broadcast query matrix in one streaming pass — the shape real
+    retrieval workloads use (score a query batch, not one probe).
+
+    One matmul per (data batch × all queries); per-query per-batch
+    argpartition partials, so only (n_queries × k × n_batches) rows
+    reach the driver merge. The query matrix is ``ray.put`` once.
+    """
+    import ray
+
+    qm = normalize_rows(np.asarray(probe_mat, dtype=np.float64))
+    qids = np.asarray(probe_ids, dtype=np.int64)
+    ref = ray.put((qm, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qmat, ids_q = ray.get(ref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ qmat.T  # (batch, n_queries)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        take = min(k, sims.shape[0])
+        if not take:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, n_q)
+        n_q = sims.shape[1]
+        qcol = np.repeat(ids_q, take)
+        rows = part.T.ravel()  # per query, its top-take row indices
+        return pa.table(
+            {
+                "query_id": pa.array(qcol, type=pa.int64()),
+                id_col: pa.array(ids[rows], type=pa.int64()),
+                "sim": pa.array(sims[rows, np.repeat(np.arange(n_q), take)],
+                                 type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand["sim"] = round6(cand["sim"].to_numpy())
+    cand = (
+        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cand.insert(1, "rank", (cand.groupby("query_id").cumcount() + 1).astype(np.int64))
+    return cand
+
+
 def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
                    emb_col: str = "embedding", target_block_rows: int = 8192):
     """All (a, b) pairs, a < b, with cosine ≥ threshold — exact,
