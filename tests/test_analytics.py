@@ -1,0 +1,106 @@
+"""Edge-case coverage for pipelines/analytics.py beyond the oracle
+parity suite: exact-quantile selection against a numpy referee
+(including degenerate distributions and forced bracket retries),
+multi-query ANN vs the single-probe path, and sampling determinism."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zensearch_ray.pipelines.analytics import exact_quantiles, events_sample
+from zensearch_ray.stages.ann import cosine_topk, cosine_topk_multi
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _disc_quantile(vals: np.ndarray, q: float) -> float:
+    """DuckDB quantile_disc referee: 0-based rank max(ceil(q*n)-1, 0)."""
+    s = np.sort(vals)
+    return float(s[max(math.ceil(q * len(s)) - 1, 0)])
+
+
+def _ds_of(vals: np.ndarray, n_blocks: int = 8):
+    import ray.data as rd
+
+    tables = [
+        pa.table({"x": chunk.astype(np.float64)})
+        for chunk in np.array_split(vals, n_blocks)
+    ]
+    return rd.from_arrow(tables)
+
+
+@pytest.mark.parametrize(
+    "dist",
+    [
+        "uniform",       # well-behaved
+        "zipf-dups",     # heavy duplication (brackets full of one value)
+        "constant",      # all equal
+        "two-point",     # extreme bimodal — stride samples can miss a side
+    ],
+)
+def test_exact_quantiles_matches_numpy(ray_session, dist):
+    rng = np.random.default_rng(7)
+    if dist == "uniform":
+        vals = rng.uniform(0, 1e6, size=20000)
+    elif dist == "zipf-dups":
+        vals = np.floor(rng.zipf(1.3, size=20000).clip(max=50)).astype(float)
+    elif dist == "constant":
+        vals = np.full(5000, 42.5)
+    else:
+        vals = np.where(rng.random(20000) < 0.999, 1.0, 1e9)
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99)
+    out = exact_quantiles(_ds_of(vals), "x", qs=qs)
+    want = [_disc_quantile(vals, q) for q in qs]
+    assert out["value"].tolist() == want
+
+
+def test_exact_quantiles_tiny_sample_forces_retry(ray_session):
+    # sample_per_block=1 over 64 blocks → 64-point sample for 20k rows;
+    # the initial bracket around the 0.999 rank will often miss, so the
+    # margin-widening rescan path must still land on the exact value
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 1, size=20000)
+    out = exact_quantiles(_ds_of(vals, n_blocks=64), "x", qs=(0.001, 0.999),
+                          sample_per_block=1)
+    assert out["value"].tolist() == [
+        _disc_quantile(vals, 0.001), _disc_quantile(vals, 0.999)
+    ]
+
+
+def test_exact_quantiles_single_row(ray_session):
+    out = exact_quantiles(_ds_of(np.array([3.0]), n_blocks=1), "x", qs=(0.5,))
+    assert out["value"].tolist() == [3.0]
+
+
+def test_multi_topk_consistent_with_single(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    probes = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],
+    )
+    order = np.argsort(probes["vec_id"].to_numpy())
+    ids = probes["vec_id"].to_numpy()[order]
+    mat = np.array(probes["embedding"].to_pylist(), dtype=np.float64)[order]
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    multi = cosine_topk_multi(ds, mat, ids, k=5)
+    for qi, vec in zip(ids, mat):
+        single = cosine_topk(ds, vec, k=5)
+        got = multi[multi["query_id"] == qi]
+        assert got["vec_id"].tolist() == single["vec_id"].tolist()
+        assert got["sim"].tolist() == single["sim"].tolist()
+
+
+def test_events_sample_deterministic_subset(ray_session):
+    a = events_sample(SF_DIR).to_pandas().sort_values("event_id", ignore_index=True)
+    b = events_sample(SF_DIR).to_pandas().sort_values("event_id", ignore_index=True)
+    assert a.equals(b)  # reproducible across runs
+    n_total = 1000  # sf0.001 events rows
+    # ~10% nominal rate; multiplicative hash is uniform enough for 3x bounds
+    assert 0.03 * n_total < len(a) < 0.3 * n_total
+    ids = a["event_id"].to_numpy()
+    assert ((ids * 48271) % 65536 < 6553).all()
