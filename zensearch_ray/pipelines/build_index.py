@@ -56,7 +56,9 @@ class BuildConfig:
     # only assignment, ~4x smaller delta-varint postings than hash ids);
     # Dataset sources without id_col fall back to hash64(url)
     dense_ids: bool = True
-    tokenize_batch_size: int = 2048
+    # 1024 ≤ typical block rows → map_batches never coalesces two read
+    # blocks into one task (coalescing halved map width at bench shape)
+    tokenize_batch_size: int = 1024
     tokenize_concurrency: int | tuple[int, int] | None = None
     cache_tokenized: bool = True
 
