@@ -64,6 +64,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from zensearch_ray.pipelines.compact import compact_index
+
+    _ensure_ray()
+    manifest = compact_index(args.index, args.output)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Interactive serving loop (reference GET /search analog): reads
     one query per stdin line, prints one JSON result line, keeps the
@@ -109,6 +118,14 @@ def main(argv=None) -> int:
     q.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "compact",
+        help="merge append generations into a fresh single-generation index",
+    )
+    c.add_argument("--index", required=True, help="source index (untouched)")
+    c.add_argument("--output", required=True, help="compacted index directory")
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
     s.add_argument("--index", required=True)
