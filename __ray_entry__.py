@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": simhash_pairs,
         "jaccard_topk": jaccard,
         # text analysis
+        "docs_prepared": corpus.docs_prepared,
         "token_quality": token_quality,
         "doc_fingerprint": fingerprint,
         "lang_id": lang_id,
@@ -328,6 +329,24 @@ def oracle_sql() -> dict[str, str]:
                    round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
                          / len(toks), 6) AS mean_token_len
             FROM t
+        """,
+        "docs_prepared": f"""
+            WITH kept AS (
+                SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+                FROM documents GROUP BY text
+            ),
+            q AS (
+                SELECT doc_id, {_TOKLIST} AS toks FROM kept WHERE lang = 'en'
+            ),
+            m AS (
+                SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       round(len(list_filter(toks, x ->
+                                 list_contains({_STOPLIST_SQL}, x)))::DOUBLE
+                             / len(toks), 6) AS stop_ratio
+                FROM q WHERE len(toks) > 0
+            )
+            SELECT doc_id, n_tokens, stop_ratio FROM m
+            WHERE n_tokens >= 40 AND stop_ratio <= 0.1
         """,
         "doc_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint"

@@ -1,0 +1,63 @@
+"""JSONL ingestion: a crawl dump read through sources/jsonl.py must
+build an index identical to the same records read from parquet (both
+via the Dataset-source path → hash64(url) doc ids)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+from zensearch_ray.sources.jsonl import read_pages_jsonl
+from zensearch_ray.sources.pages import generate_pages_table
+
+
+def _cfg():
+    return BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en")
+
+
+@pytest.fixture(scope="module")
+def dump(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jsonl")
+    t = generate_pages_table(200, seed=31).select(
+        ["url", "warc_ts", "html", "text", "lang"]
+    )
+    jl = str(root / "crawl.jsonl")
+    with open(jl, "w") as f:
+        for row in t.to_pylist():
+            row["extra_field"] = "dropped"  # heterogeneous crawl extras
+            row["html"] = row["html"].decode("utf-8")
+            row["warc_ts"] = row["warc_ts"].isoformat()
+            f.write(json.dumps(row) + "\n")
+    pqf = str(root / "crawl.parquet")
+    pq.write_table(t, pqf, row_group_size=64)
+    return jl, pqf
+
+
+def test_jsonl_matches_parquet_build(ray_session, dump, tmp_path):
+    import ray.data as rd
+
+    jl, pqf = dump
+    idx_j = str(tmp_path / "idx_jsonl")
+    idx_p = str(tmp_path / "idx_parquet")
+    m_j = build_index(read_pages_jsonl(jl), idx_j, _cfg())
+    m_p = build_index(rd.read_parquet(pqf), idx_p, _cfg())
+
+    assert m_j["n_docs"] == m_p["n_docs"] > 0
+    assert m_j["total_postings"] == m_p["total_postings"]
+    assert m_j["avgdl"] == m_p["avgdl"]
+    e_j, e_p = QueryEngine(idx_j), QueryEngine(idx_p)
+    for q in ["search engine ranking", "the of and"]:
+        assert e_j.topk(q, 10) == e_p.topk(q, 10), q
+
+
+def test_coerce_fills_missing_columns(ray_session):
+    from zensearch_ray.sources.jsonl import coerce_pages_batch
+
+    batch = pa.table({"url": ["http://a"], "text": ["hello"], "junk": [1]})
+    out = coerce_pages_batch(batch)
+    assert out.column_names == ["url", "warc_ts", "html", "text", "lang"]
+    assert out["warc_ts"].null_count == 1
+    assert "junk" not in out.column_names

@@ -110,6 +110,46 @@ def exact_dedup(sf_dir: str):
     return dedup_by_key(ds, "text", order_col="doc_id")
 
 
+PREP_MIN_TOKENS = 40
+PREP_MAX_STOP_RATIO = 0.1
+
+
+def docs_prepared(sf_dir: str):
+    """The composite training-data prep pipeline (the engine's stages
+    chained the way a real corpus-prep job runs them): exact content
+    dedup (keep min doc_id) → language filter → quality scoring →
+    threshold filter → (doc_id, n_tokens, stop_ratio) of the surviving
+    documents. Every stage is the already-oracle-checked operator; this
+    entry checks their COMPOSITION end-to-end against one SQL oracle.
+
+    Scale shape: dedup is the duplicate-sliver broadcast (no corpus
+    shuffle), everything after is map-only — the whole pipeline
+    streams."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from zensearch_ray.stages.dedup import dedup_by_key
+    from zensearch_ray.stages.textstats import token_quality_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    deduped = dedup_by_key(ds, "text", order_col="doc_id")
+    en = deduped.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+
+    def qual(batch: pa.Table) -> pa.Table:
+        q = token_quality_batch(batch)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], PREP_MIN_TOKENS),
+            pc.less_equal(q["stop_ratio"], PREP_MAX_STOP_RATIO),
+        )
+        return q.select(["doc_id", "n_tokens", "stop_ratio"]).filter(keep)
+
+    return en.map_batches(qual, batch_format="pyarrow")
+
+
 def lang_source_counts(sf_dir: str):
     """Filter-free rollup by (lang, source): doc counts + char sums —
     the map-side-partial + tiny-groupby aggregation shape."""
