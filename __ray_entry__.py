@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_topk": jaccard,
         # text analysis
         "docs_prepared": corpus.docs_prepared,
+        "docs_chunked": corpus.docs_chunked,
+        "lang_balanced_sample": corpus.lang_balanced_sample,
+        "bpe_token_counts": corpus.bpe_token_counts,
         "token_quality": token_quality,
         "doc_fingerprint": fingerprint,
         "lang_id": lang_id,
@@ -347,6 +350,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, stop_ratio FROM m
             WHERE n_tokens >= 40 AND stop_ratio <= 0.1
+        """,
+        "docs_chunked": f"""
+            WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            x AS (SELECT doc_id, toks, n,
+                         unnest(range(0, CAST((n-1)//50 AS BIGINT) + 1)) AS i
+                  FROM c)
+            SELECT doc_id, i::BIGINT AS chunk_id,
+                   array_to_string(
+                       toks[CAST(i*50+1 AS BIGINT):CAST((i+1)*50 AS BIGINT)], ' '
+                   ) AS chunk_text,
+                   (least((i+1)*50, n) - i*50)::BIGINT AS n_tokens
+            FROM x
+        """,
+        "lang_balanced_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY (doc_id*48271)%65536, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT
+                       AS n_bpe_tokens,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+                       AS n_ws_tokens
+            FROM documents
         """,
         "doc_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint"

@@ -183,6 +183,16 @@ def run_bench() -> dict:
     _, t = timed(lambda: relational.events_hourly(SF_DIR).count())
     results["events_hourly_sec"] = round(t, 3)
 
+    from zensearch_ray.pipelines import analytics
+    from zensearch_ray.pipelines.corpus import docs_prepared
+
+    _, t = timed(lambda: analytics.events_range_join(SF_DIR).count())
+    results["events_range_join_sec"] = round(t, 3)
+    _, t = timed(lambda: analytics.lineitem_quantiles(SF_DIR))
+    results["lineitem_quantiles_sec"] = round(t, 3)
+    _, t = timed(lambda: docs_prepared(SF_DIR).count())
+    results["docs_prepared_sec"] = round(t, 3)
+
     import pyarrow.parquet as pq
 
     probe = pq.read_table(

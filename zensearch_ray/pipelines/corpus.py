@@ -150,6 +150,112 @@ def docs_prepared(sf_dir: str):
     return en.map_batches(qual, batch_format="pyarrow")
 
 
+CHUNK_TOKENS = 50
+
+
+def docs_chunked(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS):
+    """Document chunking for training-data prep: split every document
+    into fixed-size token windows (last partial chunk kept). Map-only
+    flat explode — no shuffle; output rows carry (doc_id, chunk_id,
+    chunk_text, n_tokens). The chunk text is the canonical token
+    stream re-joined, so chunk boundaries are tokenizer-defined, not
+    byte offsets."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, texts, lens = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            for ci in range(0, (len(toks) + chunk_tokens - 1) // chunk_tokens):
+                part = toks[ci * chunk_tokens:(ci + 1) * chunk_tokens]
+                doc_ids.append(did)
+                chunk_ids.append(ci)
+                texts.append(" ".join(part))
+                lens.append(len(part))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+                "chunk_text": pa.array(texts, type=pa.string()),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def lang_balanced_sample(sf_dir: str, per_lang: int = 20):
+    """Stratified (balanced-per-group) deterministic sample: the first
+    ``per_lang`` docs of every language under a multiplicative-hash
+    order — the reproducible way to draw a balanced eval slice from a
+    skewed corpus. Same partial-top-N shape as grouped top-N: each
+    batch emits at most ``per_lang`` rows per language, the bucket
+    combine finishes the selection; reruns and cluster-size changes
+    cannot alter the sample."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def headn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=(df["doc_id"].to_numpy(np.int64) * 48271) % 65536)
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return df.groupby("lang", as_index=False).head(per_lang)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return headn(df)[["lang", "doc_id"]]
+
+    # languages are few: single-bucket final combine via constant key
+    partials = ds.map_batches(headn, batch_format="pandas")
+    return (
+        partials.map_batches(
+            lambda t: t.append_column("__one", pa.array(np.zeros(t.num_rows, np.int32))),
+            batch_format="pyarrow",
+        )
+        .groupby("__one")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_token_counts(sf_dir: str):
+    """Token counting under a BPE-ish regex pre-tokenizer (letter runs
+    | single digits | single punctuation — the GPT-2 pre-tokenizer
+    shape without the tiktoken dependency), alongside the whitespace
+    count. Compiled once per process; map-only."""
+    import re
+
+    import ray.data as rd
+
+    pat = re.compile(BPE_ISH_PATTERN)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_bpe = np.fromiter(
+            (len(pat.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        n_ws = np.fromiter(
+            (len(t.split()) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(n_bpe),
+                "n_ws_tokens": pa.array(n_ws),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
 def lang_source_counts(sf_dir: str):
     """Filter-free rollup by (lang, source): doc counts + char sums —
     the map-side-partial + tiny-groupby aggregation shape."""
