@@ -222,6 +222,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             concurrency=(1, 4),
         )
 
+    def media_frames(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from zensearch_ray.stages.multimodal import (
+            FrameSampleStage,
+            synthesize_media_table,
+        )
+
+        media = rd.from_arrow(synthesize_media_table(200, seed=42))
+        videos = media.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "video")), batch_format="pyarrow"
+        )
+        return videos.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"every_ms": 5000, "max_frames": 8},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
+        )
+
     return {
         # full-text engine (SURVEY.md §2.2/2.5/2.6/2.8)
         "doc_stats": corpus.doc_stats,
@@ -272,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_multi_topk": embedding_multi,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
+        "media_frames": media_frames,
     }
 
 

@@ -79,6 +79,100 @@ class MediaFeatureStage:
         )
 
 
+def resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize. Deterministic fake: cycles the payload bytes to a
+    w×h buffer. A real build swaps in PIL ``Image.open(...).resize``
+    (loaded per actor) — same signature, same output column."""
+    src = np.frombuffer(payload, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    return np.resize(src, w * h).tobytes()
+
+
+class ImageResizeStage:
+    """Actor-pool map_batches: image rows → fixed-size thumbnails.
+
+    Input rows in MEDIA_SCHEMA (pre-filter to kind == 'image' upstream
+    — the stage asserts, it does not silently skip); output keeps the
+    schema with payload/width/height replaced. Wide rows → run with
+    small batch_size; the codec swap point is ``__init__``.
+    """
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.w = int(width)
+        self.h = int(height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        bad = [k for k in kinds if k != "image"]
+        if bad:
+            raise ValueError(f"ImageResizeStage got kind={bad[0]!r}; filter first")
+        payloads = [
+            resize_stub(p or b"", self.w, self.h)
+            for p in batch["payload"].to_pylist()
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": batch["mime"],
+                "width": pa.array([self.w] * n, type=pa.int32()),
+                "height": pa.array([self.h] * n, type=pa.int32()),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool map_batches: video rows → sampled frame rows (flat
+    explode — one output row per sampled timestamp).
+
+    Frames at 0, every_ms, 2·every_ms, … < duration_ms, capped at
+    ``max_frames`` per video (cap logged in the output via
+    ``truncated``, never silent). The frame 'decode' is a stub slice
+    of the payload; a real build swaps in ffmpeg/pyav seek+decode per
+    actor. Output: (media_id, frame_idx, ts_ms, payload, truncated).
+    """
+
+    def __init__(self, every_ms: int = 1000, max_frames: int = 32):
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, tss, frames, trunc = [], [], [], [], []
+        for mid, kind, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video":
+                raise ValueError(f"FrameSampleStage got kind={kind!r}; filter first")
+            n_frames = max(1, -(-max(dur, 1) // self.every_ms))
+            truncated = n_frames > self.max_frames
+            n_frames = min(n_frames, self.max_frames)
+            src = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            for fi in range(n_frames):
+                ids.append(mid)
+                idxs.append(fi)
+                tss.append(fi * self.every_ms)
+                # stub frame: a deterministic 256-byte slice per index
+                start = (fi * 257) % max(len(src), 1)
+                frames.append(np.resize(src[start:], 256).tobytes())
+                trunc.append(truncated)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "ts_ms": pa.array(tss, type=pa.int32()),
+                "payload": pa.array(frames, type=pa.binary()),
+                "truncated": pa.array(trunc, type=pa.bool_()),
+            }
+        )
+
+
 def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table matching MEDIA_SCHEMA (for tests —
     no real image/audio bytes exist in this environment)."""
