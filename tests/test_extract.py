@@ -41,6 +41,43 @@ def test_extract_bytes_identity_fixture():
         assert got == want, f"extraction mismatch for {url}"
 
 
+ADVERSARIAL_HTML = [
+    '<a title="a>b">x</a>',                      # quoted '>' in attribute
+    "<div>a < b and c > d</div>",                # bare '<' in text
+    "<p>x<script>var a = '</div>'</script>y</p>",  # tag-lookalike in rawtext
+    "<title>The &lt;Title&gt;</title><div>body</div>",
+    "<!-- <div>ghost</div> --><p>real</p>",
+    "<div>unclosed <p>nested",
+    "<DIV>upper</DIV>",
+    "<br><div>after void</div><img src='x'>",
+    "<style>.a { color: red }</style><code>c1</code>",
+    "<div/>selfclose<p>t</p>",
+    "<!DOCTYPE html><html><body><p>doc</p></body></html>",
+    "<p>end</p>trailing < text",
+    "<pre>  spaced   out  </pre>",
+]
+
+
+def test_fast_path_matches_htmlparser_referee():
+    """The compiled-regex fast extractor must equal the HTMLParser
+    reference implementation byte-for-byte — on the fixture corpus and
+    on adversarial html (quoted '>', rawtext script bodies, bare '<',
+    comments, malformed nesting)."""
+    from zensearch_ray.stages.extract import (
+        extract_text_and_title,
+        extract_text_and_title_reference,
+    )
+
+    for seed in (7, 42):
+        t = generate_pages_table(n_rows=200, seed=seed)
+        for h in t["html"].to_pylist():
+            assert extract_text_and_title(h) == extract_text_and_title_reference(h)
+    for case in ADVERSARIAL_HTML:
+        assert extract_text_and_title(case) == extract_text_and_title_reference(
+            case
+        ), case
+
+
 def test_generator_deterministic(tmp_path):
     t1 = generate_pages_table(n_rows=50, seed=42)
     t2 = generate_pages_table(n_rows=50, seed=42)
