@@ -99,6 +99,7 @@ class ExplodeStage:
         heavy_terms=None,
         skip_parts=None,
         docid32: bool = False,
+        emit_dl: bool = True,
     ):
         import ray
 
@@ -109,6 +110,7 @@ class ExplodeStage:
         self.salt_subs = salt_subs
         self.skip_parts = frozenset(skip_parts or ())
         self.docid32 = docid32
+        self.emit_dl = emit_dl
         # per-actor memo: term → shard (vocab is Zipfian; memoization makes
         # shard hashing amortized O(1) per term occurrence)
         self._shard_memo: dict[str, int] = {}
@@ -139,7 +141,6 @@ class ExplodeStage:
         flat_terms = terms_col.flatten()  # zero-copy string array
         flat_tfs = np.asarray(tfs_col.flatten(), dtype=np.int32)
         rep_doc = np.repeat(doc_ids, lens)
-        rep_dl = np.repeat(doc_lens, lens).astype(np.int32)
 
         dic = flat_terms.dictionary_encode()
         codes = np.asarray(dic.indices, dtype=np.int64)
@@ -159,18 +160,20 @@ class ExplodeStage:
         # (int32 codes + per-block vocab, ~2-3x smaller than repeated
         # strings); part is int32; doc_id drops to int32 when the BUILD
         # guarantees ids fit (dense id_ceiling < 2^31 — the decision is
-        # per build, not per batch, so every block shares one schema).
-        out = pa.table(
-            {
-                "part": pa.array(part.astype(np.int32)),
-                "term": dic,
-                "doc_id": pa.array(
-                    rep_doc.astype(np.int32) if self.docid32 else rep_doc
-                ),
-                "tf": pa.array(flat_tfs, type=pa.int32()),
-                "dl": pa.array(rep_dl, type=pa.int32()),
-            }
-        )
+        # per build, not per batch, so every block shares one schema);
+        # dl is DROPPED entirely when the build broadcasts the dense
+        # doc_id→dl array instead (emit_dl=False — see build_index).
+        cols = {
+            "part": pa.array(part.astype(np.int32)),
+            "term": dic,
+            "doc_id": pa.array(
+                rep_doc.astype(np.int32) if self.docid32 else rep_doc
+            ),
+            "tf": pa.array(flat_tfs, type=pa.int32()),
+        }
+        if self.emit_dl:
+            cols["dl"] = pa.array(np.repeat(doc_lens, lens).astype(np.int32))
+        out = pa.table(cols)
         if self.skip_parts:
             keep = ~np.isin(part, np.fromiter(self.skip_parts, dtype=np.int64))
             out = out.filter(pa.array(keep))
@@ -203,6 +206,7 @@ def explode_batch(
     heavy_ref=None,
     skip_parts: frozenset | None = None,
     docid32: bool = False,
+    emit_dl: bool = True,
 ) -> pa.Table:
     """Function form of ExplodeStage (stateless task pool). The heavy-term
     set is broadcast as an ObjectRef and resolved once per worker via a
@@ -225,6 +229,7 @@ def explode_batch(
     stage.salt_subs = salt_subs
     stage.skip_parts = frozenset(skip_parts or ())
     stage.docid32 = docid32
+    stage.emit_dl = emit_dl
     stage._shard_memo = _SHARD_MEMOS.setdefault(num_shards, {})
     return stage(batch)
 
