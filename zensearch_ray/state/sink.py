@@ -1,0 +1,114 @@
+"""Resumable partitioned parquet sink — the generic-output analog of
+the index build's per-partition commit protocol (and the brief's
+"resumable output" requirement: one file per key-range partition,
+atomic commit, failed runs skip finished partitions; never one giant
+file).
+
+Plan: rows are hash-bucketed by a key column into ``n_partitions``
+stable partitions; completed partitions (marker present) are filtered
+out MAP-SIDE, before the shuffle, so a resume only moves the missing
+partitions' rows; each partition writes atomically (tmp + rename,
+marker last). Rerunning after a crash converges to the complete output
+without rewriting finished files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from zensearch_ray.functions.ids import hash64
+
+_MARKER_DIR = "_partitions"
+
+
+def _part_of(col, n_partitions: int) -> np.ndarray:
+    t = col.type
+    if pa.types.is_integer(t):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ((vals * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(
+            np.int32
+        )
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    dic = arr.dictionary_encode()
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    by_code = np.fromiter(
+        (hash64(s) % n_partitions for s in dic.dictionary.to_pylist()),
+        dtype=np.int32,
+        count=len(dic.dictionary),
+    )
+    return by_code[codes]
+
+
+def _marker_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, _MARKER_DIR, f"part-{part:05d}.json")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, _MARKER_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    return {
+        int(name[5:10])
+        for name in os.listdir(mdir)
+        if name.startswith("part-") and name.endswith(".json")
+    }
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    key_col: str,
+    n_partitions: int = 64,
+    skip_existing: bool = True,
+) -> dict:
+    """Write ``ds`` as ``out_dir/part-NNNNN.parquet`` hash-partitioned
+    by ``key_col``. Returns {written, skipped, rows} counts. Rerun to
+    resume — completed partitions are dropped before the shuffle."""
+    os.makedirs(os.path.join(out_dir, _MARKER_DIR), exist_ok=True)
+    done = completed_partitions(out_dir) if skip_existing else set()
+    done_arr = np.zeros(n_partitions, dtype=bool)
+    for p in done:
+        if p < n_partitions:
+            done_arr[p] = True
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        parts = _part_of(batch[key_col], n_partitions)
+        out = batch.append_column("__part", pa.array(parts))
+        if done_arr.any():
+            out = out.filter(pa.array(~done_arr[parts]))
+        return out
+
+    def write_one(group: pa.Table) -> pa.Table:
+        part = int(group["__part"][0].as_py())
+        body = group.drop_columns(["__part"])
+        final = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(body, tmp, compression="zstd")
+        os.replace(tmp, final)  # data first, marker last (commit point)
+        marker = _marker_path(out_dir, part)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"part": part, "rows": body.num_rows}, f)
+        os.replace(marker + ".tmp", marker)
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int64()),
+                "rows": pa.array([body.num_rows], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(tag_and_filter, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_one, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "written": int(len(stats)),
+        "skipped": len(done),
+        "rows": int(stats["rows"].sum()) if len(stats) else 0,
+    }
