@@ -68,7 +68,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from zensearch_ray.pipelines import analytics, corpus, relational, windows
+    from zensearch_ray.pipelines import analytics, corpus, joins, relational, windows
 
     def bm25(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
@@ -283,7 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics family (pipelines/analytics.py): distinct, range
         # join, running windows, grouped top-N, sampling, quantiles
         "events_user_running": analytics.events_user_running,
+        "events_lag": analytics.events_lag,
         "events_range_join": analytics.events_range_join,
+        # co-partitioned fact×fact shuffle join (pipelines/joins.py)
+        "order_lineitem_join": joins.order_lineitem_join,
         "events_daily_active": analytics.events_daily_active,
         "top3_events_per_user": lambda sf: analytics.topn_events_per_user(sf, 3),
         "events_sample": analytics.events_sample,
@@ -507,6 +510,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    sum(regexp_extract(props, '"k": (\d+)', 1)::BIGINT)::BIGINT AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "events_lag": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                       FROM events)
+            SELECT event_id, user_id, ts_s,
+                   COALESCE(ts_s - LAG(ts_s) OVER w, -1)::BIGINT AS gap_s,
+                   COALESCE(LAG(event_id) OVER w, -1)::BIGINT AS prev_event_id
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderkey, o_orderpriority,
+                   l_linenumber::BIGINT AS l_linenumber,
+                   round(l_extendedprice, 6) AS price
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         """,
         "events_user_running": """
             WITH e AS (SELECT event_id, user_id,

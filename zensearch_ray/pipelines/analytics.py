@@ -74,6 +74,38 @@ def events_user_running(sf_dir: str):
     )
 
 
+def events_lag(sf_dir: str):
+    """LAG/LEAD window family: for every event, the gap in seconds to
+    the SAME user's previous event in (ts, event_id) order, and the
+    previous event's id — −1 / NULL-free sentinel for a user's first
+    event so the column stays int64. Same one-bucket-shuffle shape as
+    ``events_user_running``; inside the bucket lag is a vectorized
+    ``groupby(...).shift`` over the sorted frame.
+
+    Output: one row per event — (event_id, user_id, ts_s, gap_s,
+    prev_event_id)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def lagged(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.assign(ts_s=_epoch_seconds(group["ts"]))
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        by_user = g.groupby("user_id")
+        prev_ts = by_user["ts_s"].shift()
+        g["gap_s"] = (g["ts_s"] - prev_ts).fillna(-1).astype(np.int64)
+        g["prev_event_id"] = by_user["event_id"].shift().fillna(-1).astype(np.int64)
+        return g[["event_id", "user_id", "ts_s", "gap_s", "prev_event_id"]]
+
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lagged, batch_format="pandas")
+    )
+
+
 def events_range_join(sf_dir: str, window_sec: int = 3600):
     """Range (interval) join: for every event, count the SAME user's
     events with ``ts <= other_ts < ts + window_sec`` — the probe side
