@@ -69,6 +69,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from zensearch_ray.pipelines import analytics, corpus, joins, relational, windows
+    from zensearch_ray.stages import sketch
 
     def bm25(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
@@ -288,6 +289,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitioned fact×fact shuffle join (pipelines/joins.py)
         "order_lineitem_join": joins.order_lineitem_join,
         "events_daily_active": analytics.events_daily_active,
+        # HLL sketch twin of events_daily_active: constant exchange
+        # volume per group (2^p-byte registers), ~1.6% std error —
+        # approximate by design, so no value-hash oracle (rows-only
+        # driver check; accuracy asserted vs exact in test_sketch.py)
+        "events_daily_active_hll": sketch.events_daily_active_hll,
         "top3_events_per_user": lambda sf: analytics.topn_events_per_user(sf, 3),
         "events_sample": analytics.events_sample,
         "lineitem_quantiles": analytics.lineitem_quantiles,

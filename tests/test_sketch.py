@@ -1,0 +1,85 @@
+"""HLL sketch: merge identities are exact, estimates hit the
+published error bound against exact distinct counts."""
+
+import numpy as np
+import pytest
+
+from zensearch_ray.stages.sketch import (
+    events_daily_active_hll,
+    hll_count_distinct,
+    hll_estimate,
+    hll_partial,
+)
+
+P = 12
+M = 1 << P
+
+
+def test_partial_shape_and_determinism():
+    v = np.arange(1000, dtype=np.int64)
+    r1, r2 = hll_partial(v, P), hll_partial(np.flip(v), P)
+    assert r1.shape == (M,) and r1.dtype == np.uint8
+    # order-insensitive (max is commutative) and deterministic
+    assert np.array_equal(r1, r2)
+    assert np.array_equal(hll_partial(np.array([], dtype=np.int64), P), np.zeros(M))
+
+
+def test_merge_of_parts_equals_whole():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 62, size=50_000, dtype=np.int64)
+    whole = hll_partial(vals, P)
+    parts = [hll_partial(c, P) for c in np.array_split(vals, 7)]
+    assert np.array_equal(np.maximum.reduce(parts), whole)
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_estimate_error_bound(n):
+    rng = np.random.default_rng(n)
+    vals = rng.integers(0, 1 << 62, size=n * 3, dtype=np.int64) % (n * 10)
+    exact = len(np.unique(vals))
+    est = hll_estimate(hll_partial(vals, P))
+    # std err ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 4 sigma
+    assert abs(est - exact) / exact < 0.065, (est, exact)
+
+
+def test_grouped_vs_exact(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        events_daily_active_hll(sf)
+        .to_pandas()
+        .sort_values("day_epoch")
+        .reset_index(drop=True)
+    )
+    exact = duckdb.sql(
+        f"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   count(DISTINCT user_id)::BIGINT AS n
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(got["day_epoch"]) == list(exact["day_epoch"])
+    rel = np.abs(got["n_active_approx"].to_numpy() - exact["n"].to_numpy()) / np.maximum(
+        exact["n"].to_numpy(), 1
+    )
+    assert rel.max() < 0.065, rel.max()
+
+
+def test_generic_grouped_api(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, size=20_000),
+            "v": rng.integers(0, 3_000, size=20_000),
+        }
+    )
+    got = (
+        hll_count_distinct(rd.from_pandas(df), "g", "v", p=P)
+        .to_pandas()
+        .sort_values("g")
+    )
+    exact = df.groupby("g")["v"].nunique()
+    for _, row in got.iterrows():
+        assert abs(row["n_approx"] - exact[row["g"]]) / exact[row["g"]] < 0.065

@@ -1,0 +1,137 @@
+"""Mergeable sketches: HyperLogLog approximate count-distinct.
+
+The exact distinct operator (`analytics.events_daily_active`) must
+ship one row per distinct (key, value) pair through its exchange —
+at 100 TB a high-cardinality column makes that exchange the job. The
+HLL path ships a FIXED 2^p-byte register array per (group, batch)
+instead, and register merge is an elementwise max — associative,
+commutative, idempotent — so partials combine in any order and the
+exchange volume is constant in the number of distinct values
+(Flajolet et al. 2007, the standard bias-corrected estimator with
+the small-range linear-counting correction).
+
+Shape: per input batch, one register array per group key present in
+the batch (map-side partial, vectorized `np.maximum.at`); ONE tiny
+groupby over (n_groups × n_batches) register rows merges with a
+stacked `np.maximum.reduce` and estimates. Raw rows never shuffle.
+
+Accuracy: std error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%). rho uses a
+float64 ``frexp`` bit-length; values within rounding distance of a
+power of two can mis-rank rho by one with probability ~2^-42 — far
+inside the sketch's error budget and deterministic across partials,
+so merge identities still hold exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_REG_COL = "__hll_regs"
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Finalizer-quality 64-bit avalanche (dense ids → uniform bits)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_partial(values: np.ndarray, p: int) -> np.ndarray:
+    """One register array (uint8, length 2^p) for a value slice."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    h = _splitmix64(values.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # bit_length via frexp exponent (0 for w == 0)
+    bl = np.frexp(w.astype(np.float64))[1]
+    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected harmonic-mean estimate + linear counting."""
+    m = float(regs.size)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_count_distinct(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate count-distinct of ``value_col`` per ``group_col``
+    (int64 values). Output: (group_col, n_approx:int64), one row per
+    group. Exchange volume: 2^p bytes × groups-per-batch × batches.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        bounds = np.append(starts, len(keys))
+        regs = [
+            hll_partial(vals[bounds[i] : bounds[i + 1]], p).tobytes()
+            for i in range(len(uniq))
+        ]
+        return pa.table(
+            {
+                group_col: pa.array(uniq),
+                _REG_COL: pa.array(regs, type=pa.binary()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in group[_REG_COL]]
+        )
+        merged = np.maximum.reduce(stacked)
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "n_approx": np.int64(hll_estimate(merged)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def events_daily_active_hll(sf_dir: str, p: int = 12):
+    """Approximate daily-active-users — the sketch twin of the exact
+    ``analytics.events_daily_active`` (rows-only driver check: the
+    estimate is within ~1.6% of exact, asserted against the exact
+    operator in tests, but has no value-hash oracle by design).
+
+    Output: (day_epoch, n_active_approx)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("s")
+        ).cast(pa.int64())
+        return pa.table({"day_epoch": day, "user_id": batch["user_id"]})
+
+    out = hll_count_distinct(
+        ds.map_batches(add_day, batch_format="pyarrow"), "day_epoch", "user_id", p
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["day_epoch", "n_active_approx"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
