@@ -69,7 +69,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from zensearch_ray.pipelines import analytics, corpus, joins, relational, windows
-    from zensearch_ray.stages import sketch
+    from zensearch_ray.stages import bloom, sketch
 
     def bm25(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10)
@@ -288,6 +288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": analytics.events_range_join,
         # co-partitioned fact×fact shuffle join (pipelines/joins.py)
         "order_lineitem_join": joins.order_lineitem_join,
+        # bloom-pruned exact semi/anti joins (stages/bloom.py): the
+        # scale path when the build-side key set is too big to
+        # broadcast exactly — results are exact (fp re-verified), so
+        # both carry full SQL oracles
+        "parts_ordered_heavy": lambda sf: bloom.parts_ordered_heavy(sf, anti=False),
+        "parts_never_ordered_heavy": lambda sf: bloom.parts_ordered_heavy(sf, anti=True),
         "events_daily_active": analytics.events_daily_active,
         # HLL sketch twin of events_daily_active: constant exchange
         # volume per group (2^p-byte registers), ~1.6% std error —
@@ -455,6 +461,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "parts_ordered_heavy": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            WHERE p_partkey IN
+                (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        """,
+        "parts_never_ordered_heavy": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            WHERE p_partkey NOT IN
+                (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
         """,
         "orders_per_nation": """
             SELECT n.n_name,

@@ -193,3 +193,72 @@ def order_lineitem_join(sf_dir: str):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def hash_semi_join(
+    left,
+    on: str,
+    right,
+    right_on: str | None = None,
+    *,
+    anti: bool = False,
+    n_buckets: int = 64,
+):
+    """Co-partitioned SEMI (``anti=False``) / ANTI (``anti=True``)
+    join: left rows with (without) at least one matching key on the
+    right. Output = left rows, left schema, each row at most once —
+    duplicate right keys never duplicate output (unlike an inner join
+    against a non-distinct right side).
+
+    Same one-exchange shape as ``hash_join``, but the right side ships
+    ONLY its key column, pre-deduplicated per batch map-side, so the
+    exchange carries left rows + (at most) one key row per (batch,
+    distinct key) — the slimmest exact form of "x IN (SELECT ...)".
+    Serves as the exact-verify stage of ``stages/bloom.bloom_semi_join``.
+    """
+    right_on = right_on or on
+    lschema = left.schema()
+    ltypes = {n: _arrow_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(right.schema().names, right.schema().types)}
+    if ltypes[on] != rtypes[right_on]:
+        raise ValueError(
+            f"join key types differ: {on}={ltypes[on]} vs {right_on}={rtypes[right_on]}"
+        )
+    lcols = [n for n in lschema.names if n != on]
+    out_schema = pa.schema(
+        [pa.field(on, ltypes[on])] + [pa.field(n, ltypes[n]) for n in lcols]
+    )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch[right_on])
+        n = len(keys)
+        cols = {_KEY: keys, _SIDE: pa.nulls(n, pa.int8()).fill_null(1)}
+        for name in lcols:
+            cols[name] = pa.nulls(n, ltypes[name])
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        _tag_side(on, 0, lcols, []), batch_format="pyarrow"
+    ).union(right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET, pa.array(_bucket_of(batch[_KEY], n_buckets))
+        )
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        side = group[_SIDE]
+        lt = group.filter(pc.equal(side, 0)).select([_KEY] + lcols)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        rkeys = pc.unique(group.filter(pc.equal(side, 1))[_KEY])
+        mask = pc.is_in(lt[_KEY], value_set=rkeys)
+        if anti:
+            mask = pc.invert(mask)
+        return lt.filter(mask).rename_columns([on] + lcols)
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(filter_bucket, batch_format="pyarrow")
+    )
