@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by design, so no value-hash oracle (rows-only
         # driver check; accuracy asserted vs exact in test_sketch.py)
         "events_daily_active_hll": sketch.events_daily_active_hll,
+        # two-phase exact heavy hitters: bounded candidate exchange
+        # (pigeonhole bound), exact verified counts → full SQL oracle
+        "heavy_terms": sketch.heavy_terms,
         "top3_events_per_user": lambda sf: analytics.topn_events_per_user(sf, 3),
         "events_sample": analytics.events_sample,
         "lineitem_quantiles": analytics.lineitem_quantiles,
@@ -461,6 +464,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "heavy_terms": f"""
+            WITH t AS ({_TOKS}), n AS (SELECT count(*)::DOUBLE AS c FROM t)
+            SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY term
+            HAVING count(*) > (SELECT c FROM n) / 100.0
         """,
         "parts_ordered_heavy": """
             SELECT p_partkey, p_name, p_retailprice FROM part

@@ -83,3 +83,49 @@ def test_generic_grouped_api(ray_session):
     exact = df.groupby("g")["v"].nunique()
     for _, row in got.iterrows():
         assert abs(row["n_approx"] - exact[row["g"]]) / exact[row["g"]] < 0.065
+
+
+def test_heavy_hitters_exact_vs_counter(ray_session):
+    """Candidate superset + exact verify must equal brute-force counts,
+    including with a skew item split across many blocks."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from zensearch_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: a few heavy values + a long uniform tail
+    vals = np.concatenate(
+        [np.repeat([1, 2, 3], [4000, 2500, 900]), rng.integers(100, 5000, 30_000)]
+    )
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    k = 50
+
+    def values_of(batch):
+        return [str(x) for x in batch["v"].to_pylist()]
+
+    got = (
+        heavy_hitters(rd.from_pandas(df).repartition(8), values_of, k=k)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    c = Counter(str(x) for x in vals)
+    n = len(vals)
+    want = sorted((t, v) for t, v in c.items() if v * k > n)
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert len(want) >= 3  # the planted heavies survived
+
+
+def test_heavy_hitters_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from zensearch_ray.stages.sketch import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"v": pd.array([], dtype="int64")}))
+    out = heavy_hitters(ds, lambda b: [str(x) for x in b["v"].to_pylist()], 10)
+    assert out.count() == 0

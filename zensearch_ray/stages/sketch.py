@@ -135,3 +135,102 @@ def events_daily_active_hll(sf_dir: str, p: int = 12):
         return batch.rename_columns(["day_epoch", "n_active_approx"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, values_of, k: int = 100):
+    """EXACT global heavy hitters: all values whose total count exceeds
+    n/k (n = stream length), with exact counts — two bounded-exchange
+    streaming passes instead of a full groupby over every distinct
+    value.
+
+    Pass 1 (candidates): per batch, any value with batch count
+    > n_batch/k — by pigeonhole, a value with GLOBAL count > n/k must
+    exceed the per-batch threshold in at least one batch, so the union
+    of per-batch candidates is a superset of the true heavy hitters
+    (the deterministic candidate bound behind Misra-Gries / mergeable
+    frequency summaries, Agarwal et al. 2012). At most k candidate
+    rows + one total-count row leave each batch, so the driver folds
+    O(k × n_batches) tiny rows — never a value-cardinality exchange.
+
+    Pass 2 (exact verify): candidate set broadcast via ``ray.put``;
+    each batch emits candidate-only partial counts (Counter restricted
+    to the broadcast set), a |candidates|-sized groupby sums them, and
+    the strict > n/k filter runs on exact totals. Output is exact, so
+    the driver entry carries a full SQL oracle.
+
+    Two scans of the input (same trade-off as the bracketed
+    exact-quantile operator in ``pipelines/analytics.py``): at scale,
+    two column-pruned scans beat shuffling one row per distinct value.
+
+    ``values_of(batch) -> list``: extracts the value stream from a
+    batch (e.g. tokenized terms).
+    """
+    from collections import Counter
+
+    import ray
+    import pyarrow.compute as pc
+
+    def candidates_partial(batch: pa.Table) -> pa.Table:
+        vals = values_of(batch)
+        c = Counter(vals)
+        n_b = len(vals)
+        cand = [t for t, v in c.items() if v * k > n_b]
+        return pa.table(
+            {
+                "term": pa.array(cand + [None], type=pa.string()),
+                "cnt": pa.array([0] * len(cand) + [n_b], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(candidates_partial, batch_format="pyarrow").take_all()
+    n_total = sum(r["cnt"] for r in rows if r["term"] is None)
+    cand_set = {r["term"] for r in rows if r["term"] is not None}
+    if not cand_set or n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"term": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+        )
+    ref = ray.put(frozenset(cand_set))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        c = Counter(v for v in values_of(batch) if v in cands)
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def heavy_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(pc.multiply(batch["cnt"], k), n_total))
+
+    return totals.map_batches(heavy_only, batch_format="pyarrow")
+
+
+def heavy_terms(sf_dir: str, k: int = 100):
+    """Driver entry: terms covering > 1/k of all token occurrences in
+    ``documents`` — the exact, guaranteed form of the sampled
+    heavy-term detection the index build uses for salted shard
+    splitting (build_index.py). Output: (term, cnt)."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def terms_of(batch: pa.Table):
+        out = []
+        for text in batch["text"].to_pylist():
+            out.extend(tokenize(text))
+        return out
+
+    return heavy_hitters(ds, terms_of, k=k)
