@@ -33,6 +33,8 @@ _TOKLIST = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
+PHRASE_QUERY = "hash join"
+_PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -79,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
+
+    def phrase(sf_dir: str):
+        return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
@@ -251,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25,
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
+        "phrase_topk": phrase,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -336,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
         "bm25_topk_and": _bm25_and_sql(),
+        "phrase_topk": _phrase_sql(),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
@@ -619,6 +626,48 @@ def oracle_sql() -> dict[str, str]:
             FROM sims QUALIFY rank <= 10
         """,
     }
+
+
+def _phrase_sql() -> str:
+    """Exact-phrase oracle: conjunctive-BM25 scoring (same k1/b/idf as
+    ``_bm25_and_sql``), restricted to documents whose space-joined
+    token text contains the phrase as a contiguous token run —
+    expressible in SQL because ``documents.text`` is single-space-
+    separated tokens, so '% hash join %' over ' '||text||' ' is an
+    exact token-sequence match."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_PHRASE_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        phrased AS (
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% {PHRASE_QUERY} %'
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            WHERE tf.doc_id IN (SELECT doc_id FROM phrased)
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
 
 
 def _bm25_and_sql() -> str:

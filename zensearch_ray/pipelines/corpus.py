@@ -18,6 +18,7 @@ import pyarrow as pa
 from ray.data.aggregate import Sum
 
 from zensearch_ray.functions.ids import hash64
+from zensearch_ray.functions.text import tokenize
 from zensearch_ray.functions.rounding import round6
 from zensearch_ray.pipelines.build_index import BuildConfig, build_index
 from zensearch_ray.pipelines.query import QueryEngine
@@ -322,5 +323,58 @@ def bm25_topk(
             "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
             "doc_id": [d for d, _ in hits],
             "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
+def phrase_topk(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
+    """Exact-phrase BM25 top-k — candidates from the posting-list
+    INTERSECTION (conjunctive semantics: a phrase match must contain
+    every term), verified by exact token-sequence match, ranked by the
+    same BM25 sum as ``bm25_topk``.
+
+    The index stores no positions (the reference's doesn't either:
+    zensearch's schema is term→(doc,tf) only,
+    database/src/database.ts:16-91), so phrase verification reads the
+    candidate documents' text — a predicate-pushdown scan filtered to
+    the candidate doc_ids, with the sequence check running ONLY on
+    conjunctive candidates (a small fraction of the corpus; exact for
+    this corpus because `documents.text` is verified
+    single-space-separated tokens). Columns: (rank, doc_id, score).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    engine = QueryEngine(index_dir_for(sf_dir))
+    hits = engine.topk_and(phrase, k=1 << 62)  # ALL intersection docs
+    if not hits:
+        return pd.DataFrame(
+            {"rank": pd.array([], dtype="int64"),
+             "doc_id": pd.array([], dtype="int64"),
+             "score": pd.array([], dtype="float64")}
+        )
+    cand_ids = pa.array([d for d, _ in hits], type=pa.int64())
+    ref = ray.put(cand_ids)
+    needle = f" {' '.join(tokenize(phrase))} "
+
+    def verify(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"], value_set=ray.get(ref))
+        cand = batch.filter(mask)
+        keep = [
+            i for i, t in enumerate(cand["text"].to_pylist())
+            if needle in f" {t} "
+        ]
+        return cand.take(pa.array(keep, type=pa.int64())).select(["doc_id"])
+
+    verified = set(
+        _documents(sf_dir).map_batches(verify, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+    )
+    kept = [(d, s) for d, s in hits if d in verified][:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in kept], dtype=np.float64),
         }
     )
