@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def phrase(sf_dir: str):
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
+    def phrase_pos(sf_dir: str):
+        # positional-index path: same oracle, zero corpus access at
+        # query time (only the phrase terms' postings + positions)
+        return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10, positional=True)
+
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -257,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
         "phrase_topk": phrase,
+        "phrase_topk_pos": phrase_pos,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -343,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_pruned": _bm25_sql(),
         "bm25_topk_and": _bm25_and_sql(),
         "phrase_topk": _phrase_sql(),
+        "phrase_topk_pos": _phrase_sql(),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),

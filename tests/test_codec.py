@@ -79,3 +79,54 @@ def test_posting_roundtrip_and_blockmax():
         lo, hi = bi * 128, min((bi + 1) * 128, n)
         assert float(block_max[bi]) >= norms[lo:hi].max()
         assert block_last[bi] == doc_ids[hi - 1]
+
+
+def test_positions_partition_roundtrip():
+    """encode_partition(flat_positions=...) → decode_positions: exact
+    per-(term, doc) position recovery, incl. single-token docs and
+    restart boundaries at every posting."""
+    from zensearch_ray.functions.codec import decode_positions, encode_partition
+
+    rng = np.random.default_rng(7)
+    params = BM25Params()
+    rows = []  # (term_idx, doc_id, positions)
+    for ti in range(5):
+        docs = np.sort(rng.choice(5000, size=int(rng.integers(1, 400)), replace=False))
+        for d in docs:
+            tf = int(rng.integers(1, 8))
+            rows.append((ti, int(d), np.sort(rng.choice(2000, size=tf, replace=False))))
+    doc_ids = np.array([r[1] for r in rows], dtype=np.int64)
+    tfs = np.array([len(r[2]) for r in rows], dtype=np.int64)
+    dls = np.full(len(rows), 50, dtype=np.int64)
+    term_idx = np.array([r[0] for r in rows])
+    starts = np.flatnonzero(np.concatenate(([1], np.diff(term_idx))))
+    ends = np.concatenate((starts[1:], [len(rows)]))
+    flat_pos = np.concatenate([r[2] for r in rows])
+
+    cols = encode_partition(
+        doc_ids, tfs, dls, starts, ends, 50.0, params, flat_positions=flat_pos
+    )
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        flat = decode_positions(cols["pos"][ti].as_py(), tfs[s:e])
+        np.testing.assert_array_equal(
+            flat, np.concatenate([rows[j][2] for j in range(s, e)])
+        )
+
+
+def test_positions_validation():
+    from zensearch_ray.functions.codec import encode_partition
+
+    params = BM25Params()
+    one = np.array([0], dtype=np.int64)
+    with pytest.raises(ValueError, match="positions length"):
+        encode_partition(
+            np.array([1], dtype=np.int64), np.array([2], dtype=np.int64),
+            np.array([5], dtype=np.int64), one, np.array([1]), 5.0, params,
+            flat_positions=np.array([3], dtype=np.int64),
+        )
+    with pytest.raises(ValueError, match="strictly increasing within a doc"):
+        encode_partition(
+            np.array([1], dtype=np.int64), np.array([2], dtype=np.int64),
+            np.array([5], dtype=np.int64), one, np.array([1]), 5.0, params,
+            flat_positions=np.array([4, 4], dtype=np.int64),
+        )

@@ -81,3 +81,84 @@ def test_phrase_k_truncates(phrase_sf_dir):
     out = phrase_topk(phrase_sf_dir, "alpha beta", k=2)
     assert len(out) == 2
     assert list(out["rank"]) == [1, 2]
+
+
+# ---- positional-index path ------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    ["alpha beta", "alpha beta gamma", "gamma delta alpha beta", "zzz qqq"],
+)
+def test_positional_matches_scan(phrase_sf_dir, phrase):
+    """The positional index resolves phrases WITHOUT reading the corpus;
+    results must be rank-identical to the text-scan verifier."""
+    scan = phrase_topk(phrase_sf_dir, phrase, k=10)
+    pos = phrase_topk(phrase_sf_dir, phrase, k=10, positional=True)
+    pd.testing.assert_frame_equal(scan, pos)
+
+
+def test_positional_duplicate_token_phrase(phrase_sf_dir):
+    # "beta alpha" occurs in docs 1 ("...gamma beta delta"? no) — just
+    # assert path-identity; the scan path is the semantics referee
+    for phrase in ["beta alpha", "alpha alpha", "gamma gamma"]:
+        scan = phrase_topk(phrase_sf_dir, phrase, k=10)
+        pos = phrase_topk(phrase_sf_dir, phrase, k=10, positional=True)
+        pd.testing.assert_frame_equal(scan, pos)
+
+
+def test_positional_engine_requires_positions(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import index_dir_for
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(index_dir_for(phrase_sf_dir))  # positionless
+    with pytest.raises(ValueError, match="without positions"):
+        eng.topk_phrase("alpha beta")
+
+
+def test_positional_append_generations(ray_session, pages_small, tmp_path_factory):
+    """Phrase results over a build+append positional index equal a
+    one-shot positional build of the full corpus (positions survive
+    generation merge and salted heavy terms)."""
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    base = tmp_path_factory.mktemp("phrase_append")
+    t = pq.read_table(pages_small)
+    half = t.num_rows // 2
+    a, b = str(base / "a.parquet"), str(base / "b.parquet")
+    pq.write_table(t.slice(0, half), a)
+    pq.write_table(t.slice(half), b)
+    cfg = BuildConfig(
+        num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en",
+        positions=True,
+    )
+    oneshot_dir = str(base / "oneshot")
+    build_index([a, b], oneshot_dir, cfg)
+    grown_dir = str(base / "grown")
+    build_index(a, grown_dir, cfg)
+    build_index(b, grown_dir, cfg, append=True)
+
+    e1, e2 = QueryEngine(oneshot_dir), QueryEngine(grown_dir)
+    checked = 0
+    for q in ["web search", "the of", "data engine", "search engine ranking"]:
+        r1 = [(d, round(s, 9)) for d, s in e1.topk_phrase(q, k=20)]
+        r2 = [(d, round(s, 9)) for d, s in e2.topk_phrase(q, k=20)]
+        assert r1 == r2, q
+        checked += len(r1)
+    assert checked > 0  # at least one phrase must actually match
+
+
+def test_positional_matches_scan_on_fixture(ray_session, tmp_path_factory):
+    """Path identity on a realistic corpus incl. salted heavy terms:
+    stopword-led phrases route through salt sub-partitions."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    for phrase in ["the search", "a b", "web page"]:
+        scan = phrase_topk(sf, phrase, k=10)
+        pos = phrase_topk(sf, phrase, k=10, positional=True)
+        pd.testing.assert_frame_equal(scan, pos)

@@ -223,6 +223,7 @@ def encode_partition(
     avgdl: float,
     params: BM25Params,
     block_size: int = BLOCK_SIZE,
+    flat_positions: np.ndarray | None = None,
 ):
     """Encode ALL terms of one sorted partition in a single vectorized
     pass per column — no Python loop over terms.
@@ -314,7 +315,7 @@ def encode_partition(
         rel = (cum[block_starts] - cum[starts[term_of_block]]).astype(np.int32)
         return list_col(pa.array(rel, type=pa.int32()))
 
-    return {
+    out = {
         "df": pa.array(lens, type=pa.int64()),
         "docs": binary_col(docs_blob, doc_cum),
         "tfs": binary_col(tfs_blob, tf_cum),
@@ -325,6 +326,79 @@ def encode_partition(
         "block_tf_off": block_off(tf_cum),
         "block_dl_off": block_off(dl_cum),
     }
+
+    if flat_positions is not None:
+        # positional stream: per POSTING (doc) the delta chain restarts
+        # absolute (first position as-is, then gaps — positions are
+        # strictly increasing within a doc), so any doc's positions are
+        # independently decodable once the posting's token offset is
+        # known from the tf stream. One varint pass over the whole
+        # partition, same as the other columns.
+        tfs64 = np.asarray(tfs, dtype=np.int64)
+        tok_cum = np.empty(n + 1, dtype=np.int64)
+        tok_cum[0] = 0
+        np.cumsum(tfs64, out=tok_cum[1:])
+        total_toks = int(tok_cum[n])
+        flat_pos = np.asarray(flat_positions, dtype=np.int64)
+        if len(flat_pos) != total_toks:
+            raise ValueError(
+                f"positions length {len(flat_pos)} != sum(tf) {total_toks}"
+            )
+        row_start = np.zeros(total_toks, dtype=bool)
+        row_start[tok_cum[:n][tfs64 > 0]] = True
+        prev = np.empty_like(flat_pos)
+        if total_toks:
+            prev[0] = 0
+            prev[1:] = flat_pos[:-1]
+        pgaps = flat_pos - prev
+        if np.any(~row_start & (pgaps <= 0)):
+            raise ValueError("positions must be strictly increasing within a doc")
+        if total_toks and flat_pos.min() < 0:
+            raise ValueError("positions must be non-negative")
+        pos_blob, pos_cum = stream(
+            np.where(row_start, flat_pos, pgaps).astype(np.uint64)
+        )
+        # per-term byte offsets: term t's positions span the token range
+        # [tok_cum[starts[t]], tok_cum[ends[t]])
+        offs = np.empty(len(starts) + 1, dtype=np.int32)
+        offs[:-1] = pos_cum[tok_cum[starts]]
+        offs[-1] = pos_cum[total_toks]
+        if pos_cum[total_toks] >= 2**31:
+            raise ValueError(
+                f"partition position blob {pos_cum[total_toks]} bytes exceeds "
+                "int32 binary offsets; increase num_shards/salt_subs"
+            )
+        out["pos"] = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(pos_blob)],
+        )
+    return out
+
+
+def decode_positions(pos_buf, tfs: np.ndarray) -> np.ndarray:
+    """Decode one term's positional blob → flat int64 token positions.
+
+    ``tfs`` is the term's per-posting tf array (already decoded) — its
+    cumulative sums are the row boundaries where the delta chain
+    restarts absolute. Returns the flat positions; the caller slices
+    posting ``j``'s positions as ``flat[cum[j]:cum[j+1]]``.
+    """
+    deltas = varint_decode(pos_buf).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(deltas) != int(tfs.sum()):
+        raise ValueError("positional blob length mismatch with tf stream")
+    if len(deltas) == 0:
+        return deltas
+    starts = np.empty(len(tfs), dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(tfs[:-1], out=starts[1:])
+    starts = starts[tfs > 0]
+    cs = np.cumsum(deltas)
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    counts = tfs[tfs > 0]
+    return cs - np.repeat(base, counts)
 
 
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -46,3 +46,19 @@ def term_frequencies(text: str) -> dict[str, int]:
     from collections import Counter
 
     return Counter(tokenize(text))
+
+
+def term_positions(text: str) -> dict[str, list[int]]:
+    """Per-document term → sorted token positions (0-based offsets in
+    the token sequence). Superset of ``term_frequencies`` — ``tf ==
+    len(positions)`` and key order is first occurrence — used by the
+    positional-index build (phrase queries). Positions, not byte
+    offsets: adjacency in the TOKEN stream is what a phrase match is."""
+    d: dict[str, list[int]] = {}
+    for i, tok in enumerate(tokenize(text)):
+        lst = d.get(tok)
+        if lst is None:
+            d[tok] = [i]
+        else:
+            lst.append(i)
+    return d

@@ -68,6 +68,12 @@ class BuildConfig:
     # and for corpora beyond the cap — a 10^10-doc cluster corpus ships
     # dl in-row, exactly as before.
     dl_broadcast_max_ids: int = 32_000_000
+    # positional index: store per-(term, doc) token positions
+    # (delta+varint, absolute restart per doc) so phrase queries
+    # resolve from the index alone — no corpus re-scan. Opt-in: the
+    # exchange grows by ~the token count × varint bytes, the inherent
+    # cost of a positional index.
+    positions: bool = False
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
@@ -134,6 +140,11 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         "extract_from_html": cfg.extract_from_html,
         "id_mode": id_mode,
     }
+    if cfg.positions:
+        # segment schema changes with positions → never mix. Added only
+        # when on so positionless fingerprints (and their cached
+        # indexes) stay stable across this version.
+        spec["positions"] = True
     return hashlib.blake2s(
         json.dumps(spec, sort_keys=True).encode(), digest_size=8
     ).hexdigest()
@@ -176,7 +187,7 @@ def _broadcast_dl_array(layout: IndexLayout, gen: int, id_ceiling: int):
 
 def _build_partition_fn(
     layout_root: str, avgdl: float, params: BM25Params, config_fp: str = "",
-    gen: int = 0, dl_ref=None,
+    gen: int = 0, dl_ref=None, positions: bool = False,
 ):
     """Returns the map_groups body that builds+commits ONE posting segment.
 
@@ -222,7 +233,19 @@ def _build_partition_fn(
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [n]))
 
-        cols = encode_partition(doc_ids, tfs, dls, starts, ends, avgdl, params)
+        flat_pos = None
+        if positions:
+            # pos survived the take/sort as a list<int32> column; one
+            # flatten gives token-aligned values (offsets arithmetic,
+            # no per-row Python)
+            pcol = g["pos"]
+            if isinstance(pcol, pa.ChunkedArray):
+                pcol = pcol.combine_chunks()
+            flat_pos = pcol.flatten().to_numpy(zero_copy_only=False)
+        cols = encode_partition(
+            doc_ids, tfs, dls, starts, ends, avgdl, params,
+            flat_positions=flat_pos,
+        )
         seg = pa.table(
             {
                 "term": g["term"].chunk(0).take(pa.array(starts, type=pa.int64())),
@@ -404,7 +427,7 @@ def build_index(
         actor_kwargs["concurrency"] = cfg.tokenize_concurrency
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col},
+        fn_kwargs={"id_col": id_col, "positions": cfg.positions},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
@@ -436,12 +459,14 @@ def build_index(
             "skip_parts": frozenset(committed_before.keys()),
             "docid32": id_ceiling is not None and id_ceiling < 2**31,
             "emit_dl": dl_ref is None,
+            "emit_pos": cfg.positions,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
     build_fn = _build_partition_fn(
-        index_dir, avgdl, cfg.params, config_fp=fp, dl_ref=dl_ref
+        index_dir, avgdl, cfg.params, config_fp=fp, dl_ref=dl_ref,
+        positions=cfg.positions,
     )
     part_stats = (
         exploded.groupby("part")
@@ -465,6 +490,7 @@ def build_index(
         "n_generations": 1,
         "num_shards": cfg.num_shards,
         "salt_subs": cfg.salt_subs,
+        "positions": cfg.positions,
         "k1": cfg.params.k1,
         "b": cfg.params.b,
         "heavy_df_threshold": stats["heavy_df_threshold"],
@@ -539,7 +565,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
 
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col},
+        fn_kwargs={"id_col": id_col, "positions": cfg.positions},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
@@ -580,13 +606,15 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
             "skip_parts": frozenset(committed_before.keys()),
             "docid32": id_ceiling is not None and id_ceiling < 2**31,
             "emit_dl": dl_ref is None,
+            "emit_pos": cfg.positions,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
     # NEW postings' block-max bounds use the MERGED avgdl (current truth)
     build_fn = _build_partition_fn(
-        index_dir, avgdl, cfg.params, config_fp=fp, gen=gen, dl_ref=dl_ref
+        index_dir, avgdl, cfg.params, config_fp=fp, gen=gen, dl_ref=dl_ref,
+        positions=cfg.positions,
     )
     part_stats = (
         exploded.groupby("part")

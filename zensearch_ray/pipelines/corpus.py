@@ -291,16 +291,26 @@ _INDEX_CFG = BuildConfig(
 )
 
 
-def index_dir_for(sf_dir: str) -> str:
+def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     """Deterministic per-corpus index location under the system tmp dir;
-    built once, reused (the manifest marks completeness)."""
+    built once, reused (the manifest marks completeness).
+    ``positions=True`` names (and builds) the POSITIONAL twin — a
+    separate cache dir because the segment schema differs."""
     # v2: dense-id/title docmeta schema — new cache key so a stale
     # round-1 index under /tmp is never reused against new readers
     key = hash64(os.path.realpath(sf_dir)) % 10**12
-    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}")
+    suffix = "_pos" if positions else ""
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}{suffix}")
     layout = IndexLayout(d)
     if not layout.is_complete():
-        build_index(_documents(sf_dir), d, _INDEX_CFG)
+        import dataclasses
+
+        cfg = (
+            dataclasses.replace(_INDEX_CFG, positions=True)
+            if positions
+            else _INDEX_CFG
+        )
+        build_index(_documents(sf_dir), d, cfg)
     return d
 
 
@@ -327,23 +337,40 @@ def bm25_topk(
     )
 
 
-def phrase_topk(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
+def phrase_topk(
+    sf_dir: str, phrase: str, k: int = 10, positional: bool = False
+) -> pd.DataFrame:
     """Exact-phrase BM25 top-k — candidates from the posting-list
     INTERSECTION (conjunctive semantics: a phrase match must contain
     every term), verified by exact token-sequence match, ranked by the
-    same BM25 sum as ``bm25_topk``.
+    same BM25 sum as ``bm25_topk``. Columns: (rank, doc_id, score).
 
-    The index stores no positions (the reference's doesn't either:
-    zensearch's schema is term→(doc,tf) only,
-    database/src/database.ts:16-91), so phrase verification reads the
-    candidate documents' text — a predicate-pushdown scan filtered to
-    the candidate doc_ids, with the sequence check running ONLY on
-    conjunctive candidates (a small fraction of the corpus; exact for
-    this corpus because `documents.text` is verified
-    single-space-separated tokens). Columns: (rank, doc_id, score).
+    Two verification paths, rank-identical by construction:
+
+    * ``positional=False`` (the reference-shaped index — zensearch's
+      schema is term→(doc,tf) only, database/src/database.ts:16-91):
+      verification reads the CANDIDATE documents' text — a
+      predicate-pushdown scan with the sequence check running only on
+      conjunctive candidates (exact for this corpus because
+      `documents.text` is verified single-space-separated tokens).
+    * ``positional=True``: builds/uses the positional index twin
+      (``BuildConfig(positions=True)``) and verifies adjacency from
+      per-term token positions — the SCALE path: only the phrase
+      terms' postings are read; the corpus never moves.
     """
     import ray
     import pyarrow.compute as pc
+
+    if positional:
+        engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+        kept = [(d, round6(s)) for d, s in engine.topk_phrase(phrase, k=k)]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+                "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+                "score": np.array([s for _, s in kept], dtype=np.float64),
+            }
+        )
 
     engine = QueryEngine(index_dir_for(sf_dir))
     hits = engine.topk_and(phrase, k=1 << 62)  # ALL intersection docs
@@ -366,10 +393,9 @@ def phrase_topk(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
         ]
         return cand.take(pa.array(keep, type=pa.int64())).select(["doc_id"])
 
-    verified = set(
-        _documents(sf_dir).map_batches(verify, batch_format="pyarrow")
-        .to_pandas()["doc_id"]
-    )
+    vdf = _documents(sf_dir).map_batches(verify, batch_format="pyarrow").to_pandas()
+    # an all-empty result can surface as a column-less frame
+    verified = set(vdf["doc_id"]) if len(vdf) else set()
     kept = [(d, s) for d, s in hits if d in verified][:k]
     return pd.DataFrame(
         {

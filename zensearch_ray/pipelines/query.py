@@ -35,7 +35,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from zensearch_ray.functions.bm25 import BM25Params, idf, tf_norm, topk_order
-from zensearch_ray.functions.codec import decode_posting, decode_posting_blocks
+from zensearch_ray.functions.codec import (
+    decode_positions,
+    decode_posting,
+    decode_posting_blocks,
+    delta_decode_docids,
+    varint_decode,
+)
 from zensearch_ray.functions.ids import term_shard
 from zensearch_ray.functions.text import tokenize
 from zensearch_ray.state.manifest import IndexLayout
@@ -74,6 +80,35 @@ class _TermPostings:
             float(np.max(r["block_max"])) * r.get("_bound_scale", 1.0)
             for r in self.rows
         )
+
+    def positions_for(self, cand_sorted: np.ndarray) -> dict[int, np.ndarray]:
+        """doc_id → token positions for the candidate docs (positional
+        index only). Decodes each segment fragment's positional blob at
+        TERM granularity — candidate slicing then costs a searchsorted
+        per fragment, no corpus access. A doc lives in exactly one
+        fragment per term (salting routes by doc; generations hold
+        disjoint docs), so no merge is needed."""
+        out: dict[int, np.ndarray] = {}
+        for r in self.rows:
+            if "pos" not in r or r["pos"] is None:
+                raise ValueError("index was built without positions")
+            ids = delta_decode_docids(r["docs"])
+            if len(ids) == 0:
+                continue
+            j = np.searchsorted(ids, cand_sorted)
+            hit = (j < len(ids)) & (
+                ids[np.minimum(j, len(ids) - 1)] == cand_sorted
+            )
+            if not hit.any():
+                continue
+            tfs = varint_decode(r["tfs"]).astype(np.int64)
+            flat = decode_positions(r["pos"], tfs)
+            cum = np.empty(len(tfs) + 1, dtype=np.int64)
+            cum[0] = 0
+            np.cumsum(tfs, out=cum[1:])
+            for doc, row in zip(cand_sorted[hit], j[hit]):
+                out[int(doc)] = flat[cum[row] : cum[row + 1]]
+        return out
 
     def decode_candidates(self, cand_sorted: np.ndarray):
         """Decode only blocks whose doc-id range intersects the sorted
@@ -133,6 +168,10 @@ class QueryEngine:
         self.params = BM25Params(
             k1=float(self.manifest["k1"]), b=float(self.manifest["b"])
         )
+        self.positional = bool(self.manifest.get("positions"))
+        self._posting_cols = (
+            _POSTING_COLS + ["pos"] if self.positional else _POSTING_COLS
+        )
         self._cache: OrderedDict[str, _TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
 
@@ -159,7 +198,7 @@ class QueryEngine:
         rows: list[dict] = []
         for path in self._part_files(shard):
             t = pq.read_table(
-                path, columns=_POSTING_COLS, filters=[("term", "==", term)]
+                path, columns=self._posting_cols, filters=[("term", "==", term)]
             )
             if t.num_rows == 0:
                 continue
@@ -252,6 +291,44 @@ class QueryEngine:
             scores += w * tf_norm(tfs[pos], dls[pos], self.avgdl, self.params)
         top_ids, top_sc = topk_order(cand, scores, k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase top-k from the POSITIONAL index alone — no
+        corpus access. Candidates are the conjunctive intersection
+        (``topk_and`` semantics and scores); each candidate is verified
+        by positional adjacency: token ``i`` of the phrase must occur
+        at ``start + i`` for some start. Results are ``topk_and``
+        restricted to verified docs — identical ranking to the
+        text-scan phrase path (``pipelines/corpus.phrase_topk``), which
+        at scale re-reads the corpus where this reads only the phrase
+        terms' postings + positions.
+        """
+        if not self.positional:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig(positions=True) enables phrase queries)"
+            )
+        toks = tokenize(phrase)
+        if not toks:
+            return []
+        hits = self.topk_and(phrase, k=1 << 62)  # ALL intersection docs
+        if not hits:
+            return []
+        cand = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+        posmap = {
+            t: self.lookup(t).positions_for(cand) for t in set(toks)
+        }
+        verified = set()
+        first = posmap[toks[0]]
+        for d in cand.tolist():
+            s = first[d]
+            for i, t in enumerate(toks[1:], 1):
+                s = s[np.isin(s + i, posmap[t][d], assume_unique=True)]
+                if len(s) == 0:
+                    break
+            if len(s):
+                verified.add(d)
+        return [(d, sc) for d, sc in hits if d in verified][:k]
 
     def topk_docs(self, query: str, k: int = 10, mode: str = "exhaustive") -> list[dict]:
         """Ranked results resolved to documents — the reference's search

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from zensearch_ray.functions.ids import hash64, url_doc_id
-from zensearch_ray.functions.text import term_frequencies
+from zensearch_ray.functions.text import term_frequencies, term_positions
 
 
 def part_key(shard: int, sub: int, salt_subs: int) -> int:
@@ -37,9 +37,18 @@ class TokenizeStage:
     """Stateless-by-content but run as an actor pool so the (cheap here,
     model-scale in general) tokenizer setup happens once per actor."""
 
-    def __init__(self, text_col: str = "text", id_col: str | None = None):
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str | None = None,
+        positions: bool = False,
+    ):
         self.text_col = text_col
         self.id_col = id_col  # None → derive doc_id = hash64(url)
+        # positional build: also emit per-(doc, term) token positions
+        # (``poss`` list<list<int32>> aligned with ``terms``) so phrase
+        # queries resolve from the index alone — no corpus re-scan
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -63,22 +72,34 @@ class TokenizeStage:
         )
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
+        poss_col: list[list[list[int]]] = []
         doc_lens = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            tf = term_frequencies(text)
-            terms_col.append(list(tf.keys()))
-            tfs_col.append(list(tf.values()))
-            doc_lens[i] = sum(tf.values())
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "url": urls,
-                "title": titles,
-                "doc_len": pa.array(doc_lens, type=pa.int64()),
-                "terms": pa.array(terms_col, type=pa.list_(pa.string())),
-                "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
-            }
-        )
+        if self.positions:
+            for i, text in enumerate(texts):
+                tp = term_positions(text)
+                terms_col.append(list(tp.keys()))
+                tfs_col.append([len(p) for p in tp.values()])
+                poss_col.append(list(tp.values()))
+                doc_lens[i] = sum(tfs_col[-1])
+        else:
+            for i, text in enumerate(texts):
+                tf = term_frequencies(text)
+                terms_col.append(list(tf.keys()))
+                tfs_col.append(list(tf.values()))
+                doc_lens[i] = sum(tf.values())
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "url": urls,
+            "title": titles,
+            "doc_len": pa.array(doc_lens, type=pa.int64()),
+            "terms": pa.array(terms_col, type=pa.list_(pa.string())),
+            "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
+        }
+        if self.positions:
+            cols["poss"] = pa.array(
+                poss_col, type=pa.list_(pa.list_(pa.int32()))
+            )
+        return pa.table(cols)
 
 
 class ExplodeStage:
@@ -100,6 +121,7 @@ class ExplodeStage:
         skip_parts=None,
         docid32: bool = False,
         emit_dl: bool = True,
+        emit_pos: bool = False,
     ):
         import ray
 
@@ -111,6 +133,7 @@ class ExplodeStage:
         self.skip_parts = frozenset(skip_parts or ())
         self.docid32 = docid32
         self.emit_dl = emit_dl
+        self.emit_pos = emit_pos
         # per-actor memo: term → shard (vocab is Zipfian; memoization makes
         # shard hashing amortized O(1) per term occurrence)
         self._shard_memo: dict[str, int] = {}
@@ -173,6 +196,16 @@ class ExplodeStage:
         }
         if self.emit_dl:
             cols["dl"] = pa.array(np.repeat(doc_lens, lens).astype(np.int32))
+        if self.emit_pos:
+            # one outer flatten: list<list<int32>> → list<int32> rows
+            # aligned with flat_terms (zero-copy offset arithmetic).
+            # This is THE positional-index shuffle cost: ~4 B/token
+            # occurrence rides the exchange — inherent to positions,
+            # opt-in via BuildConfig.positions.
+            poss_col = batch["poss"].combine_chunks()
+            if isinstance(poss_col, pa.ChunkedArray):
+                poss_col = poss_col.combine_chunks()
+            cols["pos"] = poss_col.flatten()
         out = pa.table(cols)
         if self.skip_parts:
             keep = ~np.isin(part, np.fromiter(self.skip_parts, dtype=np.int64))
@@ -180,7 +213,9 @@ class ExplodeStage:
         return out
 
 
-def tokenize_batch(batch: pa.Table, id_col: str | None = None) -> pa.Table:
+def tokenize_batch(
+    batch: pa.Table, id_col: str | None = None, positions: bool = False
+) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
     The tokenizer holds no model state, so running it as plain tasks
@@ -189,7 +224,7 @@ def tokenize_batch(batch: pa.Table, id_col: str | None = None) -> pa.Table:
     of startup at 32 CPUs for a ~45 CPU-second corpus, destroying N→4N
     scaling. Keep the class for genuinely stateful tokenizers (models).
     """
-    return TokenizeStage(id_col=id_col)(batch)
+    return TokenizeStage(id_col=id_col, positions=positions)(batch)
 
 
 _HEAVY_CACHE: dict = {}
@@ -207,6 +242,7 @@ def explode_batch(
     skip_parts: frozenset | None = None,
     docid32: bool = False,
     emit_dl: bool = True,
+    emit_pos: bool = False,
 ) -> pa.Table:
     """Function form of ExplodeStage (stateless task pool). The heavy-term
     set is broadcast as an ObjectRef and resolved once per worker via a
@@ -230,6 +266,7 @@ def explode_batch(
     stage.skip_parts = frozenset(skip_parts or ())
     stage.docid32 = docid32
     stage.emit_dl = emit_dl
+    stage.emit_pos = emit_pos
     stage._shard_memo = _SHARD_MEMOS.setdefault(num_shards, {})
     return stage(batch)
 
