@@ -35,6 +35,7 @@ BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
+NEAR_WINDOW = 5
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -89,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional-index path: same oracle, zero corpus access at
         # query time (only the phrase terms' postings + positions)
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10, positional=True)
+
+    def near(sf_dir: str):
+        return corpus.near_topk(sf_dir, PHRASE_QUERY, window=NEAR_WINDOW, k=10)
 
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
@@ -263,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": bm25_and,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
+        "near_topk": near,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -350,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _bm25_and_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
+        "near_topk": _near_sql(),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
@@ -668,6 +674,54 @@ def _phrase_sql() -> str:
             JOIN df USING (term)
             JOIN dl ON tf.doc_id = dl.doc_id
             WHERE tf.doc_id IN (SELECT doc_id FROM phrased)
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _near_sql() -> str:
+    """Proximity oracle: conjunctive-BM25 scoring restricted to docs
+    where the two query terms co-occur within NEAR_WINDOW tokens —
+    token positions via generate_subscripts over the split token list
+    (documents.text is single-space-separated tokens, so subscripts
+    ARE token positions)."""
+    t1, t2 = PHRASE_QUERY.split()
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_PHRASE_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) - 1 AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        ),
+        near AS (
+            SELECT DISTINCT a.doc_id FROM tp a JOIN tp b USING (doc_id)
+            WHERE a.term = '{t1}' AND b.term = '{t2}'
+              AND abs(a.p - b.p) <= {NEAR_WINDOW}
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            WHERE tf.doc_id IN (SELECT doc_id FROM near)
         ),
         scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,

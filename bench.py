@@ -167,6 +167,32 @@ def run_bench() -> dict:
     )
     results["query_batch_500_sec"] = round(t, 3)
 
+    # -- positional index: build overhead + index-native phrase latency --
+    # (positions are opt-in; this quantifies their cost so the default
+    # stays justified: build delta vs the positionless headline, and
+    # warm phrase latency with ZERO corpus access per query)
+    pos_dir = f"/tmp/zensearch_bench_index_pos_{NUM_CPUS}"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    import dataclasses
+
+    pos_cfg = dataclasses.replace(cfg, positions=True)
+    pos_manifest, t = timed(build_index, PAGES_DIR, pos_dir, pos_cfg)
+    results["build_pos_sec"] = round(t, 3)
+    results["build_pos_posting_mb"] = round(
+        pos_manifest["total_posting_bytes"] / 1e6, 2
+    )
+    engine_pos = QueryEngine(pos_dir)
+    phrases = ["search engine", "the of", "web page link", "data web site"]
+    for p in phrases:  # warm
+        engine_pos.topk_phrase(p, 10)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        for p in phrases:
+            engine_pos.topk_phrase(p, 10)
+    results["phrase_warm_ms"] = round(
+        1000 * (time.perf_counter() - t0) / (10 * len(phrases)), 3
+    )
+
     # -- representative pipelines over the sf tables ----------------------
     _, t = timed(lambda: corpus_pipelines.term_df(SF_DIR).count())
     results["term_df_sec"] = round(t, 3)

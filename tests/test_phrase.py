@@ -151,6 +151,45 @@ def test_positional_append_generations(ray_session, pages_small, tmp_path_factor
     assert checked > 0  # at least one phrase must actually match
 
 
+def test_positional_compaction_preserves_phrases(
+    ray_session, pages_small, tmp_path_factory
+):
+    """Compacting a multi-generation positional index must carry the
+    positions through the merge re-encode — phrase results before and
+    after compaction are identical."""
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+    from zensearch_ray.pipelines.compact import compact_index
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    base = tmp_path_factory.mktemp("phrase_compact")
+    t = pq.read_table(pages_small)
+    half = t.num_rows // 2
+    a, b = str(base / "a.parquet"), str(base / "b.parquet")
+    pq.write_table(t.slice(0, half), a)
+    pq.write_table(t.slice(half), b)
+    cfg = BuildConfig(
+        num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en",
+        positions=True,
+    )
+    grown = str(base / "grown")
+    build_index(a, grown, cfg)
+    build_index(b, grown, cfg, append=True)
+    compacted = str(base / "compacted")
+    m = compact_index(grown, compacted)
+    assert m["n_generations"] == 1 and m.get("positions") is True
+
+    e1, e2 = QueryEngine(grown), QueryEngine(compacted)
+    checked = 0
+    for q in ["web search", "the of", "search engine ranking"]:
+        r1 = [(d, round(s, 9)) for d, s in e1.topk_phrase(q, k=20)]
+        r2 = [(d, round(s, 9)) for d, s in e2.topk_phrase(q, k=20)]
+        assert r1 == r2, q
+        checked += len(r1)
+    assert checked > 0
+
+
 def test_positional_matches_scan_on_fixture(ray_session, tmp_path_factory):
     """Path identity on a realistic corpus incl. salted heavy terms:
     stopword-led phrases route through salt sub-partitions."""
@@ -162,3 +201,63 @@ def test_positional_matches_scan_on_fixture(ray_session, tmp_path_factory):
         scan = phrase_topk(sf, phrase, k=10)
         pos = phrase_topk(sf, phrase, k=10, positional=True)
         pd.testing.assert_frame_equal(scan, pos)
+
+
+# ---- proximity (topk_near) ------------------------------------------------
+
+
+def test_near_window_boundaries(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import near_topk
+
+    # doc 1 "alpha gamma beta delta": alpha at 0, beta at 2 → dist 2
+    # doc 6 "beta zeta alpha zeta beta": alpha at 2, beta at 0 and 4 → dist 2
+    # adjacency docs (0, 2, 5) have dist 1
+    w1 = set(near_topk(phrase_sf_dir, "alpha beta", window=1)["doc_id"])
+    w2 = set(near_topk(phrase_sf_dir, "alpha beta", window=2)["doc_id"])
+    assert w1 == {0, 2, 5}
+    assert w2 == {0, 1, 2, 5, 6}
+
+
+def test_near_zero_window_distinct_terms_empty(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import near_topk
+
+    # |p_a - p_b| <= 0 needs the same position — impossible for two
+    # distinct terms
+    assert len(near_topk(phrase_sf_dir, "alpha beta", window=0)) == 0
+
+
+def test_near_single_term_is_conjunctive(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import bm25_topk, near_topk
+
+    got = near_topk(phrase_sf_dir, "alpha", window=3)
+    want = bm25_topk(phrase_sf_dir, "alpha", k=10, conjunctive=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_near_brute_force_referee(phrase_sf_dir):
+    """Pairwise-EXISTS proximity vs a brute-force referee over the
+    handcrafted corpus for every window 0..4 and a 3-term query."""
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.corpus import near_topk
+
+    def brute(query, w):
+        terms = list(dict.fromkeys(tokenize(query)))
+        out = set()
+        for did, text in enumerate(DOCS):
+            toks = tokenize(text)
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+            if any(not pos[t] for t in terms):
+                continue
+            ok = all(
+                any(abs(pa_ - pb) <= w for pa_ in pos[a] for pb in pos[b])
+                for i, a in enumerate(terms)
+                for b in terms[i + 1:]
+            )
+            if ok:
+                out.add(did)
+        return out
+
+    for q in ["alpha beta", "alpha beta gamma", "gamma delta"]:
+        for w in range(5):
+            got = set(near_topk(phrase_sf_dir, q, window=w)["doc_id"])
+            assert got == brute(q, w), (q, w)

@@ -37,6 +37,7 @@ def cmd_build(args) -> int:
         extract_from_html=args.extract_html,
         dedup_urls=args.dedup_urls,
         id_col=args.id_col,
+        positions=args.positions,
     )
     manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
@@ -49,12 +50,16 @@ def cmd_query(args) -> int:
     engine = QueryEngine(args.index)
     for q in args.query:
         if args.urls:
-            rows = engine.topk_docs(q, k=args.k, mode=args.mode)
+            rows = engine.topk_docs(
+                q, k=args.k, mode=args.mode, window=args.window
+            )
         else:
             fn = {
                 "exhaustive": engine.topk,
                 "pruned": engine.topk_pruned,
                 "and": engine.topk_and,
+                "phrase": engine.topk_phrase,
+                "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
             }[args.mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -106,6 +111,10 @@ def main(argv=None) -> int:
     b.add_argument("--dedup-urls", action="store_true")
     b.add_argument("--id-col", default=None)
     b.add_argument(
+        "--positions", action="store_true",
+        help="positional index: store token positions (phrase/near queries)",
+    )
+    b.add_argument(
         "--append", action="store_true",
         help="add the input as a new segment generation of an existing index",
     )
@@ -115,7 +124,15 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("query", nargs="+")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
+    q.add_argument(
+        "--mode",
+        choices=["exhaustive", "pruned", "and", "phrase", "near"],
+        default="pruned",
+    )
+    q.add_argument(
+        "--window", type=int, default=8,
+        help="proximity window for --mode near (tokens)",
+    )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
 

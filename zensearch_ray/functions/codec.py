@@ -401,6 +401,30 @@ def decode_positions(pos_buf, tfs: np.ndarray) -> np.ndarray:
     return cs - np.repeat(base, counts)
 
 
+def permute_flat_by_rows(
+    flat: np.ndarray, counts: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder a flat values array whose rows have ``counts[i]`` values
+    each, by row permutation ``order`` — vectorized (ranges-gather), no
+    Python loop over rows. Used to keep per-posting position lists
+    aligned when postings are re-sorted (e.g. compaction merge)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.empty(len(counts), dtype=np.int64)
+    if len(counts):
+        starts[0] = 0
+        np.cumsum(counts[:-1], out=starts[1:])
+    sel_starts = starts[order]
+    sel_counts = counts[order]
+    total = int(sel_counts.sum())
+    if total == 0:
+        return flat[:0]
+    out_base = np.empty(len(sel_counts), dtype=np.int64)
+    out_base[0] = 0
+    np.cumsum(sel_counts[:-1], out=out_base[1:])
+    idx = np.repeat(sel_starts - out_base, sel_counts) + np.arange(total)
+    return flat[idx]
+
+
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a segment row → (doc_ids int64, tfs int64, dls int64)."""
     doc_ids = delta_decode_docids(row["docs"])

@@ -51,18 +51,31 @@ def _merge_partition(files: list[str], avgdl: float, params: BM25Params) -> byte
 
     import pyarrow.parquet as pq
 
-    from zensearch_ray.functions.codec import decode_posting, encode_partition
+    from zensearch_ray.functions.codec import (
+        decode_positions,
+        decode_posting,
+        encode_partition,
+        permute_flat_by_rows,
+    )
 
-    per_term: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    per_term: dict[str, list[tuple]] = {}
+    positional = False
     for path in files:
         t = pq.read_table(path)
+        positional = positional or "pos" in t.column_names
         terms = t["term"].to_pylist()
         rows = t.to_pylist()
         for term, row in zip(terms, rows):
-            per_term.setdefault(term, []).append(decode_posting(row))
+            ids, tfs_r, dls_r = decode_posting(row)
+            # positional segments: positions merge alongside, re-sorted
+            # with the same permutation as their postings
+            flat_pos = (
+                decode_positions(row["pos"], tfs_r) if "pos" in row else None
+            )
+            per_term.setdefault(term, []).append((ids, tfs_r, dls_r, flat_pos))
 
     terms_sorted = sorted(per_term)
-    ids_l, tfs_l, dls_l, starts, ends = [], [], [], [], []
+    ids_l, tfs_l, dls_l, pos_l, starts, ends = [], [], [], [], [], []
     off = 0
     for term in terms_sorted:
         parts = per_term[term]
@@ -73,6 +86,9 @@ def _merge_partition(files: list[str], avgdl: float, params: BM25Params) -> byte
         ids_l.append(ids[order])
         tfs_l.append(tfs[order])
         dls_l.append(dls[order])
+        if positional:
+            flat = np.concatenate([p[3] for p in parts])
+            pos_l.append(permute_flat_by_rows(flat, tfs, order))
         starts.append(off)
         off += len(ids)
         ends.append(off)
@@ -81,12 +97,15 @@ def _merge_partition(files: list[str], avgdl: float, params: BM25Params) -> byte
         doc_ids = np.concatenate(ids_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
+        flat_positions = np.concatenate(pos_l) if positional else None
     else:
         doc_ids = tfs = dls = np.empty(0, dtype=np.int64)
+        flat_positions = np.empty(0, dtype=np.int64) if positional else None
     cols = encode_partition(
         doc_ids, tfs, dls,
         np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64),
         avgdl, params,
+        flat_positions=flat_positions,
     )
     seg = pa.table({"term": pa.array(terms_sorted, type=pa.string()), **cols})
     seg = seg.replace_schema_metadata({b"encode_avgdl": repr(avgdl).encode()})

@@ -404,3 +404,19 @@ def phrase_topk(
             "score": np.array([round6(s) for _, s in kept], dtype=np.float64),
         }
     )
+
+
+def near_topk(sf_dir: str, query: str, window: int, k: int = 10) -> pd.DataFrame:
+    """Proximity BM25 top-k over the positional index: conjunctive
+    candidates restricted to docs where every pair of distinct query
+    terms co-occurs within ``window`` tokens (pairwise EXISTS — see
+    ``QueryEngine.topk_near``). Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+    kept = [(d, round6(s)) for d, s in engine.topk_near(query, window, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )

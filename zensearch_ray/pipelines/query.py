@@ -56,12 +56,13 @@ class _TermPostings:
     """Decoded-on-demand postings of one term (possibly merged from
     several salt sub-partitions)."""
 
-    __slots__ = ("df", "rows", "_decoded")
+    __slots__ = ("df", "rows", "_decoded", "_pos")
 
     def __init__(self, rows: list[dict]):
         self.rows = rows
         self.df = sum(r["df"] for r in rows)
         self._decoded = None
+        self._pos = None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self._decoded is None:
@@ -81,18 +82,36 @@ class _TermPostings:
             for r in self.rows
         )
 
-    def positions_for(self, cand_sorted: np.ndarray) -> dict[int, np.ndarray]:
-        """doc_id → token positions for the candidate docs (positional
-        index only). Decodes each segment fragment's positional blob at
-        TERM granularity — candidate slicing then costs a searchsorted
-        per fragment, no corpus access. A doc lives in exactly one
+    def _pos_decoded(self):
+        """Per-fragment (ids, tfs, cum, flat positions), decoded ONCE
+        per term and cached — stopword-scale positional blobs must not
+        re-decode on every phrase query."""
+        if self._pos is None:
+            decoded = []
+            for r in self.rows:
+                if "pos" not in r or r["pos"] is None:
+                    raise ValueError("index was built without positions")
+                ids = delta_decode_docids(r["docs"])
+                tfs = varint_decode(r["tfs"]).astype(np.int64)
+                flat = decode_positions(r["pos"], tfs)
+                cum = np.empty(len(tfs) + 1, dtype=np.int64)
+                cum[0] = 0
+                np.cumsum(tfs, out=cum[1:])
+                decoded.append((ids, tfs, cum, flat))
+            self._pos = decoded
+        return self._pos
+
+    def positions_pairs(
+        self, cand_sorted: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All (candidate-index, token-position) occurrence pairs of
+        this term within the candidate docs — fully vectorized
+        (searchsorted row hits + ranges-gather of the flat positional
+        stream, no Python loop over docs). A doc lives in exactly one
         fragment per term (salting routes by doc; generations hold
-        disjoint docs), so no merge is needed."""
-        out: dict[int, np.ndarray] = {}
-        for r in self.rows:
-            if "pos" not in r or r["pos"] is None:
-                raise ValueError("index was built without positions")
-            ids = delta_decode_docids(r["docs"])
+        disjoint docs), so fragments just concatenate."""
+        reps, flats = [], []
+        for ids, tfs, cum, flat in self._pos_decoded():
             if len(ids) == 0:
                 continue
             j = np.searchsorted(ids, cand_sorted)
@@ -101,14 +120,21 @@ class _TermPostings:
             )
             if not hit.any():
                 continue
-            tfs = varint_decode(r["tfs"]).astype(np.int64)
-            flat = decode_positions(r["pos"], tfs)
-            cum = np.empty(len(tfs) + 1, dtype=np.int64)
-            cum[0] = 0
-            np.cumsum(tfs, out=cum[1:])
-            for doc, row in zip(cand_sorted[hit], j[hit]):
-                out[int(doc)] = flat[cum[row] : cum[row + 1]]
-        return out
+            rows_sel = j[hit]
+            counts = tfs[rows_sel]
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            out_base = np.empty(len(counts), dtype=np.int64)
+            out_base[0] = 0
+            np.cumsum(counts[:-1], out=out_base[1:])
+            idx = np.repeat(cum[rows_sel] - out_base, counts) + np.arange(total)
+            flats.append(flat[idx])
+            reps.append(np.repeat(np.flatnonzero(hit), counts))
+        if not reps:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        return np.concatenate(reps), np.concatenate(flats)
 
     def decode_candidates(self, cand_sorted: np.ndarray):
         """Decode only blocks whose doc-id range intersects the sorted
@@ -151,6 +177,27 @@ class _TermPostings:
         dls = np.concatenate(dls_l)
         order = np.argsort(ids, kind="stable")
         return ids[order], tfs[order], dls[order]
+
+
+def _chunked_verify(hits, k, verify_fn):
+    """Early-exit verification shared by the positional operators:
+    ``hits`` arrive (score DESC, doc ASC); verify score-descending
+    CHUNKS (geometric growth) and stop as soon as k docs survive.
+    Common patterns (stopword bigrams — most candidates match) verify
+    only a small prefix; rare ones degrade to one full pass.
+    ``verify_fn(cand_sorted) -> set`` returns the surviving doc ids."""
+    out: list[tuple[int, float]] = []
+    idx, chunk = 0, max(4096, 4 * k)
+    while idx < len(hits) and len(out) < k:
+        batch = hits[idx : idx + chunk]
+        idx += chunk
+        chunk *= 4
+        cand = np.sort(
+            np.fromiter((d for d, _ in batch), dtype=np.int64, count=len(batch))
+        )
+        verified = verify_fn(cand)
+        out.extend((d, sc) for d, sc in batch if d in verified)
+    return out[:k]
 
 
 class QueryEngine:
@@ -314,27 +361,111 @@ class QueryEngine:
         hits = self.topk_and(phrase, k=1 << 62)  # ALL intersection docs
         if not hits:
             return []
-        cand = np.array(sorted(d for d, _ in hits), dtype=np.int64)
-        posmap = {
-            t: self.lookup(t).positions_for(cand) for t in set(toks)
-        }
-        verified = set()
-        first = posmap[toks[0]]
-        for d in cand.tolist():
-            s = first[d]
-            for i, t in enumerate(toks[1:], 1):
-                s = s[np.isin(s + i, posmap[t][d], assume_unique=True)]
-                if len(s) == 0:
-                    break
-            if len(s):
-                verified.add(d)
-        return [(d, sc) for d, sc in hits if d in verified][:k]
+        return _chunked_verify(
+            hits, k, lambda cand: self._verify_phrase(toks, cand)
+        )
 
-    def topk_docs(self, query: str, k: int = 10, mode: str = "exhaustive") -> list[dict]:
+    def _verify_phrase(self, toks: list[str], cand: np.ndarray) -> set:
+        """Positional adjacency over the candidate docs as a key
+        intersection, fully vectorized over every (candidate,
+        occurrence) pair at once: key = cand_index * 2^32 + (position -
+        token_offset); a phrase start survives all tokens iff its key
+        is in every token's key set. cand_index (not doc_id) keys keep
+        the product in int64 for any id space; keys are UNIQUE by
+        construction (one key per occurrence), so no sort/unique pass
+        is needed. Intersects rarest-token-first — the start set only
+        shrinks."""
+        pairs = {t: self.lookup(t).positions_pairs(cand) for t in set(toks)}
+        tok_keys = []
+        for i, t in enumerate(toks):
+            rep, flat = pairs[t]
+            if i:
+                keep = flat >= i
+                rep, flat = rep[keep], flat[keep]
+            tok_keys.append((rep << np.int64(32)) + (flat - i))
+        tok_keys.sort(key=len)
+        inter = tok_keys[0]
+        for keys in tok_keys[1:]:
+            if len(inter) == 0:
+                return set()
+            inter = inter[np.isin(inter, keys, assume_unique=True)]
+        if len(inter) == 0:
+            return set()
+        return set(cand[np.unique(inter >> np.int64(32))].tolist())
+
+    def topk_near(
+        self, query: str, window: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Proximity top-k from the positional index: conjunctive
+        candidates (``topk_and`` scores) restricted to docs where EVERY
+        PAIR of distinct query terms has occurrences within ``window``
+        tokens of each other (|pos_a - pos_b| <= window, pairwise
+        EXISTS — the SQL-expressible proximity predicate). Verification
+        is a vectorized doc-keyed range probe per pair: sort one side's
+        (candidate, position) keys once, then a two-searchsorted window
+        test for every occurrence of the other side at once — no
+        Python loop over docs, no corpus access."""
+        if not self.positional:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig(positions=True) enables proximity queries)"
+            )
+        if window < 0:
+            raise ValueError("window must be >= 0")
+        terms = list(dict.fromkeys(tokenize(query)))
+        if not terms:
+            return []
+        hits = self.topk_and(query, k=1 << 62)
+        if not hits:
+            return []
+        if len(terms) == 1:
+            return hits[:k]
+
+        def verify(cand: np.ndarray) -> set:
+            shift = np.int64(32)
+            w = np.int64(window)
+            keysets = {}
+            for t in terms:
+                rep, flat = self.lookup(t).positions_pairs(cand)
+                keys = (rep << shift) + flat
+                keysets[t] = (rep, flat, np.sort(keys))
+            ok: np.ndarray | None = None  # mask over cand indices
+            for a in range(len(terms)):
+                for b in range(a + 1, len(terms)):
+                    rep_a, flat_a, _ = keysets[terms[a]]
+                    sorted_b = keysets[terms[b]][2]
+                    if ok is not None:
+                        keep = ok[rep_a]
+                        rep_a, flat_a = rep_a[keep], flat_a[keep]
+                    # same-doc window [pos-w, pos+w]: the doc id lives
+                    # in the high key bits, so clamping the low bound
+                    # at the doc's first position keeps the probe from
+                    # crossing into the previous doc's key space
+                    base = rep_a << shift
+                    lo = np.searchsorted(
+                        sorted_b, base + np.maximum(flat_a - w, 0)
+                    )
+                    hi = np.searchsorted(
+                        sorted_b, base + flat_a + w, side="right"
+                    )
+                    pair_ok = np.zeros(len(cand), dtype=bool)
+                    pair_ok[rep_a[hi > lo]] = True
+                    ok = pair_ok if ok is None else (ok & pair_ok)
+                    if not ok.any():
+                        return set()
+            return set(cand[ok].tolist())
+
+        return _chunked_verify(hits, k, verify)
+
+    def topk_docs(
+        self, query: str, k: int = 10, mode: str = "exhaustive",
+        window: int = 8,
+    ) -> list[dict]:
         """Ranked results resolved to documents — the reference's search
         response shape (url + title + score;
         ``express-server/src/app/index.ts:194-197`` renders ranked
-        webpages with titles). ``mode``: exhaustive | pruned | and —
+        webpages with titles). ``mode``: exhaustive | pruned | and |
+        phrase | near (positional index required for the last two) —
         every evaluation strategy serves the same result shape (r1
         ADVICE: --urls used to silently ignore --mode and). Reads ONLY
         the docmeta rows of the k result doc_ids via parquet predicate
@@ -343,6 +474,8 @@ class QueryEngine:
             "exhaustive": self.topk,
             "pruned": self.topk_pruned,
             "and": self.topk_and,
+            "phrase": self.topk_phrase,
+            "near": lambda q, kk: self.topk_near(q, window, kk),
         }[mode]
         hits = fn(query, k)
         if not hits:
