@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def near(sf_dir: str):
         return corpus.near_topk(sf_dir, PHRASE_QUERY, window=NEAR_WINDOW, k=10)
 
+    def snippets(sf_dir: str):
+        return corpus.search_snippets(sf_dir, BM25_QUERY, k=10)
+
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -268,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
+        "search_snippets": snippets,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -356,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
+        "search_snippets": _snippets_sql(),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
@@ -680,6 +685,68 @@ def _phrase_sql() -> str:
                doc_id, round(score, 6) AS score
         FROM scored
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _snippets_sql() -> str:
+    """Snippet oracle: exhaustive-BM25 top-10 (same scoring as
+    ``_bm25_sql``), then per doc the (df ASC, term ASC)-first query
+    term it contains, its first occurrence position, and the
+    radius-5 token window — all expressible because documents.text is
+    single-space-separated tokens."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        ),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+                   doc_id, round(score, 6) AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
+        ),
+        dt AS (SELECT doc_id, {_TOKLIST} AS tl FROM documents),
+        choice AS (
+            SELECT r.rank, r.doc_id, r.score, d.term,
+                   row_number() OVER (PARTITION BY r.doc_id
+                                      ORDER BY d.df, d.term) AS rn
+            FROM ranked r
+            JOIN dt USING (doc_id)
+            JOIN df d ON list_contains(dt.tl, d.term)
+        ),
+        final AS (
+            SELECT c.rank, c.doc_id, c.term,
+                   (list_position(dt.tl, c.term) - 1)::BIGINT AS pos,
+                   dt.tl, c.score
+            FROM choice c JOIN dt USING (doc_id) WHERE c.rn = 1
+        )
+        SELECT rank, doc_id, term, pos,
+               array_to_string(
+                   tl[CAST(greatest(1, pos + 1 - 5) AS BIGINT):CAST(pos + 1 + 5 AS BIGINT)],
+                   ' '
+               ) AS snippet,
+               score
+        FROM final ORDER BY rank
     """
 
 

@@ -420,3 +420,70 @@ def near_topk(sf_dir: str, query: str, window: int, k: int = 10) -> pd.DataFrame
             "score": np.array([s for _, s in kept], dtype=np.float64),
         }
     )
+
+
+SNIPPET_RADIUS = 5
+
+
+def search_snippets(
+    sf_dir: str, query: str, k: int = 10, radius: int = SNIPPET_RADIUS
+) -> pd.DataFrame:
+    """Ranked results with extracted snippets — the serving-side result
+    enrichment (the reference renders result rows in the UI;
+    express-server/src/app/index.ts:194-197). Deterministic snippet
+    rule so a SQL oracle can check it exactly: for each top-k doc, the
+    chosen term is the (df ASC, term ASC)-first query term present in
+    the doc; the snippet is the ``radius``-token window around its
+    FIRST occurrence. Only the k result docs' text is read (parquet
+    predicate pushdown) — never the corpus. Columns:
+    (rank, doc_id, term, pos, snippet, score)."""
+    import pyarrow.parquet as pq
+
+    engine = QueryEngine(index_dir_for(sf_dir))
+    hits = engine.topk(query, k)
+    empty = pd.DataFrame(
+        {
+            "rank": np.array([], dtype=np.int64),
+            "doc_id": np.array([], dtype=np.int64),
+            "term": np.array([], dtype=object),
+            "pos": np.array([], dtype=np.int64),
+            "snippet": np.array([], dtype=object),
+            "score": np.array([], dtype=np.float64),
+        }
+    )
+    if not hits:
+        return empty
+    terms = list(dict.fromkeys(tokenize(query)))
+    sel_order = sorted(
+        (t for t in terms if engine.df(t) > 0),
+        key=lambda t: (engine.df(t), t),
+    )
+    ids = [d for d, _ in hits]
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    )
+    text_of = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    rows = []
+    for rank, (d, s) in enumerate(hits, 1):
+        toks = tokenize(text_of[d])
+        term = next(t for t in sel_order if t in toks)
+        p = toks.index(term)
+        rows.append(
+            (
+                rank, d, term, p,
+                " ".join(toks[max(0, p - radius) : p + radius + 1]),
+                round6(s),
+            )
+        )
+    return pd.DataFrame(
+        {
+            "rank": np.array([r[0] for r in rows], dtype=np.int64),
+            "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
+            "term": [r[2] for r in rows],
+            "pos": np.array([r[3] for r in rows], dtype=np.int64),
+            "snippet": [r[4] for r in rows],
+            "score": np.array([r[5] for r in rows], dtype=np.float64),
+        }
+    )
