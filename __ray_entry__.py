@@ -97,6 +97,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def snippets(sf_dir: str):
         return corpus.search_snippets(sf_dir, BM25_QUERY, k=10)
 
+    def bigrams(sf_dir: str):
+        return corpus.top_bigrams(sf_dir, n=20)
+
+    def pmi(sf_dir: str):
+        return corpus.pmi_bigrams(sf_dir, n=20, min_count=5)
+
+    def ngram_rate(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.dedup import dup_ngram_rate
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dup_ngram_rate(ds, n=8)
+
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -272,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
         "search_snippets": snippets,
+        "top_bigrams": bigrams,
+        "pmi_bigrams": pmi,
+        "dup_ngram_rate": ngram_rate,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -361,6 +380,81 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
         "search_snippets": _snippets_sql(),
+        "dup_ngram_rate": f"""
+            WITH dt AS (
+                SELECT doc_id, {_TOKLIST} AS tl FROM documents
+            ),
+            x AS (
+                SELECT doc_id, tl,
+                       unnest(range(1, CAST(len(tl) AS BIGINT) - 8 + 2)) AS i
+                FROM dt WHERE len(tl) >= 8
+            ),
+            ng AS (
+                SELECT doc_id,
+                       array_to_string(
+                           tl[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' '
+                       ) AS g
+                FROM x
+            ),
+            gc AS (SELECT g, count(*) AS gcnt FROM ng GROUP BY g),
+            d AS (
+                SELECT ng.doc_id,
+                       count(*)::BIGINT AS n_ngrams,
+                       sum(CASE WHEN gc.gcnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+                FROM ng JOIN gc USING (g) GROUP BY ng.doc_id
+            )
+            SELECT doc_id, n_ngrams, n_dup,
+                   round(n_dup::DOUBLE / n_ngrams, 6) AS dup_rate
+            FROM d
+        """,
+        "top_bigrams": f"""
+            WITH tp AS (
+                SELECT doc_id, unnest(tl) AS term,
+                       generate_subscripts(tl, 1) AS p
+                FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+            ),
+            bg AS (
+                SELECT a.term || ' ' || b.term AS bigram
+                FROM tp a JOIN tp b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ),
+            bc AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram)
+            SELECT row_number() OVER (ORDER BY cnt DESC, bigram)::BIGINT AS rank,
+                   bigram, cnt
+            FROM bc ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        "pmi_bigrams": f"""
+            WITH tp AS (
+                SELECT doc_id, unnest(tl) AS term,
+                       generate_subscripts(tl, 1) AS p
+                FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+            ),
+            bg AS (
+                SELECT a.term || ' ' || b.term AS bigram
+                FROM tp a JOIN tp b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ),
+            bc AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram),
+            uc AS (SELECT term, count(*)::DOUBLE AS ucnt FROM tp GROUP BY term),
+            tot AS (SELECT (SELECT count(*) FROM tp)::DOUBLE AS u,
+                           (SELECT sum(cnt) FROM bc)::DOUBLE AS b),
+            f AS (
+                SELECT bigram, cnt,
+                       string_split(bigram, ' ')[1] AS w1,
+                       string_split(bigram, ' ')[2] AS w2
+                FROM bc WHERE cnt >= 5
+            ),
+            p AS (
+                SELECT f.bigram, f.cnt,
+                       round(ln(f.cnt * t.u * t.u / (t.b * u1.ucnt * u2.ucnt)), 6) AS pmi
+                FROM f
+                JOIN uc u1 ON u1.term = f.w1
+                JOIN uc u2 ON u2.term = f.w2, tot t
+            )
+            SELECT row_number() OVER (ORDER BY pmi DESC, bigram)::BIGINT AS rank,
+                   bigram, cnt, pmi
+            FROM p ORDER BY pmi DESC, bigram LIMIT 20
+        """,
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),

@@ -487,3 +487,139 @@ def search_snippets(
             "score": np.array([r[5] for r in rows], dtype=np.float64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation statistics (bigram counts / PMI) — n-gram LM-prep operators
+# ---------------------------------------------------------------------------
+
+
+def _bigram_partials(sf_dir: str):
+    """Per-batch pre-aggregated (bigram, cnt) partials — the shuffle
+    carries per-batch UNIQUE bigrams, not one row per occurrence."""
+    from collections import Counter
+
+    def part(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = tokenize(text)
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(part, batch_format="pyarrow")
+
+
+def _unigram_partials(sf_dir: str):
+    from collections import Counter
+
+    def part(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(tokenize(text))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "ucnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(part, batch_format="pyarrow")
+
+
+def _global_topn(agg_ds, sort_cols, ascending, n):
+    """Exact global top-N over an already-aggregated Dataset: partial
+    head(N) per batch (each key appears once post-aggregation), final
+    N×n_batches-row combine on the driver."""
+    def headn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(n)
+
+    tops = agg_ds.map_batches(headn, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        .head(n)
+        .reset_index(drop=True)
+    )
+
+
+def top_bigrams(sf_dir: str, n: int = 20) -> pd.DataFrame:
+    """Top-N adjacent-token bigrams by corpus count (count DESC, bigram
+    ASC) — the collocation/n-gram statistic an LM tokenizer/data-prep
+    pipeline computes. Columns: (rank, bigram, cnt)."""
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    agg = bucketed_groupby_sum(_bigram_partials(sf_dir), ["bigram"], ["cnt"])
+    out = _global_topn(agg, ["cnt", "bigram"], [False, True], n)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def pmi_bigrams(
+    sf_dir: str, n: int = 20, min_count: int = 5
+) -> pd.DataFrame:
+    """Top-N bigram collocations by pointwise mutual information:
+    pmi = ln(p(ab) / (p(a) p(b))) with p over token/bigram totals,
+    restricted to bigrams with cnt >= min_count. Composition showcase:
+    two bucketed aggregations + two co-partitioned hash joins (bigram ×
+    unigram counts) — the shape that holds when the vocabulary no
+    longer fits a broadcast. Columns: (rank, bigram, cnt, pmi)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+    from zensearch_ray.pipelines.joins import hash_join
+
+    big = bucketed_groupby_sum(_bigram_partials(sf_dir), ["bigram"], ["cnt"])
+    uni = bucketed_groupby_sum(_unigram_partials(sf_dir), ["term"], ["ucnt"])
+    u_total = float(uni.sum("ucnt") or 0)
+    b_total = float(big.sum("cnt") or 0)
+    if b_total == 0:
+        return pd.DataFrame(
+            {
+                "rank": np.array([], dtype=np.int64),
+                "bigram": np.array([], dtype=object),
+                "cnt": np.array([], dtype=np.int64),
+                "pmi": np.array([], dtype=np.float64),
+            }
+        )
+
+    def split_words(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch["cnt"], min_count))
+        parts = pc.split_pattern(keep["bigram"], " ")
+        return keep.append_column("w1", pc.list_element(parts, 0)).append_column(
+            "w2", pc.list_element(parts, 1)
+        )
+
+    f = big.map_batches(split_words, batch_format="pyarrow")
+    u1 = uni.map_batches(
+        lambda t: t.rename_columns(["term", "c1"]), batch_format="pyarrow"
+    )
+    u2 = uni.map_batches(
+        lambda t: t.rename_columns(["term", "c2"]), batch_format="pyarrow"
+    )
+    j = hash_join(f, u1, on="w1", right_on="term")
+    j = hash_join(j, u2, on="w2", right_on="term")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.float64)
+        c1 = df["c1"].to_numpy(np.float64)
+        c2 = df["c2"].to_numpy(np.float64)
+        pmi = np.log(cnt * u_total * u_total / (b_total * c1 * c2))
+        return pd.DataFrame(
+            {
+                "bigram": df["bigram"],
+                "cnt": df["cnt"].astype(np.int64),
+                "pmi": np.array([round6(x) for x in pmi]),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pandas")
+    out = _global_topn(scored, ["pmi", "bigram"], [False, True], n)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

@@ -154,3 +154,123 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text", out_col: str = "
         count=batch.num_rows,
     )
     return batch.append_column(out_col, pa.array(h, type=pa.int64()))
+
+
+def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
+    """Per-document duplicated-n-gram rate — the C4/RefinedWeb-style
+    contamination signal: for each doc, the fraction of its token
+    n-gram OCCURRENCES whose exact n-gram appears more than once in
+    the whole corpus (within-doc repeats count). Docs with fewer than
+    ``n`` tokens are excluded. Columns:
+    (doc_id, n_ngrams, n_dup, dup_rate).
+
+    100-TB shape (no driver-side state, no corpus broadcast):
+
+    1. map: per (doc, n-gram) pre-aggregated occurrence counts, the
+       n-gram shipped as its 8-byte hash64 (not the string);
+    2. one hash-bucket exchange on the n-gram hash: inside a bucket,
+       global counts per hash; only occurrences of DUPLICATED n-grams
+       leave as (doc_id, n_dup) partials — unique n-grams (the vast
+       majority) never re-shuffle;
+    3. tiny per-doc aggregation + left join against per-doc totals
+       (computed from doc_len — no second tokenize pass).
+
+    Hash note: 64-bit collisions would over-count a pair of distinct
+    n-grams as duplicated; at 10^9 distinct n-grams the expected
+    collision count is ~0.03 — the standard engineering trade for an
+    8-byte exchange key (same stance as the minhash family).
+    """
+    from collections import Counter
+
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+    from zensearch_ray.functions.ids import hash64
+    from zensearch_ray.functions.rounding import round6
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.joins import hash_join
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        hs, dids, cs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            if len(toks) < n:
+                continue
+            c: Counter = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            for g, k in c.items():
+                hs.append(hash64(g))
+                dids.append(did)
+                cs.append(k)
+        return pa.table(
+            {
+                "h": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+                "doc_id": pa.array(dids, type=pa.int64()),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        dls = np.array(
+            [len(tokenize(t)) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = dls >= n
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "n_ngrams": pa.array(dls[keep] - n + 1, type=pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(gram_partials, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("h")["c"].transform("sum")
+        keep = group[g > 1]
+        out = keep.groupby("doc_id", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "n_dup"})
+
+    dups = (
+        grams.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )
+    per_doc = bucketed_groupby_sum(dups, ["doc_id"], ["n_dup"])
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    if per_doc.schema() is None:
+        # no duplicated n-gram anywhere → schema-less empty Dataset;
+        # every doc's n_dup is 0
+        joined = tot.map_batches(
+            lambda t: t.append_column(
+                "n_dup", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = hash_join(tot, per_doc, on="doc_id", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_dup"].fillna(0).to_numpy(np.int64)
+        nn = df["n_ngrams"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_ngrams": nn,
+                "n_dup": nd,
+                "dup_rate": np.array([round6(x) for x in nd / nn]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
