@@ -176,8 +176,12 @@ def run_bench() -> dict:
     import dataclasses
 
     pos_cfg = dataclasses.replace(cfg, positions=True)
-    pos_manifest, t = timed(build_index, PAGES_DIR, pos_dir, pos_cfg)
-    results["build_pos_sec"] = round(t, 3)
+    pos_runs = []
+    for _ in range(2):  # same best-of-2 protocol as the headline build
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        pos_manifest, t = timed(build_index, PAGES_DIR, pos_dir, pos_cfg)
+        pos_runs.append(t)
+    results["build_pos_sec"] = round(min(pos_runs), 3)
     results["build_pos_posting_mb"] = round(
         pos_manifest["total_posting_bytes"] / 1e6, 2
     )

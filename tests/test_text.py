@@ -40,3 +40,34 @@ def test_no_substring_matching():
     # reference A2/A3 used substring counting ("cat" matched "concatenate",
     # tf.go:21, idf.go:24); pinned spec is token equality.
     assert term_frequencies("concatenate").get("cat", 0) == 0
+
+
+def test_tokenize_stage_positions_matches_reference():
+    """Vectorized positional TokenizeStage output == the scalar
+    term_positions referee, per doc (order, tfs, positions)."""
+    import pyarrow as pa
+
+    from zensearch_ray.functions.text import term_positions
+    from zensearch_ray.stages.tokenize import TokenizeStage
+
+    texts = [
+        "a b a c b a",
+        "the quick the quick the",
+        "",
+        "one",
+        "x y z x y z x y z",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(len(texts))]),
+            "text": pa.array(texts),
+        }
+    )
+    out = TokenizeStage(id_col="doc_id", positions=True)(batch)
+    for i, text in enumerate(texts):
+        want = term_positions(text)
+        assert out["terms"][i].as_py() == list(want.keys())
+        assert out["tfs"][i].as_py() == [len(v) for v in want.values()]
+        assert out["poss"][i].as_py() == list(want.values())
+        assert out["doc_len"][i].as_py() == sum(len(v) for v in want.values())

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from zensearch_ray.functions.ids import hash64, url_doc_id
-from zensearch_ray.functions.text import term_frequencies, term_positions
+from zensearch_ray.functions.text import term_frequencies, tokenize
 
 
 def part_key(shard: int, sub: int, salt_subs: int) -> int:
@@ -70,36 +70,85 @@ class TokenizeStage:
             if "title" in batch.column_names
             else pa.array([""] * len(texts), type=pa.string())
         )
-        terms_col: list[list[str]] = []
-        tfs_col: list[list[int]] = []
-        poss_col: list[list[list[int]]] = []
         doc_lens = np.empty(len(texts), dtype=np.int64)
         if self.positions:
+            # vectorized positional tokenize: factorize the token stream
+            # (C path) → term codes; a stable argsort of the codes IS
+            # the per-term position lists, grouped — no Python append
+            # per token. Nested list columns are assembled from offset
+            # buffers directly.
+            import pandas as _pd
+
+            all_terms: list[str] = []
+            tf_vals: list[np.ndarray] = []
+            pos_vals: list[np.ndarray] = []
+            outer_counts = np.empty(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
-                tp = term_positions(text)
-                terms_col.append(list(tp.keys()))
-                tfs_col.append([len(p) for p in tp.values()])
-                poss_col.append(list(tp.values()))
-                doc_lens[i] = sum(tfs_col[-1])
-        else:
-            for i, text in enumerate(texts):
-                tf = term_frequencies(text)
-                terms_col.append(list(tf.keys()))
-                tfs_col.append(list(tf.values()))
-                doc_lens[i] = sum(tf.values())
-        cols = {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "url": urls,
-            "title": titles,
-            "doc_len": pa.array(doc_lens, type=pa.int64()),
-            "terms": pa.array(terms_col, type=pa.list_(pa.string())),
-            "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
-        }
-        if self.positions:
-            cols["poss"] = pa.array(
-                poss_col, type=pa.list_(pa.list_(pa.int32()))
+                toks = tokenize(text)
+                doc_lens[i] = len(toks)
+                if not toks:
+                    outer_counts[i] = 0
+                    continue
+                codes, uniques = _pd.factorize(toks)  # appearance order
+                counts = np.bincount(codes, minlength=len(uniques))
+                order = np.argsort(codes, kind="stable")
+                all_terms.extend(uniques)
+                tf_vals.append(counts)
+                pos_vals.append(order)
+                outer_counts[i] = len(uniques)
+            tfs_flat = (
+                np.concatenate(tf_vals) if tf_vals else np.empty(0, np.int64)
             )
-        return pa.table(cols)
+            inner_offs = np.zeros(len(tfs_flat) + 1, dtype=np.int32)
+            np.cumsum(tfs_flat, out=inner_offs[1:])
+            outer_offs = np.zeros(len(texts) + 1, dtype=np.int32)
+            np.cumsum(outer_counts, out=outer_offs[1:])
+            pos_flat = (
+                np.concatenate(pos_vals) if pos_vals else np.empty(0, np.int64)
+            )
+            inner = pa.ListArray.from_arrays(
+                pa.array(inner_offs, type=pa.int32()),
+                pa.array(pos_flat.astype(np.int32)),
+            )
+            terms_arr = pa.ListArray.from_arrays(
+                pa.array(outer_offs, type=pa.int32()),
+                pa.array(all_terms, type=pa.string()),
+            )
+            tfs_arr = pa.ListArray.from_arrays(
+                pa.array(outer_offs, type=pa.int32()),
+                pa.array(tfs_flat.astype(np.int32)),
+            )
+            poss_arr = pa.ListArray.from_arrays(
+                pa.array(outer_offs, type=pa.int32()), inner
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, type=pa.int64()),
+                    "url": urls,
+                    "title": titles,
+                    "doc_len": pa.array(doc_lens, type=pa.int64()),
+                    "terms": terms_arr,
+                    "tfs": tfs_arr,
+                    "poss": poss_arr,
+                }
+            )
+        terms_col: list[list[str]] = []
+        tfs_col: list[list[int]] = []
+        for i, text in enumerate(texts):
+            tf = term_frequencies(text)
+            terms_col.append(list(tf.keys()))
+            tfs_col.append(list(tf.values()))
+            doc_lens[i] = sum(tf.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "url": urls,
+                "title": titles,
+                "doc_len": pa.array(doc_lens, type=pa.int64()),
+                "terms": pa.array(terms_col, type=pa.list_(pa.string())),
+                "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
+            }
+        )
 
 
 class ExplodeStage:
