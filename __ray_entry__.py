@@ -36,6 +36,7 @@ _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
 NEAR_WINDOW = 5
+PREFIX_QUERY = "s"
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def near(sf_dir: str):
         return corpus.near_topk(sf_dir, PHRASE_QUERY, window=NEAR_WINDOW, k=10)
+
+    def prefix(sf_dir: str):
+        return corpus.prefix_topk(sf_dir, PREFIX_QUERY, k=10)
 
     def snippets(sf_dir: str):
         return corpus.search_snippets(sf_dir, BM25_QUERY, k=10)
@@ -287,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
+        "prefix_topk": prefix,
         "search_snippets": snippets,
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
@@ -379,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
+        "prefix_topk": _prefix_sql(),
         "search_snippets": _snippets_sql(),
         "dup_ngram_rate": f"""
             WITH dt AS (
@@ -841,6 +847,42 @@ def _snippets_sql() -> str:
                ) AS snippet,
                score
         FROM final ORDER BY rank
+    """
+
+
+def _prefix_sql() -> str:
+    """Prefix-search oracle: the same exhaustive-BM25 body as
+    ``_bm25_sql`` with qterms = the DISTINCT corpus terms matching
+    'prefix%' — exactly the engine's dictionary expansion."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms AS (SELECT DISTINCT term FROM toks WHERE term LIKE '{PREFIX_QUERY}%'),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

@@ -163,3 +163,43 @@ def test_topk_and_is_intersection_of_topk(built_index, oracle):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in want], rtol=1e-12, err_msg=q
         )
+
+
+def test_prefix_expansion_and_scoring(built_index, oracle):
+    """expand_prefix == brute-force vocab scan; topk_prefix == topk of
+    the expansion treated as a (deduplicated) query."""
+    from zensearch_ray.functions.bm25 import idf
+
+    index_dir, _, pages_path = built_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    vocab = set()
+    for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        if lg == "en":
+            from zensearch_ray.functions.text import tokenize as tk
+
+            vocab.update(tk(tx))
+    for pre in ["se", "th", "d", "zz", "craw"]:
+        want_terms = sorted(v for v in vocab if v.startswith(pre))
+        got_terms = engine.expand_prefix(pre)
+        assert got_terms == want_terms, pre
+        if want_terms:
+            want = engine._score_plan(
+                [
+                    (engine.lookup(term), idf(engine.n_docs, engine.df(term)))
+                    for term in want_terms
+                    if engine.df(term) not in (0, engine.n_docs)
+                ],
+                10,
+            )
+            assert engine.topk_prefix(pre, 10) == want, pre
+        else:
+            assert engine.topk_prefix(pre, 10) == []
+
+
+def test_prefix_empty_and_nomatch(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    assert engine.expand_prefix("") == []
+    assert engine.topk_prefix("", 10) == []
+    assert engine.topk_prefix("qqqqzzz", 10) == []

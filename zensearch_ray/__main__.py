@@ -60,6 +60,7 @@ def cmd_query(args) -> int:
                 "and": engine.topk_and,
                 "phrase": engine.topk_phrase,
                 "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
+                "prefix": engine.topk_prefix,
             }[args.mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -126,7 +127,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix"],
         default="pruned",
     )
     q.add_argument(

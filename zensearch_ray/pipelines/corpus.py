@@ -623,3 +623,18 @@ def pmi_bigrams(
     out = _global_topn(scored, ["pmi", "bigram"], [False, True], n)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out
+
+
+def prefix_topk(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
+    """Prefix (wildcard) BM25 top-k: ``prefix*`` expanded against the
+    index term dictionary, scored as an OR-query (see
+    ``QueryEngine.topk_prefix``). Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_prefix(prefix, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )

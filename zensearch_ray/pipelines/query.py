@@ -286,7 +286,10 @@ class QueryEngine:
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Exhaustive evaluation — the checked default (SURVEY.md §7-5)."""
-        plan = self._term_plan(query)
+        return self._score_plan(self._term_plan(query), k)
+
+    def _score_plan(self, plan, k: int) -> list[tuple[int, float]]:
+        """Exhaustive accumulation over a [(postings, idf)] plan."""
         if not plan:
             return []
         all_ids, all_contrib = [], []
@@ -302,6 +305,48 @@ class QueryEngine:
         mask = scores > 0.0
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """All index terms starting with ``prefix`` (normalized), sorted.
+        Scans each partition's TERM column with a parquet range filter
+        (term >= prefix AND term < next-prefix): terms are sorted within
+        every segment, so row-group stats prune the read to a
+        dictionary-scale scan — no postings are touched. At cluster
+        scale this is the per-shard term-dictionary read; a dedicated
+        dictionary sidecar file would make it metadata-only."""
+        from zensearch_ray.functions.text import normalize
+
+        prefix = normalize(prefix)
+        if not prefix:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        terms: set[str] = set()
+        for part in range(self.num_shards * self.salt_subs):
+            for path in self.layout.part_posting_files(part):
+                t = pq.read_table(
+                    path,
+                    columns=["term"],
+                    filters=[("term", ">=", prefix), ("term", "<", hi)],
+                )
+                terms.update(t["term"].to_pylist())
+        return sorted(terms)
+
+    def topk_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
+        """Prefix (wildcard) search ``prefix*``: expand against the term
+        dictionary, then score the expansion as an OR-query — each
+        matched term contributes idf·tf_norm once, exactly as if the
+        expansion were the query. Deterministic and oracle-checkable
+        (SQL: qterms = DISTINCT terms LIKE 'prefix%')."""
+        plan = []
+        for t in self.expand_prefix(prefix):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return self._score_plan(plan, k)
 
     def topk_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Conjunctive (AND) top-k: only documents containing EVERY
@@ -476,6 +521,7 @@ class QueryEngine:
             "and": self.topk_and,
             "phrase": self.topk_phrase,
             "near": lambda q, kk: self.topk_near(q, window, kk),
+            "prefix": self.topk_prefix,
         }[mode]
         hits = fn(query, k)
         if not hits:
