@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def prefix(sf_dir: str):
         return corpus.prefix_topk(sf_dir, PREFIX_QUERY, k=10)
 
+    def mlt(sf_dir: str):
+        return corpus.more_like_this(sf_dir, doc_id=0, m=5, k=10)
+
     def snippets(sf_dir: str):
         return corpus.search_snippets(sf_dir, BM25_QUERY, k=10)
 
@@ -292,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
         "prefix_topk": prefix,
+        "more_like_this": mlt,
         "search_snippets": snippets,
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
@@ -385,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
         "prefix_topk": _prefix_sql(),
+        "more_like_this": _mlt_sql(),
         "search_snippets": _snippets_sql(),
         "dup_ngram_rate": f"""
             WITH dt AS (
@@ -847,6 +852,52 @@ def _snippets_sql() -> str:
                ) AS snippet,
                score
         FROM final ORDER BY rank
+    """
+
+
+def _mlt_sql() -> str:
+    """More-like-this oracle: source doc 0's top-5 tf·idf terms (ties →
+    term ASC, idf-0 excluded) as an OR query, source doc excluded."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS dfv
+                  FROM toks GROUP BY term),
+        dtf AS (SELECT term, count(*)::DOUBLE AS tf0 FROM toks
+                WHERE doc_id = 0 GROUP BY term),
+        cand AS (
+            SELECT d.term,
+                   d.tf0 * ln((SELECT n FROM stats) / f.dfv) AS w
+            FROM dtf d JOIN dfall f USING (term)
+            WHERE ln((SELECT n FROM stats) / f.dfv) > 0
+        ),
+        qterms AS (SELECT term FROM cand ORDER BY w DESC, term LIMIT 5),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib
+            WHERE doc_id <> 0
+            GROUP BY doc_id HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

@@ -68,3 +68,24 @@ def test_snippet_tie_break_lexicographic(snip_sf_dir):
     by_doc = {r.doc_id: r for r in out.itertuples()}
     assert by_doc[2].term == "words" and by_doc[2].snippet == "common words here"
     assert by_doc[0].term == "quux"
+
+
+def test_more_like_this_excludes_source_and_ranks(snip_sf_dir):
+    from zensearch_ray.pipelines.corpus import more_like_this
+
+    out = more_like_this(snip_sf_dir, doc_id=0, m=3, k=10)
+    assert 0 not in set(out["doc_id"])
+    # docs 1 and 3 share the rare "quux" with doc 0 → both retrieved,
+    # ranked above any doc without it
+    assert set(out["doc_id"]) >= {1, 3}
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_more_like_this_idf_zero_source_terms(snip_sf_dir):
+    from zensearch_ray.pipelines.corpus import more_like_this
+
+    # doc 2's vocabulary: common (idf 0) + words (unique to it, no
+    # OTHER doc contains it) → only "words"/"here" qualify but no other
+    # doc matches → empty result
+    out = more_like_this(snip_sf_dir, doc_id=2, m=5, k=10)
+    assert len(out) == 0

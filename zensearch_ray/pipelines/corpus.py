@@ -638,3 +638,46 @@ def prefix_topk(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
             "score": np.array([s for _, s in kept], dtype=np.float64),
         }
     )
+
+
+def more_like_this(
+    sf_dir: str, doc_id: int, m: int = 5, k: int = 10
+) -> pd.DataFrame:
+    """Related-documents query ("more like this"): the source doc's
+    top-``m`` terms by tf·idf (ties → term ASC; idf-0 terms excluded)
+    become an OR-query scored exhaustively; the source doc is excluded
+    from the results. Only the source doc's text is read (predicate
+    pushdown) — term statistics come from the index. Columns:
+    (rank, doc_id, score)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from zensearch_ray.functions.bm25 import idf
+
+    engine = QueryEngine(index_dir_for(sf_dir))
+    text = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", doc_id)],
+    )["text"].to_pylist()[0]
+    tf0 = Counter(tokenize(text))
+    cand = []
+    for term, tf in tf0.items():
+        w = idf(engine.n_docs, engine.df(term))
+        if w > 0.0:
+            cand.append((tf * w, term))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    plan = []
+    for _, term in cand[:m]:
+        p = engine.lookup(term)
+        plan.append((p, idf(engine.n_docs, p.df)))
+    hits = [
+        (d, s) for d, s in engine._score_plan(plan, k + 1) if d != doc_id
+    ][:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
