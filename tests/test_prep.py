@@ -1,0 +1,90 @@
+"""End-to-end prep pipeline: filtering/dedup/chunk semantics vs a
+pure-Python referee over the fixture pages; crash-resume convergence."""
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from zensearch_ray.functions.ids import url_doc_id
+from zensearch_ray.functions.text import tokenize
+from zensearch_ray.pipelines.prep import prep_corpus
+from zensearch_ray.stages.textstats import STOPWORDS
+
+
+def _referee_chunks(pages_path, lang, min_tokens, max_stop_ratio, chunk_tokens):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(pages_path, columns=["url", "warc_ts", "text", "lang"])
+    rows = sorted(
+        zip(
+            t["url"].to_pylist(),
+            t["warc_ts"].to_pylist(),
+            t["text"].to_pylist(),
+            t["lang"].to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1]),
+    )
+    seen = set()
+    out = []
+    for url, _, text, lg in rows:
+        if lg != lang or url in seen:
+            if lg == lang:
+                seen.add(url)
+            continue
+        seen.add(url)
+        toks = tokenize(text)
+        if len(toks) < min_tokens:
+            continue
+        stop = sum(1 for x in toks if x in STOPWORDS) / len(toks)
+        if round(stop, 6) > max_stop_ratio:
+            continue
+        did = url_doc_id(url)
+        for ci in range(0, (len(toks) + chunk_tokens - 1) // chunk_tokens):
+            part = toks[ci * chunk_tokens : (ci + 1) * chunk_tokens]
+            out.append((did, url, ci, " ".join(part), len(part)))
+    return sorted(out)
+
+
+def test_prep_matches_referee(ray_session, pages_small, tmp_path):
+    out_dir = str(tmp_path / "prep_out")
+    stats = prep_corpus(
+        pages_small, out_dir,
+        lang="en", min_tokens=40, max_stop_ratio=0.5,
+        chunk_tokens=64, n_partitions=16,
+    )
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    got = duckdb.sql(
+        f"SELECT doc_id, url, chunk_id, chunk_text, n_tokens "
+        f"FROM read_parquet({files!r}) ORDER BY doc_id, url, chunk_id"
+    ).fetchall()
+    want = _referee_chunks(pages_small, "en", 40, 0.5, 64)
+    assert sorted(got) == want
+    assert stats["rows"] == len(want)
+    assert stats["written"] > 0 and stats["skipped"] == 0
+
+
+def test_prep_resume_converges(ray_session, pages_small, tmp_path):
+    out_dir = str(tmp_path / "prep_resume")
+    prep_corpus(pages_small, out_dir, chunk_tokens=64, n_partitions=16)
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    full = duckdb.sql(
+        f"SELECT * FROM read_parquet({files!r}) ORDER BY doc_id, chunk_id"
+    ).df()
+    # simulate a crash: remove some committed partitions + markers
+    from zensearch_ray.state.sink import completed_partitions
+
+    done = sorted(completed_partitions(out_dir))
+    victims = done[::3]
+    for pno in victims:
+        os.remove(os.path.join(out_dir, f"part-{pno:05d}.parquet"))
+        os.remove(os.path.join(out_dir, "_partitions", f"part-{pno:05d}.json"))
+    stats = prep_corpus(pages_small, out_dir, chunk_tokens=64, n_partitions=16)
+    after = duckdb.sql(
+        f"SELECT * FROM read_parquet({sorted(glob.glob(os.path.join(out_dir, 'part-*.parquet')))!r}) "
+        f"ORDER BY doc_id, chunk_id"
+    ).df()
+    assert after.equals(full)
+    assert stats["written"] == len(victims)
+    assert stats["skipped"] == len(done) - len(victims)

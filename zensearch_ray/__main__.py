@@ -70,6 +70,24 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    from zensearch_ray.pipelines.prep import prep_corpus
+
+    _ensure_ray()
+    stats = prep_corpus(
+        args.input,
+        args.output,
+        lang=args.lang if args.lang != "any" else None,
+        extract_from_html=args.extract_html,
+        min_tokens=args.min_tokens,
+        max_stop_ratio=args.max_stop_ratio,
+        chunk_tokens=args.chunk_tokens,
+        n_partitions=args.partitions,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from zensearch_ray.pipelines.compact import compact_index
 
@@ -136,6 +154,20 @@ def main(argv=None) -> int:
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
+
+    pr = sub.add_parser(
+        "prep",
+        help="training-data prep: extract/filter/dedup/chunk -> partitioned parquet",
+    )
+    pr.add_argument("--input", required=True, help="pages parquet file/dir")
+    pr.add_argument("--output", required=True, help="output directory (resumable)")
+    pr.add_argument("--lang", default="en", help="'any' disables the filter")
+    pr.add_argument("--extract-html", action="store_true")
+    pr.add_argument("--min-tokens", type=int, default=40)
+    pr.add_argument("--max-stop-ratio", type=float, default=0.5)
+    pr.add_argument("--chunk-tokens", type=int, default=512)
+    pr.add_argument("--partitions", type=int, default=64)
+    pr.set_defaults(fn=cmd_prep)
 
     c = sub.add_parser(
         "compact",
