@@ -39,3 +39,20 @@ def test_service_matches_engine_and_stays_warm(service_index):
         assert len(batch) == len(queries) * 3
         for q, res in zip(queries * 3, batch):
             assert res == engine.topk(q, 5), q
+
+
+def test_service_positional_modes(ray_session, pages_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("svc_pos_idx"))
+    build_index(
+        pages_small, d,
+        BuildConfig(
+            num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en",
+            positions=True,
+        ),
+    )
+    engine = QueryEngine(d)
+    with QueryService(d, replicas=1) as svc:
+        for q in ["web search", "search engine"]:
+            assert svc.search(q, mode="phrase") == engine.topk_phrase(q, 10), q
+            assert svc.search(q, mode="near") == engine.topk_near(q, 8, 10), q
+        assert svc.search("se", mode="prefix") == engine.topk_prefix("se", 10)

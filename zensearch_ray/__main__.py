@@ -180,7 +180,11 @@ def main(argv=None) -> int:
     s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
     s.add_argument("--index", required=True)
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--mode", choices=["exhaustive", "pruned", "and"], default="pruned")
+    s.add_argument(
+        "--mode",
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix"],
+        default="pruned",
+    )
     s.add_argument("--replicas", type=int, default=2)
     s.set_defaults(fn=cmd_serve)
 

@@ -34,6 +34,9 @@ class _EngineReplica:
             "exhaustive": self.engine.topk,
             "pruned": self.engine.topk_pruned,
             "and": self.engine.topk_and,
+            "phrase": self.engine.topk_phrase,
+            "near": lambda q, kk: self.engine.topk_near(q, 8, kk),
+            "prefix": self.engine.topk_prefix,
         }[mode]
         return fn(query, k)
 
