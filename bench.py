@@ -223,6 +223,33 @@ def run_bench() -> dict:
     _, t = timed(lambda: docs_prepared(SF_DIR).count())
     results["docs_prepared_sec"] = round(t, 3)
 
+    # -- r2 session-3 operators over sf tables ----------------------------
+    from zensearch_ray.pipelines.corpus import (
+        more_like_this,
+        near_topk,
+        pmi_bigrams,
+        search_snippets,
+    )
+    from zensearch_ray.stages.dedup import dup_ngram_rate
+
+    _, t = timed(lambda: near_topk(SF_DIR, "hash join", window=5, k=10))
+    results["near_topk_sec"] = round(t, 3)
+    _, t = timed(lambda: search_snippets(SF_DIR, "spark window merge stream table"))
+    results["snippets_sec"] = round(t, 3)
+    _, t = timed(lambda: more_like_this(SF_DIR, doc_id=0))
+    results["more_like_this_sec"] = round(t, 3)
+    _, t = timed(lambda: pmi_bigrams(SF_DIR, n=20, min_count=5))
+    results["pmi_bigrams_sec"] = round(t, 3)
+    _, t = timed(
+        lambda: dup_ngram_rate(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            n=8,
+        ).count()
+    )
+    results["dup_ngram_rate_sec"] = round(t, 3)
+
     import pyarrow.parquet as pq
 
     probe = pq.read_table(

