@@ -56,3 +56,37 @@ def test_service_positional_modes(ray_session, pages_small, tmp_path_factory):
             assert svc.search(q, mode="phrase") == engine.topk_phrase(q, 10), q
             assert svc.search(q, mode="near") == engine.topk_near(q, 8, 10), q
         assert svc.search("se", mode="prefix") == engine.topk_prefix("se", 10)
+
+
+def test_query_scorer_modes(ray_session, pages_small, tmp_path_factory):
+    """QueryScorer serves phrase/near through the actor pool, matching
+    the direct engine per query."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.query import QueryScorer
+
+    d = str(tmp_path_factory.mktemp("scorer_pos_idx"))
+    build_index(
+        pages_small, d,
+        BuildConfig(
+            num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en",
+            positions=True,
+        ),
+    )
+    engine = QueryEngine(d)
+    queries = ["web search", "search engine", "the of"]
+    qds = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    )
+    out = qds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": d, "k": 5, "mode": "phrase"},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    for i, q in enumerate(queries):
+        got = [
+            (r.doc_id, r.score)
+            for r in out[out["query_id"] == i].sort_values("rank").itertuples()
+        ]
+        assert got == engine.topk_phrase(q, 5), q

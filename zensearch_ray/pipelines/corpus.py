@@ -681,11 +681,14 @@ def more_like_this(
     from zensearch_ray.functions.bm25 import idf
 
     engine = QueryEngine(index_dir_for(sf_dir))
-    text = pq.read_table(
+    texts = pq.read_table(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filters=[("doc_id", "==", doc_id)],
-    )["text"].to_pylist()[0]
+    )["text"].to_pylist()
+    if not texts:
+        raise ValueError(f"doc_id {doc_id} not found in {sf_dir}/documents.parquet")
+    text = texts[0]
     tf0 = Counter(tokenize(text))
     cand = []
     for term, tf in tf0.items():

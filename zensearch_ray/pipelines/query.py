@@ -643,14 +643,31 @@ class QueryScorer:
     per actor, amortized over the query stream).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, pruned: bool = False):
+    def __init__(
+        self, index_dir: str, k: int = 10, pruned: bool = False,
+        mode: str | None = None, window: int = 8,
+    ):
         self.engine = QueryEngine(index_dir)
         self.k = k
-        self.pruned = pruned
+        # mode supersedes the legacy pruned flag: exhaustive | pruned |
+        # and | phrase | near | prefix (phrase/near need a positional
+        # index). Bulk offline phrase/near workloads run through the
+        # same warm actor pool as plain scoring.
+        if mode is None:
+            mode = "pruned" if pruned else "exhaustive"
+        e = self.engine
+        self.fn = {
+            "exhaustive": e.topk,
+            "pruned": e.topk_pruned,
+            "and": e.topk_and,
+            "phrase": e.topk_phrase,
+            "near": lambda q, kk: e.topk_near(q, window, kk),
+            "prefix": e.topk_prefix,
+        }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, queries, ranks, doc_ids, scores = [], [], [], [], []
-        fn = self.engine.topk_pruned if self.pruned else self.engine.topk
+        fn = self.fn
         for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
             for rank, (doc_id, score) in enumerate(fn(q, self.k), start=1):
                 qids.append(qid)
