@@ -97,6 +97,50 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index introspection: the global manifest plus the per-partition
+    lineage metrics the build emitted (postings, bytes, build/sort/
+    encode seconds, postings/sec) — the north_star's "per-partition
+    throughput and posting-bytes metrics", surfaced."""
+    import numpy as np
+
+    from zensearch_ray.state.manifest import IndexLayout
+
+    layout = IndexLayout(args.index)
+    manifest = layout.read_manifest()
+    parts = layout.committed_parts_all_gens()
+    out = {"manifest": manifest}
+    if parts:
+        def col(k):
+            return np.array([p.get(k) or 0 for p in parts], dtype=np.float64)
+
+        bytes_ = col("posting_bytes")
+        pps = col("postings_per_sec")
+        out["partitions"] = {
+            "n": len(parts),
+            "posting_bytes": {
+                "total": int(bytes_.sum()),
+                "min": int(bytes_.min()),
+                "p50": int(np.percentile(bytes_, 50)),
+                "max": int(bytes_.max()),
+                "skew_max_over_p50": round(
+                    float(bytes_.max() / max(np.percentile(bytes_, 50), 1)), 2
+                ),
+            },
+            "postings_per_sec": {
+                "min": int(pps.min()),
+                "p50": int(np.percentile(pps, 50)),
+                "max": int(pps.max()),
+            },
+            "n_terms_total": int(col("n_terms").sum()),
+            "n_postings_total": int(col("n_postings").sum()),
+        }
+        if args.partitions:
+            out["per_partition"] = parts
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Interactive serving loop (reference GET /search analog): reads
     one query per stdin line, prints one JSON result line, keeps the
@@ -176,6 +220,16 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True, help="source index (untouched)")
     c.add_argument("--output", required=True, help="compacted index directory")
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser(
+        "stats", help="index manifest + per-partition lineage metrics"
+    )
+    st.add_argument("--index", required=True)
+    st.add_argument(
+        "--partitions", action="store_true",
+        help="include every partition's raw metrics row",
+    )
+    st.set_defaults(fn=cmd_stats)
 
     s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
     s.add_argument("--index", required=True)

@@ -89,7 +89,10 @@ class TokenizeStage:
                 if not toks:
                     outer_counts[i] = 0
                     continue
-                codes, uniques = _pd.factorize(toks)  # appearance order
+                # np object array: list input to factorize is deprecated
+                codes, uniques = _pd.factorize(
+                    np.asarray(toks, dtype=object)
+                )  # appearance order
                 counts = np.bincount(codes, minlength=len(uniques))
                 order = np.argsort(codes, kind="stable")
                 all_terms.extend(uniques)
