@@ -97,6 +97,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    from zensearch_ray.pipelines.compact import merge_indexes
+
+    _ensure_ray()
+    manifest = merge_indexes(args.a, args.b, args.output)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: the global manifest plus the per-partition
     lineage metrics the build emitted (postings, bytes, build/sort/
@@ -220,6 +229,15 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True, help="source index (untouched)")
     c.add_argument("--output", required=True, help="compacted index directory")
     c.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser(
+        "merge",
+        help="merge two independently built indexes into one (union id space)",
+    )
+    mg.add_argument("--a", required=True, help="first index (ids keep their values)")
+    mg.add_argument("--b", required=True, help="second index (ids offset by a's ceiling)")
+    mg.add_argument("--output", required=True, help="merged index directory")
+    mg.set_defaults(fn=cmd_merge)
 
     st = sub.add_parser(
         "stats", help="index manifest + per-partition lineage metrics"

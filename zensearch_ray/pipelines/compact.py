@@ -37,16 +37,22 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from zensearch_ray.functions.bm25 import BM25Params
 from zensearch_ray.state.manifest import IndexLayout
 
 
-def _merge_partition(files: list[str], avgdl: float, params: BM25Params) -> bytes:
-    """Read every generation segment of one partition, merge postings
-    per term (generations have disjoint doc-id ranges; sort makes the
-    result order-invariant), re-encode under ``avgdl``. Returns the
-    parquet payload bytes. Pure function → plain testable code."""
+def _merge_partition(
+    files: list[str | tuple[str, int]], avgdl: float, params: BM25Params
+) -> bytes:
+    """Read every source segment of one partition, merge postings per
+    term (sources have disjoint doc-id ranges; sort makes the result
+    order-invariant), re-encode under ``avgdl``. Each file may carry a
+    doc-id offset (``(path, offset)``) — cross-index merge relocates
+    one side's dense ids into the union id space; positions are
+    doc-internal and never shift. Returns the parquet payload bytes.
+    Pure function → plain testable code."""
     import io
 
     import pyarrow.parquet as pq
@@ -60,13 +66,16 @@ def _merge_partition(files: list[str], avgdl: float, params: BM25Params) -> byte
 
     per_term: dict[str, list[tuple]] = {}
     positional = False
-    for path in files:
+    for entry in files:
+        path, id_offset = entry if isinstance(entry, tuple) else (entry, 0)
         t = pq.read_table(path)
         positional = positional or "pos" in t.column_names
         terms = t["term"].to_pylist()
         rows = t.to_pylist()
         for term, row in zip(terms, rows):
             ids, tfs_r, dls_r = decode_posting(row)
+            if id_offset:
+                ids = ids + id_offset
             # positional segments: positions merge alongside, re-sorted
             # with the same permutation as their postings
             flat_pos = (
@@ -224,6 +233,178 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
             "build_wall_sec": round(time.perf_counter() - t_start, 3),
             "phase_secs": {"compact": round(time.perf_counter() - t_start, 3)},
             "compacted_from": index_dir,
+        }
+    )
+    dst.write_manifest(manifest)
+    return manifest
+
+
+def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> dict:
+    """Merge two INDEPENDENTLY BUILT indexes into one fresh index — the
+    posting-list merge step of a sharded build (index crawl batches on
+    separate clusters, merge the results; reference analog: the single
+    MySQL index simply grows, ``database/src/database.ts:16-91`` — here
+    growth composes from immutable index artifacts instead).
+
+    Both inputs must share a config fingerprint (tokenizer, codec,
+    num_shards, salting, BM25 params, positions, id_mode) and carry an
+    ``id_ceiling`` (dense/bounded doc ids). B's doc ids are relocated
+    by ``a.id_ceiling`` into the union id space: postings are decoded,
+    offset, merged per term and re-encoded under the UNION avgdl (exact
+    metadata combine), so block-max bounds are exact — the merged index
+    is results-identical to a one-shot build over the union corpus
+    (asserted in ``tests/test_merge.py``). Positions never shift (they
+    are doc-internal).
+
+    Distributed and resumable exactly like ``compact_index``: one Ray
+    Data task per partition, no shuffle, atomic per-partition commits,
+    rerun skips finished partitions. Docmeta merges by file copy (A)
+    plus a doc_id-offset rewrite (B) — metadata-sized IO.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    src_a, src_b = IndexLayout(a_dir), IndexLayout(b_dir)
+    ma, mb = src_a.read_manifest(), src_b.read_manifest()
+    fp = str(ma.get("config_fp", ""))
+    if str(mb.get("config_fp", "")) != fp:
+        raise ValueError(
+            f"config fingerprints differ (a={fp!r}, b={mb.get('config_fp')!r}); "
+            "indexes must be built with the exact same config to merge"
+        )
+    if not ma.get("id_ceiling") or not mb.get("id_ceiling"):
+        raise ValueError(
+            "merge requires bounded doc ids (id_ceiling) on both indexes; "
+            "hash-id indexes cannot be relocated into a union id space"
+        )
+    offset_b = int(ma["id_ceiling"])
+    dst = IndexLayout(out_dir)
+    dst.ensure_dirs()
+    t_start = time.perf_counter()
+
+    # union corpus stats — a pure metadata combine
+    n_docs = int(ma["n_docs"]) + int(mb["n_docs"])
+    sum_dl = int(ma.get("sum_dl") or round(ma["avgdl"] * ma["n_docs"])) + int(
+        mb.get("sum_dl") or round(mb["avgdl"] * mb["n_docs"])
+    )
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+    params = BM25Params(k1=float(ma["k1"]), b=float(ma["b"]))
+
+    done = dst.committed_parts()
+    for p, m in done.items():
+        if m.get("config_fp") != fp:
+            raise ValueError(
+                f"out_dir {out_dir} partition {p} was committed under config "
+                f"{m.get('config_fp')!r} != source {fp!r}; use a fresh out_dir"
+            )
+    all_parts = sorted(
+        {int(m["part"]) for m in src_a.committed_parts_all_gens()}
+        | {int(m["part"]) for m in src_b.committed_parts_all_gens()}
+    )
+    todo = [p for p in all_parts if p not in done]
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        import io as _io
+
+        out_parts, out_bytes = [], []
+        for part in batch["part"].to_pylist():
+            files = [(f, 0) for f in src_a.part_posting_files(part)] + [
+                (f, offset_b) for f in src_b.part_posting_files(part)
+            ]
+            payload = _merge_partition(files, avgdl, params)
+            seg = pq.read_table(_io.BytesIO(payload), columns=["df"])
+            metrics = {
+                "n_terms": int(seg.num_rows),
+                "n_postings": int(np.sum(seg["df"].to_numpy(zero_copy_only=False)))
+                if seg.num_rows else 0,
+                "posting_bytes": len(payload),
+                "config_fp": fp,
+                "encode_avgdl": avgdl,
+                "merged_from": [os.path.basename(f) for f, _ in files],
+            }
+            dst.commit_partition(part, payload, metrics, gen=0)
+            out_parts.append(part)
+            out_bytes.append(len(payload))
+        return pa.table(
+            {
+                "part": pa.array(out_parts, type=pa.int64()),
+                "posting_bytes": pa.array(out_bytes, type=pa.int64()),
+            }
+        )
+
+    n_built = 0
+    if todo:
+        items = rd.from_items(
+            [{"part": p} for p in todo], override_num_blocks=len(todo)
+        )
+        n_built = items.map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=1
+        ).count()
+
+    # docmeta: A copies through; B rewrites doc_id into the union space
+    for gen_dir, prefix in _docmeta_sources(src_a):
+        for name in sorted(os.listdir(gen_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            target = os.path.join(dst.docmeta_dir, f"a-{prefix}{name}")
+            if not os.path.exists(target):
+                shutil.copy2(os.path.join(gen_dir, name), target)
+    for gen_dir, prefix in _docmeta_sources(src_b):
+        for name in sorted(os.listdir(gen_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            target = os.path.join(dst.docmeta_dir, f"b-{prefix}{name}")
+            if os.path.exists(target):
+                continue
+            t = pq.read_table(os.path.join(gen_dir, name))
+            ids = pc.add(t["doc_id"], pa.scalar(offset_b, type=pa.int64()))
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id", ids.cast(pa.int64())
+            )
+            tmp = target + ".tmp"
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, target)
+
+    # merged docstats → future appends onto the merged index work
+    heavy: set[str] = set()
+    for src in (src_a, src_b):
+        g = 0
+        while (stats := src.read_docstats(g)) is not None:
+            heavy.update(stats.get("heavy_terms", []))
+            g += 1
+    dst.write_docstats(
+        {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": avgdl,
+            "heavy_df_threshold": max(
+                int(ma.get("heavy_df_threshold") or 0),
+                int(mb.get("heavy_df_threshold") or 0),
+            ) or None,
+            "heavy_terms": sorted(heavy),
+            "config_fp": fp,
+            "gen": 0,
+        }
+    )
+
+    committed = dst.committed_parts()
+    manifest = dict(ma)
+    manifest.update(
+        {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": avgdl,
+            "id_ceiling": offset_b + int(mb["id_ceiling"]),
+            "n_generations": 1,
+            "n_partitions": len(committed),
+            "n_partitions_built_this_run": int(n_built),
+            "total_postings": int(sum(m["n_postings"] for m in committed.values())),
+            "total_posting_bytes": int(
+                sum(m["posting_bytes"] for m in committed.values())
+            ),
+            "build_wall_sec": round(time.perf_counter() - t_start, 3),
+            "phase_secs": {"merge": round(time.perf_counter() - t_start, 3)},
+            "merged_from": [a_dir, b_dir],
         }
     )
     dst.write_manifest(manifest)
