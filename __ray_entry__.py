@@ -37,6 +37,7 @@ PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
 NEAR_WINDOW = 5
 PREFIX_QUERY = "s"
+FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -97,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def prefix(sf_dir: str):
         return corpus.prefix_topk(sf_dir, PREFIX_QUERY, k=10)
+
+    def fuzzy(sf_dir: str):
+        return corpus.fuzzy_topk(sf_dir, FUZZY_QUERY, k=10)
 
     def mlt(sf_dir: str):
         return corpus.more_like_this(sf_dir, doc_id=0, m=5, k=10)
@@ -295,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
         "prefix_topk": prefix,
+        "fuzzy_topk": fuzzy,
         "more_like_this": mlt,
         "search_snippets": snippets,
         "top_bigrams": bigrams,
@@ -389,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
         "prefix_topk": _prefix_sql(),
+        "fuzzy_topk": _fuzzy_sql(),
         "more_like_this": _mlt_sql(),
         "search_snippets": _snippets_sql(),
         "dup_ngram_rate": f"""
@@ -911,6 +917,47 @@ def _prefix_sql() -> str:
         stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
                          (SELECT avg(dl) FROM dl) AS avgdl),
         qterms AS (SELECT DISTINCT term FROM toks WHERE term LIKE '{PREFIX_QUERY}%'),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _fuzzy_sql() -> str:
+    """Fuzzy-search oracle: the same exhaustive-BM25 body as
+    ``_prefix_sql`` with qterms = the DISTINCT corpus terms within
+    levenshtein distance 1 of ANY query token — DuckDB's levenshtein is
+    byte-based over UTF-8, which is exactly the engine's
+    ``functions/fuzzy.py`` semantics."""
+    cond = " OR ".join(
+        f"levenshtein(term, '{t}') <= 1" for t in FUZZY_QUERY.split()
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms AS (SELECT DISTINCT term FROM toks WHERE {cond}),
         tf AS (
             SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
             FROM toks t JOIN qterms q USING (term)

@@ -1,0 +1,98 @@
+"""Fuzzy (edit-distance-1) query expansion: the vectorized byte-wise
+lcp/lcs screen must agree with a reference Levenshtein DP everywhere
+(including multi-byte UTF-8, where DuckDB's byte semantics are the
+contract), and topk_fuzzy must equal scoring the expansion as an
+OR-query."""
+
+import itertools
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.functions.fuzzy import edit1_mask, expand_edit1
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+
+
+def _lev_bytes(a: str, b: str) -> int:
+    """Reference DP over UTF-8 bytes (DuckDB levenshtein semantics)."""
+    a, b = a.encode(), b.encode()
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_edit1_mask_matches_dp_referee():
+    pool = ["".join(p) for n in range(0, 4) for p in itertools.product("abc", repeat=n)]
+    pool += ["café", "cafe", "caf", "cafés", "straße", "strasse",
+             "naïve", "naive", "中文", "中", "stream", "strem", "key"]
+    for q in ["ab", "abc", "abca", "a", "café", "naive", "中文", "xyz", "strem"]:
+        want = np.array([_lev_bytes(t, q) <= 1 for t in pool])
+        got = edit1_mask(pool, q)
+        assert (want == got).all(), (q, [pool[i] for i in np.nonzero(want != got)[0]])
+
+
+def test_edit1_unicode_is_byte_based():
+    # é is 2 UTF-8 bytes → distance('cafe','café') == 2, NOT a match;
+    # this is deliberate DuckDB/Postgres levenshtein parity
+    assert not edit1_mask(["café"], "cafe")[0]
+    assert edit1_mask(["cafés"], "café")[0]  # one byte appended
+
+
+def test_expand_edit1_unions_query_terms():
+    vocab = ["stream", "window", "key", "table", "strem"]
+    got = expand_edit1(vocab, ["strem", "windoq", "kay", "strem"])
+    assert got == ["key", "stream", "strem", "window"]
+    assert expand_edit1([], ["x"]) == []
+    assert expand_edit1(vocab, []) == []
+
+
+@pytest.fixture(scope="module")
+def fuzzy_index(ray_session, pages_small, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("fuzzy_idx"))
+    cfg = BuildConfig(num_shards=8, salt_subs=4, heavy_df_threshold=60, lang="en")
+    build_index(pages_small, index_dir, cfg)
+    return index_dir, pages_small
+
+
+def test_expand_fuzzy_matches_vocab_scan(fuzzy_index):
+    from zensearch_ray.functions.text import tokenize
+
+    index_dir, pages_path = fuzzy_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    vocab = set()
+    for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        if lg == "en":
+            vocab.update(tokenize(tx))
+    for q in ["serch", "engin", "tha", "café", "zzzzzzz", "serch engin"]:
+        toks = tokenize(q)
+        want = sorted(
+            v for v in vocab if any(_lev_bytes(v, tk) <= 1 for tk in toks)
+        )
+        assert engine.expand_fuzzy(q) == want, q
+
+
+def test_topk_fuzzy_scores_expansion_as_or_query(fuzzy_index):
+    from zensearch_ray.functions.bm25 import idf
+
+    index_dir, _ = fuzzy_index
+    engine = QueryEngine(index_dir)
+    for q in ["serch engin", "tha", "qqqqzzz"]:
+        terms = engine.expand_fuzzy(q)
+        plan = []
+        for term in terms:
+            p = engine.lookup(term)
+            if p is None:
+                continue
+            w = idf(engine.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        want = engine._score_plan(plan, 10) if plan else []
+        assert engine.topk_fuzzy(q, 10) == want, q
+    assert engine.topk_fuzzy("", 10) == []

@@ -61,6 +61,7 @@ def cmd_query(args) -> int:
                 "phrase": engine.topk_phrase,
                 "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
                 "prefix": engine.topk_prefix,
+                "fuzzy": engine.topk_fuzzy,
             }[args.mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -198,7 +199,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy"],
         default="pruned",
     )
     q.add_argument(
@@ -254,7 +255,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy"],
         default="pruned",
     )
     s.add_argument("--replicas", type=int, default=2)

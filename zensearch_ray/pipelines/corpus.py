@@ -666,6 +666,22 @@ def prefix_topk(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def fuzzy_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Fuzzy (typo-tolerant) BM25 top-k: every query term expanded
+    against the index term dictionary at byte-Levenshtein distance ≤ 1,
+    scored as an OR-query (see ``QueryEngine.topk_fuzzy``). Columns:
+    (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_fuzzy(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def more_like_this(
     sf_dir: str, doc_id: int, m: int = 5, k: int = 10
 ) -> pd.DataFrame:

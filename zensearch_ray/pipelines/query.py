@@ -221,6 +221,7 @@ class QueryEngine:
         )
         self._cache: OrderedDict[str, _TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
+        self._vocab: list[str] | None = None  # lazy, fuzzy expansion only
 
     # -- lookup -----------------------------------------------------------
     def _part_files(self, shard: int) -> list[str]:
@@ -339,6 +340,56 @@ class QueryEngine:
         (SQL: qterms = DISTINCT terms LIKE 'prefix%')."""
         plan = []
         for t in self.expand_prefix(prefix):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return self._score_plan(plan, k)
+
+    def _all_terms(self) -> list[str]:
+        """The full term dictionary (sorted, deduped across partitions/
+        generations), cached per engine. Vocab-scale, postings never
+        touched — ``columns=["term"]`` prunes the read to the dictionary
+        column. At cluster scale this is the per-shard dictionary read
+        fuzzy expansion fans out; a deletion-neighborhood sidecar
+        (SymSpell-style, built once at index time) is the metadata-only
+        upgrade path if vocab-scan latency ever matters."""
+        if self._vocab is None:
+            terms: set[str] = set()
+            for part in range(self.num_shards * self.salt_subs):
+                for path in self.layout.part_posting_files(part):
+                    terms.update(
+                        pq.read_table(path, columns=["term"])["term"].to_pylist()
+                    )
+            self._vocab = sorted(terms)
+        return self._vocab
+
+    def expand_fuzzy(self, query: str, max_dist: int = 1) -> list[str]:
+        """Dictionary terms within byte-Levenshtein distance
+        ``max_dist`` (only 1 supported) of ANY normalized query token —
+        the typo-tolerant analog of ``expand_prefix``. Byte semantics
+        match DuckDB/PostgreSQL ``levenshtein`` (multi-byte chars count
+        per byte), keeping the engine oracle-checkable."""
+        from zensearch_ray.functions.fuzzy import expand_edit1
+
+        if max_dist != 1:
+            raise ValueError("only max_dist=1 is supported")
+        toks = tokenize(query)
+        if not toks:
+            return []
+        return expand_edit1(self._all_terms(), toks)
+
+    def topk_fuzzy(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Fuzzy (typo-tolerant) top-k: expand every query term against
+        the term dictionary at edit distance ≤ 1, then score the
+        expansion as an OR-query — each matched term contributes its own
+        idf·tf_norm once, exactly as if the expansion were the query
+        (same contract as ``topk_prefix``)."""
+        plan = []
+        for t in self.expand_fuzzy(query):
             p = self.lookup(t)
             if p is None:
                 continue
@@ -522,6 +573,7 @@ class QueryEngine:
             "phrase": self.topk_phrase,
             "near": lambda q, kk: self.topk_near(q, window, kk),
             "prefix": self.topk_prefix,
+            "fuzzy": self.topk_fuzzy,
         }[mode]
         hits = fn(query, k)
         if not hits:
@@ -663,6 +715,7 @@ class QueryScorer:
             "phrase": e.topk_phrase,
             "near": lambda q, kk: e.topk_near(q, window, kk),
             "prefix": e.topk_prefix,
+            "fuzzy": e.topk_fuzzy,
         }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

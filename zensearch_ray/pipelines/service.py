@@ -37,6 +37,7 @@ class _EngineReplica:
             "phrase": self.engine.topk_phrase,
             "near": lambda q, kk: self.engine.topk_near(q, 8, kk),
             "prefix": self.engine.topk_prefix,
+            "fuzzy": self.engine.topk_fuzzy,
         }[mode]
         return fn(query, k)
 
