@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy(sf_dir: str):
         return corpus.fuzzy_topk(sf_dir, FUZZY_QUERY, k=10)
 
+    def dym(sf_dir: str):
+        return corpus.did_you_mean(sf_dir, FUZZY_QUERY)
+
     def mlt(sf_dir: str):
         return corpus.more_like_this(sf_dir, doc_id=0, m=5, k=10)
 
@@ -300,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_topk": near,
         "prefix_topk": prefix,
         "fuzzy_topk": fuzzy,
+        "did_you_mean": dym,
         "more_like_this": mlt,
         "search_snippets": snippets,
         "top_bigrams": bigrams,
@@ -395,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "near_topk": _near_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
+        "did_you_mean": _dym_sql(),
         "more_like_this": _mlt_sql(),
         "search_snippets": _snippets_sql(),
         "dup_ngram_rate": f"""
@@ -981,6 +986,35 @@ def _fuzzy_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _dym_sql() -> str:
+    """Did-you-mean oracle: per query token, the corpus term within
+    levenshtein distance 1 with the highest df (docs containing it);
+    an exactly-spelled token wins outright, ties df DESC then term
+    ASC; tokens with no neighbor drop out."""
+    values = ", ".join(f"('{t}')" for t in sorted(set(FUZZY_QUERY.split())))
+    return f"""
+        WITH toks AS ({_TOKS}),
+        vocab AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks GROUP BY term
+        ),
+        qt(token) AS (VALUES {values}),
+        cand AS (
+            SELECT qt.token, v.term, v.df
+            FROM qt JOIN vocab v ON levenshtein(v.term, qt.token) <= 1
+        ),
+        pick AS (
+            SELECT token, term AS suggestion, df,
+                   row_number() OVER (
+                       PARTITION BY token
+                       ORDER BY (term = token) DESC, df DESC, term
+                   ) AS rn
+            FROM cand
+        )
+        SELECT token, suggestion, df FROM pick WHERE rn = 1 ORDER BY token
     """
 
 

@@ -77,6 +77,34 @@ def test_expand_fuzzy_matches_vocab_scan(fuzzy_index):
         assert engine.expand_fuzzy(q) == want, q
 
 
+def test_suggest_matches_brute_force(fuzzy_index):
+    from zensearch_ray.functions.text import tokenize
+
+    index_dir, pages_path = fuzzy_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    docs = [
+        set(tokenize(tx))
+        for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist())
+        if lg == "en"
+    ]
+    vocab = sorted(set().union(*docs))
+    df = {v: sum(v in d for d in docs) for v in vocab}
+    for q in ["serch engin", "the", "tha thb", "zzzzzzzz", "café"]:
+        want = []
+        for tok in sorted(set(tokenize(q))):
+            cands = [v for v in vocab if _lev_bytes(v, tok) <= 1]
+            if not cands:
+                continue
+            best = min(cands, key=lambda v: (v != tok, -df[v], v))
+            want.append((tok, best, df[best]))
+        assert engine.suggest(q) == want, q
+    # an exactly-spelled token suggests itself even when a neighbor has
+    # higher df ("the" is the df champion around most 3-letter tokens)
+    for tok, sug, _ in engine.suggest("the"):
+        assert sug == tok == "the"
+
+
 def test_topk_fuzzy_scores_expansion_as_or_query(fuzzy_index):
     from zensearch_ray.functions.bm25 import idf
 

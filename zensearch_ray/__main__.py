@@ -71,6 +71,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(args.index)
+    for q in args.query:
+        rows = [
+            {"token": t, "suggestion": s, "df": d}
+            for t, s, d in engine.suggest(q)
+        ]
+        print(json.dumps({"query": q, "suggestions": rows}))
+    return 0
+
+
 def cmd_prep(args) -> int:
     from zensearch_ray.pipelines.prep import prep_corpus
 
@@ -208,6 +221,13 @@ def main(argv=None) -> int:
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
+
+    sg = sub.add_parser(
+        "suggest", help='"did you mean": per-token spelling suggestions'
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("query", nargs="+")
+    sg.set_defaults(fn=cmd_suggest)
 
     pr = sub.add_parser(
         "prep",

@@ -682,6 +682,21 @@ def fuzzy_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def did_you_mean(sf_dir: str, query: str) -> pd.DataFrame:
+    """Spelling suggestions: per distinct query token, the highest-df
+    dictionary term within byte-Levenshtein distance 1 (see
+    ``QueryEngine.suggest``). Columns: (token, suggestion, df)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    rows = engine.suggest(query)
+    return pd.DataFrame(
+        {
+            "token": pd.Series([r[0] for r in rows], dtype=object),
+            "suggestion": pd.Series([r[1] for r in rows], dtype=object),
+            "df": np.array([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def more_like_this(
     sf_dir: str, doc_id: int, m: int = 5, k: int = 10
 ) -> pd.DataFrame:

@@ -399,6 +399,24 @@ class QueryEngine:
             plan.append((p, w))
         return self._score_plan(plan, k)
 
+    def suggest(self, query: str) -> list[tuple[str, str, int]]:
+        """"Did you mean": for each DISTINCT query token (sorted), the
+        dictionary term within byte-Levenshtein distance 1 with the
+        highest df — an exactly-spelled token suggests itself (distance
+        0 beats any df), ties break df DESC then term ASC; tokens with
+        no neighbor are dropped. Returns (token, suggestion, df)."""
+        from zensearch_ray.functions.fuzzy import edit1_mask
+
+        out: list[tuple[str, str, int]] = []
+        vocab = self._all_terms()
+        for tok in sorted(set(tokenize(query))):
+            cands = [vocab[i] for i in np.nonzero(edit1_mask(vocab, tok))[0]]
+            if not cands:
+                continue
+            best = min(cands, key=lambda t: (t != tok, -self.df(t), t))
+            out.append((tok, best, self.df(best)))
+        return out
+
     def topk_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Conjunctive (AND) top-k: only documents containing EVERY
         distinct query term are scored — the posting-list intersection
