@@ -90,3 +90,32 @@ def test_query_scorer_modes(ray_session, pages_small, tmp_path_factory):
             for r in out[out["query_id"] == i].sort_values("rank").itertuples()
         ]
         assert got == engine.topk_phrase(q, 5), q
+
+
+def test_sharded_service_bit_identical_to_engine(service_index):
+    from zensearch_ray.pipelines.service import ShardedQueryService
+
+    engine = QueryEngine(service_index)
+    queries = [
+        "search engine ranking", "the of and", "café straße naïve",
+        "query data web site host text title", "zzz-not-a-word", "the",
+    ]
+    for workers in (1, 3):
+        with ShardedQueryService(service_index, workers=workers) as svc:
+            for q in queries:
+                assert svc.topk(q, 10) == engine.topk(q, 10), (workers, q)
+            batch = svc.topk_batch(queries, k=10)
+            assert batch == [engine.topk(q, 10) for q in queries]
+            assert svc.topk("", 10) == []
+            assert svc.topk_batch([""]) == [[]]
+
+
+def test_sharded_service_workers_cap_at_shards(service_index):
+    from zensearch_ray.pipelines.service import ShardedQueryService
+
+    # index has 4 shards; asking for 16 workers must not spawn idle ones
+    with ShardedQueryService(service_index, workers=16) as svc:
+        assert len(svc._workers) == 4
+        assert svc.topk("search engine", 5) == QueryEngine(service_index).topk(
+            "search engine", 5
+        )

@@ -132,3 +132,147 @@ class QueryService:
     def __exit__(self, *exc):
         self.shutdown()
         return False
+
+
+class _ShardReplica:
+    """Actor owning a subset of TERM shards: computes per-term partial
+    contribution vectors for the terms routed to it. Postings of other
+    shards are never read — on a cluster each node holds (or
+    page-caches) only its shard subset of the index."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        from zensearch_ray.pipelines.query import QueryEngine
+
+        self.engine = QueryEngine(index_dir, cache_terms=cache_terms)
+
+    def term_partials(self, terms: list[str]):
+        """term → (doc_ids, idf·tf_norm contributions) for each term
+        with df > 0 and idf > 0. Arrays are numpy (zero-copy through the
+        object store); the wire cost is Σ df(term) rows — the inherent
+        exchange of any distributed term-at-a-time scorer."""
+        from zensearch_ray.functions.bm25 import idf, tf_norm
+
+        e = self.engine
+        out = {}
+        for t in set(terms):
+            p = e.lookup(t)
+            if p is None:
+                continue
+            w = idf(e.n_docs, p.df)
+            if w == 0.0:
+                continue
+            ids, tfs, dls = p.decode_all()
+            out[t] = (ids, w * tf_norm(tfs, dls, e.avgdl, e.params))
+        return out
+
+
+class ShardedQueryService:
+    """Horizontally sharded query serving: the index's TERM shards are
+    partitioned across worker actors; a query routes each token to the
+    actor owning its shard (`hash(term) % num_shards`, the same routing
+    the build uses), workers return per-term partial contribution
+    vectors, and the driver assembles them in exact query-plan order —
+    the result is BIT-IDENTICAL to ``QueryEngine.topk`` (same kernels,
+    same accumulation order; asserted in ``tests/test_service.py``).
+
+    This is the multi-node serving shape (reference analog: the single
+    search-engine process at ``search-engine/main.go:90-174`` scaled
+    out): per-node state is one shard subset, queries cost one RPC per
+    distinct owning worker, and adding workers repartitions shards
+    without touching the index. Pruned/MaxScore evaluation needs global
+    coordination, so the sharded path serves exhaustive OR scoring;
+    single-node replicas (``QueryService``) remain the pruned path.
+    """
+
+    def __init__(self, index_dir: str, workers: int = 4,
+                 cache_terms: int = 4096):
+        import ray
+
+        from zensearch_ray.state.manifest import IndexLayout
+
+        manifest = IndexLayout(index_dir).read_manifest()
+        self.num_shards = int(manifest["num_shards"])
+        workers = max(1, min(workers, self.num_shards))
+        actor_cls = ray.remote(num_cpus=1)(_ShardReplica)
+        self._workers = [
+            actor_cls.remote(index_dir, cache_terms) for _ in range(workers)
+        ]
+        # shard → worker: round-robin keeps Zipf-head terms spread out
+        self._route = [s % workers for s in range(self.num_shards)]
+
+    def _gather(self, terms: set[str]) -> dict:
+        import ray
+
+        from zensearch_ray.functions.ids import term_shard
+
+        by_worker: dict[int, list[str]] = {}
+        for t in terms:
+            w = self._route[term_shard(t, self.num_shards)]
+            by_worker.setdefault(w, []).append(t)
+        futs = [
+            self._workers[w].term_partials.remote(sorted(ts))
+            for w, ts in sorted(by_worker.items())
+        ]
+        merged: dict = {}
+        for part in ray.get(futs):
+            merged.update(part)
+        return merged
+
+    @staticmethod
+    def _assemble(toks: list[str], term_map: dict, k: int):
+        """Exactly ``QueryEngine._score_plan`` over the gathered
+        partials, in tokenize() order with multiplicity — float
+        accumulation order matches the single-engine path bit for bit."""
+        import numpy as np
+
+        from zensearch_ray.functions.bm25 import topk_order
+
+        all_ids = [term_map[t][0] for t in toks if t in term_map]
+        all_contrib = [term_map[t][1] for t in toks if t in term_map]
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        mask = scores > 0.0
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk(self, query: str, k: int = 10):
+        from zensearch_ray.functions.text import tokenize
+
+        toks = tokenize(query)
+        if not toks:
+            return []
+        return self._assemble(toks, self._gather(set(toks)), k)
+
+    def topk_batch(self, queries: list[str], k: int = 10):
+        """Bulk path: ONE round-trip per worker for the union of all
+        queries' terms, then per-query assembly on the driver."""
+        from zensearch_ray.functions.text import tokenize
+
+        tok_lists = [tokenize(q) for q in queries]
+        union = {t for toks in tok_lists for t in toks}
+        if not union:
+            return [[] for _ in queries]
+        term_map = self._gather(union)
+        return [
+            self._assemble(toks, term_map, k) if toks else []
+            for toks in tok_lists
+        ]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._workers:
+            ray.kill(a)
+        self._workers = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False
