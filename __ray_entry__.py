@@ -38,6 +38,7 @@ _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
 NEAR_WINDOW = 5
 PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
+NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -104,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def dym(sf_dir: str):
         return corpus.did_you_mean(sf_dir, FUZZY_QUERY)
+
+    def notq(sf_dir: str):
+        return corpus.not_topk(sf_dir, NOT_QUERY, k=10)
 
     def mlt(sf_dir: str):
         return corpus.more_like_this(sf_dir, doc_id=0, m=5, k=10)
@@ -304,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": prefix,
         "fuzzy_topk": fuzzy,
         "did_you_mean": dym,
+        "not_topk": notq,
         "more_like_this": mlt,
         "search_snippets": snippets,
         "top_bigrams": bigrams,
@@ -400,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "did_you_mean": _dym_sql(),
+        "not_topk": _not_sql(),
         "more_like_this": _mlt_sql(),
         "search_snippets": _snippets_sql(),
         "dup_ngram_rate": f"""
@@ -986,6 +992,50 @@ def _fuzzy_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _not_sql() -> str:
+    """Boolean-exclusion oracle: the exhaustive-BM25 body over the
+    positive terms, minus every document containing ANY excluded
+    term."""
+    raw = NOT_QUERY.split()
+    pos = [t for t in raw if not t.startswith("-")]
+    neg = [t[1:] for t in raw if t.startswith("-") and len(t) > 1]
+    pos_values = "(VALUES " + ", ".join(f"('{t}')" for t in pos) + ")"
+    neg_list = ", ".join(f"'{t}'" for t in neg)
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {pos_values},
+        excl AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_list})),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+        ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

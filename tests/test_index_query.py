@@ -203,3 +203,34 @@ def test_prefix_empty_and_nomatch(built_index):
     assert engine.expand_prefix("") == []
     assert engine.topk_prefix("", 10) == []
     assert engine.topk_prefix("qqqqzzz", 10) == []
+
+
+def test_topk_not_excludes_documents(built_index, oracle):
+    """topk_not == exhaustive topk over the positive terms minus every
+    doc containing an excluded term (referee: oracle postings)."""
+    index_dir, _, pages_path = built_index
+    engine = QueryEngine(index_dir)
+    from zensearch_ray.functions.text import tokenize as tk
+
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    ids = np.arange(t.num_rows, dtype=np.int64)
+    mask = np.array([l == "en" for l in t["lang"].to_pylist()])
+    docs = {
+        int(i): set(tk(tx))
+        for i, tx, m in zip(ids, t["text"].to_pylist(), mask)
+        if m
+    }
+    cases = [
+        ("search engine -the", ["search", "engine"], ["the"]),
+        ("the of -and -data", ["the", "of"], ["and", "data"]),
+        ("data -zzznope", ["data"], ["zzznope"]),
+        ("-the", [], ["the"]),
+    ]
+    for q, pos, neg in cases:
+        excl = {d for d, toks in docs.items() if any(n in toks for n in neg)}
+        want = [
+            (d, s)
+            for d, s in engine.topk(" ".join(pos), engine.n_docs or 1)
+            if d not in excl
+        ][:10]
+        assert engine.topk_not(q, 10) == want, q

@@ -62,6 +62,7 @@ def cmd_query(args) -> int:
                 "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
                 "prefix": engine.topk_prefix,
                 "fuzzy": engine.topk_fuzzy,
+                "not": engine.topk_not,
             }[args.mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -212,7 +213,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not"],
         default="pruned",
     )
     q.add_argument(
@@ -275,7 +276,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not"],
         default="pruned",
     )
     s.add_argument("--replicas", type=int, default=2)

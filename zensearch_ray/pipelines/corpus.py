@@ -682,6 +682,21 @@ def fuzzy_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def not_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Boolean-exclusion BM25 top-k: ``-term`` tokens exclude documents
+    containing that term (see ``QueryEngine.topk_not``). Columns:
+    (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_not(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def did_you_mean(sf_dir: str, query: str) -> pd.DataFrame:
     """Spelling suggestions: per distinct query token, the highest-df
     dictionary term within byte-Levenshtein distance 1 (see

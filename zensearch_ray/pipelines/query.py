@@ -399,6 +399,45 @@ class QueryEngine:
             plan.append((p, w))
         return self._score_plan(plan, k)
 
+    def topk_not(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean exclusion: whitespace tokens prefixed with ``-``
+        exclude every document containing that term; the remaining
+        tokens score exactly like ``topk``. ``"spark window -merge"``
+        = topk("spark window") minus docs containing "merge". Exclusion
+        reads only the excluded terms' postings (doc-id union) — the
+        anti-membership analog of the OR plan."""
+        raw = query.split()
+        pos_q = " ".join(t for t in raw if not t.startswith("-"))
+        neg_q = " ".join(t[1:] for t in raw if t.startswith("-") and len(t) > 1)
+        plan = self._term_plan(pos_q)
+        if not plan:
+            return []
+        excl_ids: list[np.ndarray] = []
+        for tok in set(tokenize(neg_q)):
+            p = self.lookup(tok)
+            if p is not None:
+                excl_ids.append(p.decode_all()[0])
+        excl = (
+            np.unique(np.concatenate(excl_ids))
+            if excl_ids
+            else np.empty(0, dtype=np.int64)
+        )
+        all_ids, all_contrib = [], []
+        for p, w in plan:
+            ids, tfs, dls = p.decode_all()
+            all_ids.append(ids)
+            all_contrib.append(w * tf_norm(tfs, dls, self.avgdl, self.params))
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        mask = scores > 0.0
+        if len(excl):
+            mask &= ~np.isin(uniq, excl, assume_unique=True)
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def suggest(self, query: str) -> list[tuple[str, str, int]]:
         """"Did you mean": for each DISTINCT query token (sorted), the
         dictionary term within byte-Levenshtein distance 1 with the
@@ -592,6 +631,7 @@ class QueryEngine:
             "near": lambda q, kk: self.topk_near(q, window, kk),
             "prefix": self.topk_prefix,
             "fuzzy": self.topk_fuzzy,
+            "not": self.topk_not,
         }[mode]
         hits = fn(query, k)
         if not hits:
@@ -734,6 +774,7 @@ class QueryScorer:
             "near": lambda q, kk: e.topk_near(q, window, kk),
             "prefix": e.topk_prefix,
             "fuzzy": e.topk_fuzzy,
+            "not": e.topk_not,
         }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

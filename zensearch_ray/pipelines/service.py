@@ -38,6 +38,7 @@ class _EngineReplica:
             "near": lambda q, kk: self.engine.topk_near(q, 8, kk),
             "prefix": self.engine.topk_prefix,
             "fuzzy": self.engine.topk_fuzzy,
+            "not": self.engine.topk_not,
         }[mode]
         return fn(query, k)
 
