@@ -85,6 +85,40 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Offline bulk scoring job: a queries file (one query per line, or
+    a parquet with query_id/query columns) streams through the warm
+    `QueryScorer` actor pool; ranked results land as parquet. The
+    `ray job submit` shape for scoring millions of queries against a
+    built index."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.query import QueryScorer
+
+    _ensure_ray()
+    if args.queries.endswith(".parquet"):
+        qds = rd.read_parquet(args.queries, columns=["query_id", "query"])
+    else:
+        with open(args.queries) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        qds = rd.from_items(
+            [{"query_id": i, "query": q} for i, q in enumerate(lines)]
+        )
+    out = qds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={
+            "index_dir": args.index, "k": args.k,
+            "mode": args.mode, "window": args.window,
+        },
+        batch_format="pyarrow",
+        batch_size=args.batch_size,
+        concurrency=args.concurrency,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"queries": qds.count(), "output": args.output}))
+    return 0
+
+
 def cmd_prep(args) -> int:
     from zensearch_ray.pipelines.prep import prep_corpus
 
@@ -222,6 +256,26 @@ def main(argv=None) -> int:
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.set_defaults(fn=cmd_query)
+
+    bt = sub.add_parser(
+        "batch", help="bulk scoring: queries file -> ranked results parquet"
+    )
+    bt.add_argument("--index", required=True)
+    bt.add_argument(
+        "--queries", required=True,
+        help="text file (one query/line) or parquet with query_id/query",
+    )
+    bt.add_argument("--output", required=True, help="results parquet directory")
+    bt.add_argument("-k", type=int, default=10)
+    bt.add_argument(
+        "--mode",
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not"],
+        default="pruned",
+    )
+    bt.add_argument("--window", type=int, default=8)
+    bt.add_argument("--batch-size", type=int, default=64)
+    bt.add_argument("--concurrency", type=int, default=8)
+    bt.set_defaults(fn=cmd_batch)
 
     sg = sub.add_parser(
         "suggest", help='"did you mean": per-token spelling suggestions'
