@@ -1,0 +1,57 @@
+"""CLI surface driven in-process (main(argv)): stats introspection,
+suggest, and query mode dispatch — the commands whose logic lives in
+__main__ itself rather than a pipeline module."""
+
+import json
+
+import pytest
+
+from zensearch_ray.__main__ import main
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+
+
+@pytest.fixture(scope="module")
+def cli_index(ray_session, pages_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_idx"))
+    manifest = build_index(
+        pages_small, d,
+        BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en"),
+    )
+    return d, manifest
+
+
+def _run(capsys, argv) -> list[dict]:
+    assert main(argv) == 0
+    return [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+
+
+def test_cli_stats_reports_partition_metrics(cli_index, capsys):
+    d, manifest = cli_index
+    (out,) = _run(capsys, ["stats", "--index", d])
+    assert out["manifest"]["n_docs"] == manifest["n_docs"]
+    p = out["partitions"]
+    assert p["n"] == manifest["n_partitions"]
+    assert p["posting_bytes"]["total"] == manifest["total_posting_bytes"]
+    assert p["n_postings_total"] == manifest["total_postings"]
+    assert p["posting_bytes"]["min"] <= p["posting_bytes"]["p50"] <= p["posting_bytes"]["max"]
+    assert p["posting_bytes"]["skew_max_over_p50"] >= 1
+    # --partitions adds one raw lineage row per committed partition
+    (full,) = _run(capsys, ["stats", "--index", d, "--partitions"])
+    assert len(full["per_partition"]) == p["n"]
+    assert all("posting_bytes" in row for row in full["per_partition"])
+
+
+def test_cli_suggest_and_query_modes(cli_index, capsys):
+    d, _ = cli_index
+    (sug,) = _run(capsys, ["suggest", "--index", d, "serch engin"])
+    got = {r["token"]: r["suggestion"] for r in sug["suggestions"]}
+    assert got == {"serch": "search", "engin": "engine"}
+
+    (fz,) = _run(capsys, ["query", "--index", d, "--mode", "fuzzy", "serch"])
+    (ex,) = _run(capsys, ["query", "--index", d, "--mode", "exhaustive", "search"])
+    assert fz["results"] and ex["results"]
+
+    (nt,) = _run(capsys, ["query", "--index", d, "--mode", "not", "search -the"])
+    excluded = {r["doc_id"] for r in nt["results"]}
+    (the,) = _run(capsys, ["query", "--index", d, "--mode", "exhaustive", "the", "-k", "100000"])
+    assert excluded.isdisjoint({r["doc_id"] for r in the["results"]})
