@@ -39,6 +39,7 @@ NEAR_WINDOW = 5
 PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
+DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
@@ -130,6 +131,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return dup_ngram_rate(ds, n=8)
+
+    def decon(sf_dir: str):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from zensearch_ray.stages.dedup import decontaminate
+
+        bench = (
+            pq.read_table(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                filters=[("doc_id", "<", DECON_BENCH_DOCS)],
+            )
+            .sort_by("doc_id")["text"]
+            .to_pylist()
+        )
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(expr=f"doc_id >= {DECON_BENCH_DOCS}")
+        return decontaminate(ds, bench, n=8)
 
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
@@ -314,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
         "dup_ngram_rate": ngram_rate,
+        "decontaminate": decon,
         # dedup family
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
@@ -434,6 +456,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_ngrams, n_dup,
                    round(n_dup::DOUBLE / n_ngrams, 6) AS dup_rate
             FROM d
+        """,
+        "decontaminate": f"""
+            WITH dt AS (
+                SELECT doc_id, {_TOKLIST} AS tl FROM documents
+            ),
+            bx AS (
+                SELECT tl, unnest(range(1, CAST(len(tl) AS BIGINT) - 8 + 2)) AS i
+                FROM dt WHERE doc_id < {DECON_BENCH_DOCS} AND len(tl) >= 8
+            ),
+            bg AS (
+                SELECT DISTINCT array_to_string(
+                    tl[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' '
+                ) AS g FROM bx
+            ),
+            x AS (
+                SELECT doc_id, tl,
+                       unnest(range(1, CAST(len(tl) AS BIGINT) - 8 + 2)) AS i
+                FROM dt WHERE doc_id >= {DECON_BENCH_DOCS} AND len(tl) >= 8
+            ),
+            ng AS (
+                SELECT doc_id, array_to_string(
+                    tl[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' '
+                ) AS g FROM x
+            ),
+            ov AS (
+                SELECT ng.doc_id, count(*)::BIGINT AS n_overlap
+                FROM ng JOIN bg USING (g) GROUP BY ng.doc_id
+            )
+            SELECT d.doc_id,
+                   greatest(CAST(len(d.tl) AS BIGINT) - 8 + 1, 0)::BIGINT AS n_ngrams,
+                   coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(ov.n_overlap, 0) > 0 AS contaminated
+            FROM dt d LEFT JOIN ov USING (doc_id)
+            WHERE d.doc_id >= {DECON_BENCH_DOCS}
         """,
         "top_bigrams": f"""
             WITH tp AS (

@@ -137,3 +137,50 @@ def test_pmi_join_modes_identical(coll_sf_dir):
     a = pmi_bigrams(coll_sf_dir, n=10, min_count=3, join="broadcast")
     b = pmi_bigrams(coll_sf_dir, n=10, min_count=3, join="hash")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_referee(ray_session):
+    """Brute-force referee: planted benchmark overlaps (full copy,
+    partial window, shifted window), a short doc, and clean docs."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.dedup import decontaminate
+
+    bench = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight",
+    ]
+    docs = {
+        10: bench[0],                                   # exact copy: all windows hit
+        11: "x " + bench[1] + " y",                     # embedded: inner windows hit
+        12: "alpha beta gamma delta epsilon zeta eta XX iota kappa",  # broken window
+        13: "totally different words with no overlap at all here now",
+        14: "short doc only",                           # < n tokens
+        15: bench[0] + " " + bench[0],                  # repeated: multiplicity counts
+    }
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    got = (
+        decontaminate(ds, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def windows(text, n=8):
+        toks = tokenize(text)
+        return [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    bench_set = {w for b in bench for w in windows(b)}
+    for _, row in got.iterrows():
+        ws = windows(docs[row["doc_id"]])
+        assert row["n_ngrams"] == len(ws)
+        want_overlap = sum(w in bench_set for w in ws)
+        assert row["n_overlap"] == want_overlap, row["doc_id"]
+        assert row["contaminated"] == (want_overlap > 0)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[10, "contaminated"] and by_id.loc[10, "n_overlap"] == 3
+    assert by_id.loc[11, "contaminated"] and by_id.loc[11, "n_overlap"] == 1
+    assert not by_id.loc[12, "contaminated"]
+    assert not by_id.loc[13, "contaminated"]
+    assert by_id.loc[14, "n_ngrams"] == 0 and not by_id.loc[14, "contaminated"]
+    assert by_id.loc[15, "n_overlap"] > by_id.loc[10, "n_overlap"]

@@ -160,6 +160,102 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text", out_col: str = "
 # amortized O(1) per occurrence)
 _HASHERS: dict = {}
 
+_NGRAM_C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, invertible mod 2^64
+
+
+def _window_hash_stream(texts, doc_ids, n: int, hasher):
+    """Shared n-gram window hashing: tokenize each text, hash tokens
+    (memoized), then compute every length-``n`` window's rolling hash
+    g(i) = Σ_j th[i+j]·C^j over the BATCH-concatenated token-hash
+    stream — one numpy pass per window offset, windows crossing doc
+    boundaries masked out by construction of the gather index.
+
+    Returns ``(dids, w_counts, hashes)``: docs with ≥ n tokens, their
+    per-doc window counts, and all window hashes (uint64) concatenated
+    in doc order — or ``None`` if no doc qualifies."""
+    from zensearch_ray.functions.text import tokenize
+
+    tok_arrays, doc_rep = [], []
+    for did, text in zip(doc_ids, texts):
+        toks = tokenize(text)
+        if len(toks) < n:
+            continue
+        tok_arrays.append(hasher(toks))
+        doc_rep.append((did, len(toks)))
+    if not tok_arrays:
+        return None
+    th = np.concatenate(tok_arrays)
+    lens = np.array([l for _, l in doc_rep], dtype=np.int64)
+    dids = np.array([d for d, _ in doc_rep], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(lens.sum())
+    n_windows = total - n + 1
+    acc = np.zeros(n_windows, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash
+        for j in range(n):
+            acc += th[j : j + n_windows] * mult
+            mult *= _NGRAM_C
+    w_counts = lens - n + 1
+    out_base = np.concatenate(([0], np.cumsum(w_counts)[:-1]))
+    idx = np.repeat(starts - out_base, w_counts) + np.arange(int(w_counts.sum()))
+    return dids, w_counts, acc[idx]
+
+
+def decontaminate(ds, benchmark_texts: list[str], n: int = 8):
+    """Benchmark decontamination — the GPT-3/C4/Llama training-data
+    step: flag every corpus document sharing ANY token ``n``-gram with
+    a benchmark/eval text. ``n_overlap`` counts the doc's window
+    OCCURRENCES whose n-gram appears in the benchmark set (multiplicity
+    kept, matching the SQL oracle's join-count); ``contaminated`` is
+    ``n_overlap > 0``. Docs shorter than ``n`` tokens pass clean with
+    ``n_ngrams = 0``. Columns: (doc_id, n_ngrams, n_overlap,
+    contaminated).
+
+    100-TB shape: the benchmark's n-gram hashes are a SMALL broadcast
+    side (``ray.put`` once, read per actor) — one streaming map pass
+    over the corpus, NO shuffle at all. Hash-collision stance identical
+    to ``dup_ngram_rate`` (documented ~0 at realistic gram counts).
+    """
+    import ray
+
+    from zensearch_ray.stages.minhash import _TokenHasher
+
+    bench = _window_hash_stream(
+        benchmark_texts, range(len(benchmark_texts)), n, _TokenHasher()
+    )
+    bench_sorted = (
+        np.unique(bench[2]) if bench is not None else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        # zero-copy plasma read of the broadcast benchmark hash array
+        bset = ray.get(bench_ref)
+        dids_all = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        n_ngrams = np.zeros(len(texts), dtype=np.int64)
+        n_overlap = np.zeros(len(texts), dtype=np.int64)
+        hasher = _HASHERS.setdefault("h", _TokenHasher())
+        stream = _window_hash_stream(texts, np.arange(len(texts)), n, hasher)
+        if stream is not None:
+            rows, w_counts, hashes = stream
+            hit = np.isin(hashes, bset).astype(np.int64)
+            bounds = np.concatenate(([0], np.cumsum(w_counts)))
+            per_doc = np.add.reduceat(hit, bounds[:-1]) if len(hit) else []
+            n_ngrams[rows] = w_counts
+            n_overlap[rows] = per_doc
+        return pa.table(
+            {
+                "doc_id": pa.array(dids_all, type=pa.int64()),
+                "n_ngrams": pa.array(n_ngrams, type=pa.int64()),
+                "n_overlap": pa.array(n_overlap, type=pa.int64()),
+                "contaminated": pa.array(n_overlap > 0, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
 
 def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     """Per-document duplicated-n-gram rate — the C4/RefinedWeb-style
@@ -191,25 +287,15 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     from zensearch_ray.pipelines.joins import hash_join
     from zensearch_ray.stages.minhash import _TokenHasher
 
-    _C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier, invertible mod 2^64
-
     def gram_partials(batch: pa.Table) -> pa.Table:
-        # vectorized window hashing over the BATCH-concatenated token
-        # hash stream: g(i) = Σ_j th[i+j]·C^j (wrapping mod 2^64), one
-        # numpy pass per window offset; windows crossing doc
-        # boundaries are masked out, per-(doc, gram) counts come from
-        # one pandas groupby (C path) — no per-window Python strings.
+        # vectorized window hashing (shared `_window_hash_stream`);
+        # per-(doc, gram) counts from one pandas groupby (C path) —
+        # no per-window Python strings.
         hasher = _HASHERS.setdefault("h", _TokenHasher())
-        tok_arrays, doc_rep = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = tokenize(text)
-            if len(toks) < n:
-                continue
-            tok_arrays.append(hasher(toks))
-            doc_rep.append((did, len(toks)))
-        if not tok_arrays:
+        stream = _window_hash_stream(
+            batch["text"].to_pylist(), batch["doc_id"].to_pylist(), n, hasher
+        )
+        if stream is None:
             return pa.table(
                 {
                     "h": pa.array([], type=pa.int64()),
@@ -217,28 +303,12 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
                     "c": pa.array([], type=pa.int64()),
                 }
             )
-        th = np.concatenate(tok_arrays)
-        lens = np.array([l for _, l in doc_rep], dtype=np.int64)
-        dids = np.array([d for d, _ in doc_rep], dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        total = int(lens.sum())
-        n_windows = total - n + 1
-        acc = np.zeros(n_windows, dtype=np.uint64)
-        mult = np.uint64(1)
-        for j in range(n):
-            acc += th[j : j + n_windows] * mult
-            mult *= _C
-        # valid window starts per doc: [start, start + len - n]
-        w_counts = lens - n + 1
-        out_base = np.concatenate(([0], np.cumsum(w_counts)[:-1]))
-        idx = np.repeat(starts - out_base, w_counts) + np.arange(
-            int(w_counts.sum())
-        )
+        dids, w_counts, hashes = stream
         import pandas as _pd
 
         df = _pd.DataFrame(
             {
-                "h": acc[idx].view(np.int64),
+                "h": hashes.view(np.int64),
                 "doc_id": np.repeat(dids, w_counts),
             }
         )
