@@ -250,6 +250,33 @@ def run_bench() -> dict:
     )
     results["dup_ngram_rate_sec"] = round(t, 3)
 
+    # -- r2 session-4 operators -------------------------------------------
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.corpus import did_you_mean, fuzzy_topk, not_topk
+    from zensearch_ray.stages.dedup import decontaminate
+
+    _, t = timed(lambda: fuzzy_topk(SF_DIR, "strem windoq kay", k=10))
+    results["fuzzy_topk_sec"] = round(t, 3)  # includes first vocab scan
+    _, t = timed(lambda: did_you_mean(SF_DIR, "strem windoq kay"))
+    results["did_you_mean_sec"] = round(t, 3)
+    _, t = timed(lambda: not_topk(SF_DIR, "spark window -merge -stream", k=10))
+    results["not_topk_sec"] = round(t, 3)
+    bench_texts = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 10)],
+    ).sort_by("doc_id")["text"].to_pylist()
+    _, t = timed(
+        lambda: decontaminate(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ).filter(expr="doc_id >= 10"),
+            bench_texts,
+            n=8,
+        ).count()
+    )
+    results["decontaminate_sec"] = round(t, 3)
+
     import pyarrow.parquet as pq
 
     probe = pq.read_table(
