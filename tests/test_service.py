@@ -119,3 +119,14 @@ def test_sharded_service_workers_cap_at_shards(service_index):
         assert svc.topk("search engine", 5) == QueryEngine(service_index).topk(
             "search engine", 5
         )
+
+
+def test_sharded_service_resolves_docs(service_index):
+    from zensearch_ray.pipelines.service import ShardedQueryService
+
+    engine = QueryEngine(service_index)
+    with ShardedQueryService(service_index, workers=2) as svc:
+        rows = svc.topk_docs("search engine", k=5)
+        want = engine.topk_docs("search engine", k=5, mode="exhaustive")
+        assert rows == want
+        assert rows and {"rank", "doc_id", "url", "title", "score"} <= set(rows[0])

@@ -202,19 +202,26 @@ def cmd_stats(args) -> int:
 def cmd_serve(args) -> int:
     """Interactive serving loop (reference GET /search analog): reads
     one query per stdin line, prints one JSON result line, keeps the
-    engine replicas warm between queries."""
-    from zensearch_ray.pipelines.service import QueryService
+    engine replicas warm between queries. ``--sharded N`` switches to
+    the term-sharded worker pool (exhaustive scoring, bit-identical
+    results; each worker owns a shard subset)."""
+    from zensearch_ray.pipelines.service import QueryService, ShardedQueryService
 
     _ensure_ray()
-    with QueryService(
-        args.index, replicas=args.replicas, k=args.k, mode=args.mode
-    ) as svc:
+    if args.sharded:
+        svc_cm = ShardedQueryService(args.index, workers=args.sharded)
+        search = lambda q: svc_cm.topk_docs(q, k=args.k)  # noqa: E731
+    else:
+        svc_cm = QueryService(
+            args.index, replicas=args.replicas, k=args.k, mode=args.mode
+        )
+        search = lambda q: svc_cm.search(q, docs=True)  # noqa: E731
+    with svc_cm:
         for line in sys.stdin:
             q = line.strip()
             if not q:
                 continue
-            rows = svc.search(q, docs=True)
-            print(json.dumps({"query": q, "results": rows}), flush=True)
+            print(json.dumps({"query": q, "results": search(q)}), flush=True)
     return 0
 
 
@@ -334,6 +341,10 @@ def main(argv=None) -> int:
         default="pruned",
     )
     s.add_argument("--replicas", type=int, default=2)
+    s.add_argument(
+        "--sharded", type=int, default=0, metavar="N",
+        help="serve through N term-shard workers instead of full replicas",
+    )
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

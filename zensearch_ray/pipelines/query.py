@@ -633,31 +633,7 @@ class QueryEngine:
             "fuzzy": self.topk_fuzzy,
             "not": self.topk_not,
         }[mode]
-        hits = fn(query, k)
-        if not hits:
-            return []
-        ids = [d for d, _ in hits]
-        meta = pq.ParquetDataset(
-            self.layout.docmeta_dir, filters=[("doc_id", "in", ids)]
-        ).read(columns=["doc_id", "url", "title"])
-        meta_of = {
-            d: (u, t)
-            for d, u, t in zip(
-                meta["doc_id"].to_pylist(),
-                meta["url"].to_pylist(),
-                meta["title"].to_pylist(),
-            )
-        }
-        return [
-            {
-                "rank": i + 1,
-                "doc_id": d,
-                "url": meta_of.get(d, ("", ""))[0],
-                "title": meta_of.get(d, ("", ""))[1],
-                "score": s,
-            }
-            for i, (d, s) in enumerate(hits)
-        ]
+        return resolve_docs(self.layout, fn(query, k))
 
     def topk_pruned(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """TAAT MaxScore + block-max skip decoding (rank-preserving).
@@ -740,6 +716,37 @@ def _merge_accumulate(
     out = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(out, inv, all_sc)
     return uniq, out
+
+
+def resolve_docs(layout: IndexLayout, hits: list[tuple[int, float]]) -> list[dict]:
+    """(doc_id, score) hits → ranked url/title rows (the reference's
+    search response shape). Reads ONLY the k result docs' docmeta rows
+    via parquet predicate pushdown; the corpus never loads. Shared by
+    the engine, the warm service and the sharded service."""
+    if not hits:
+        return []
+    ids = [d for d, _ in hits]
+    meta = pq.ParquetDataset(
+        layout.docmeta_dir, filters=[("doc_id", "in", ids)]
+    ).read(columns=["doc_id", "url", "title"])
+    meta_of = {
+        d: (u, t)
+        for d, u, t in zip(
+            meta["doc_id"].to_pylist(),
+            meta["url"].to_pylist(),
+            meta["title"].to_pylist(),
+        )
+    }
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": d,
+            "url": meta_of.get(d, ("", ""))[0],
+            "title": meta_of.get(d, ("", ""))[1],
+            "score": s,
+        }
+        for i, (d, s) in enumerate(hits)
+    ]
 
 
 class QueryScorer:

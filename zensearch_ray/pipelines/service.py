@@ -191,7 +191,8 @@ class ShardedQueryService:
 
         from zensearch_ray.state.manifest import IndexLayout
 
-        manifest = IndexLayout(index_dir).read_manifest()
+        self._layout = IndexLayout(index_dir)
+        manifest = self._layout.read_manifest()
         self.num_shards = int(manifest["num_shards"])
         workers = max(1, min(workers, self.num_shards))
         actor_cls = ray.remote(num_cpus=1)(_ShardReplica)
@@ -248,6 +249,14 @@ class ShardedQueryService:
         if not toks:
             return []
         return self._assemble(toks, self._gather(set(toks)), k)
+
+    def topk_docs(self, query: str, k: int = 10):
+        """Ranked url/title rows — docmeta resolves on the CALLER
+        (metadata-sized predicate-pushdown read), scoring on the
+        shard workers."""
+        from zensearch_ray.pipelines.query import resolve_docs
+
+        return resolve_docs(self._layout, self.topk(query, k))
 
     def topk_batch(self, queries: list[str], k: int = 10):
         """Bulk path: ONE round-trip per worker for the union of all
