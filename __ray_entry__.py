@@ -87,6 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
 
+    def bm25_deleted(sf_dir: str):
+        # tombstoned docs (doc_id % 17 == 3) excluded from results;
+        # stats still count them (Lucene stats-at-merge semantics)
+        return corpus.bm25_topk_deleted(sf_dir, BM25_QUERY, k=10)
+
+    def bm25_purged(sf_dir: str):
+        # after compact_index purges the tombstones: stats/df are the
+        # survivors-only values — results == a build without those docs
+        return corpus.bm25_topk_purged(sf_dir, BM25_QUERY, k=10)
+
     def phrase(sf_dir: str):
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
@@ -323,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25,
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
+        "bm25_topk_deleted": bm25_deleted,
+        "bm25_topk_purged": bm25_purged,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
@@ -421,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
         "bm25_topk_and": _bm25_and_sql(),
+        "bm25_topk_deleted": _bm25_deleted_sql(),
+        "bm25_topk_purged": _bm25_purged_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
@@ -1207,6 +1221,84 @@ def _bm25_and_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+_DELETE_PRED = "doc_id % 17 = 3"  # corpus.DELETE_MOD / DELETE_RESIDUE
+
+
+def _bm25_deleted_sql() -> str:
+    """Tombstone-semantics oracle: IDENTICAL stats to ``_bm25_sql``
+    (n_docs / avgdl / df still count the deleted docs — Lucene's
+    stats-at-merge rule, what the engine serves between ``delete_docs``
+    and ``compact_index``), with tombstoned docs excluded from the
+    RESULT set only."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0 AND NOT ({_DELETE_PRED})
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_purged_sql() -> str:
+    """Post-compaction oracle: the tombstoned docs are GONE — stats
+    (n_docs / avgdl) and per-term df are the survivors-only values, so
+    this is the plain BM25 oracle over the surviving corpus."""
+    surv_toks = (
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+        f" AS term FROM documents WHERE NOT ({_DELETE_PRED})"
+    )
+    return f"""
+        WITH toks AS ({surv_toks}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents
+                          WHERE NOT ({_DELETE_PRED})) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 10
     """
 

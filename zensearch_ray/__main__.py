@@ -155,6 +155,20 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents (by url and/or doc_id); physically purged by
+    the next `compact` (which also recomputes exact corpus stats)."""
+    from zensearch_ray.pipelines.delete import delete_docs
+
+    urls = list(args.urls or [])
+    if args.urls_file:
+        with open(args.urls_file) as f:
+            urls.extend(ln.strip() for ln in f if ln.strip())
+    summary = delete_docs(args.index, doc_ids=args.ids or None, urls=urls or None)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: the global manifest plus the per-partition
     lineage metrics the build emitted (postings, bytes, build/sort/
@@ -321,6 +335,16 @@ def main(argv=None) -> int:
     mg.add_argument("--b", required=True, help="second index (ids offset by a's ceiling)")
     mg.add_argument("--output", required=True, help="merged index directory")
     mg.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone documents; the next compact purges them physically",
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--urls", nargs="*", help="urls to delete (docmeta lookup)")
+    dl.add_argument("--urls-file", help="file with one url per line")
+    dl.add_argument("--ids", nargs="*", type=int, help="doc_ids to delete")
+    dl.set_defaults(fn=cmd_delete)
 
     st = sub.add_parser(
         "stats", help="index manifest + per-partition lineage metrics"

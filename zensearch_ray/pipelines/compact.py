@@ -44,14 +44,22 @@ from zensearch_ray.state.manifest import IndexLayout
 
 
 def _merge_partition(
-    files: list[str | tuple[str, int]], avgdl: float, params: BM25Params
+    files: list[str | tuple[str, int]],
+    avgdl: float,
+    params: BM25Params,
+    deleted: np.ndarray | None = None,
 ) -> bytes:
     """Read every source segment of one partition, merge postings per
     term (sources have disjoint doc-id ranges; sort makes the result
     order-invariant), re-encode under ``avgdl``. Each file may carry a
     doc-id offset (``(path, offset)``) — cross-index merge relocates
     one side's dense ids into the union id space; positions are
-    doc-internal and never shift. Returns the parquet payload bytes.
+    doc-internal and never shift. ``deleted`` (sorted tombstoned
+    doc_ids, ``pipelines/delete.py``) physically PURGES those docs'
+    postings: their rows (and positions) drop, per-term df shrinks to
+    the live count (df is re-derived from run lengths by
+    ``encode_partition``), and terms left with no live postings vanish
+    from the dictionary. Returns the parquet payload bytes.
     Pure function → plain testable code."""
     import io
 
@@ -63,6 +71,9 @@ def _merge_partition(
         encode_partition,
         permute_flat_by_rows,
     )
+
+    if deleted is not None and len(deleted) == 0:
+        deleted = None
 
     per_term: dict[str, list[tuple]] = {}
     positional = False
@@ -83,21 +94,38 @@ def _merge_partition(
             )
             per_term.setdefault(term, []).append((ids, tfs_r, dls_r, flat_pos))
 
-    terms_sorted = sorted(per_term)
+    terms_sorted = []
     ids_l, tfs_l, dls_l, pos_l, starts, ends = [], [], [], [], [], []
     off = 0
-    for term in terms_sorted:
+    for term in sorted(per_term):
         parts = per_term[term]
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
         order = np.argsort(ids, kind="stable")
-        ids_l.append(ids[order])
-        tfs_l.append(tfs[order])
-        dls_l.append(dls[order])
+        ids, tfs_s, dls_s = ids[order], tfs[order], dls[order]
+        flat_s = None
         if positional:
             flat = np.concatenate([p[3] for p in parts])
-            pos_l.append(permute_flat_by_rows(flat, tfs, order))
+            flat_s = permute_flat_by_rows(flat, tfs, order)
+        if deleted is not None and len(ids):
+            j = np.searchsorted(deleted, ids)
+            hit = (j < len(deleted)) & (
+                deleted[np.minimum(j, len(deleted) - 1)] == ids
+            )
+            if hit.any():
+                keep_idx = np.flatnonzero(~hit)
+                if len(keep_idx) == 0:
+                    continue  # term has no live postings → drop it
+                if positional:
+                    flat_s = permute_flat_by_rows(flat_s, tfs_s, keep_idx)
+                ids, tfs_s, dls_s = ids[keep_idx], tfs_s[keep_idx], dls_s[keep_idx]
+        terms_sorted.append(term)
+        ids_l.append(ids)
+        tfs_l.append(tfs_s)
+        dls_l.append(dls_s)
+        if positional:
+            pos_l.append(flat_s)
         starts.append(off)
         off += len(ids)
         ends.append(off)
@@ -138,16 +166,33 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     dst.ensure_dirs()
     t_start = time.perf_counter()
 
-    avgdl = float(old["avgdl"])
+    # tombstone purge (pipelines/delete.py): compaction is where deleted
+    # docs physically leave — postings drop, df shrinks to live counts,
+    # and corpus stats (n_docs, sum_dl, avgdl) recompute EXACTLY from
+    # docmeta, so the output is results-identical to a one-shot build
+    # over the surviving corpus (tests/test_delete.py)
+    deleted = src.read_deletes()
+    n_docs_live = int(old["n_docs"])
+    sum_dl_live = int(old.get("sum_dl") or round(old["avgdl"] * old["n_docs"]))
+    if len(deleted):
+        del_dl = _deleted_doclen_sum(src, deleted)
+        n_docs_live -= len(deleted)
+        sum_dl_live -= del_dl
+    avgdl = sum_dl_live / n_docs_live if n_docs_live else 0.0
     params = BM25Params(k1=float(old["k1"]), b=float(old["b"]))
     fp = str(old.get("config_fp", ""))
+    # resume guard: every output partition must be purged under the SAME
+    # tombstone set + live avgdl — deleting more docs between a crash
+    # and the rerun would silently mix incompatible partitions otherwise
+    purge_fp = _purge_fingerprint(deleted, avgdl)
 
     done = dst.committed_parts()
     for p, m in done.items():
-        if m.get("config_fp") != fp:
+        if m.get("config_fp") != fp or m.get("purge_fp", "") != purge_fp:
             raise ValueError(
-                f"out_dir {out_dir} partition {p} was committed under config "
-                f"{m.get('config_fp')!r} != source {fp!r}; use a fresh out_dir"
+                f"out_dir {out_dir} partition {p} was committed under config/"
+                f"purge ({m.get('config_fp')!r}, {m.get('purge_fp')!r}) != "
+                f"source ({fp!r}, {purge_fp!r}); use a fresh out_dir"
             )
     all_parts = sorted({int(m["part"]) for m in src.committed_parts_all_gens()})
     todo = [p for p in all_parts if p not in done]
@@ -160,7 +205,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         out_parts, out_bytes = [], []
         for part in batch["part"].to_pylist():
             files = src.part_posting_files(part)
-            payload = _merge_partition(files, avgdl, params)
+            payload = _merge_partition(files, avgdl, params, deleted=deleted)
             seg = pq.read_table(_io.BytesIO(payload), columns=["df"])
             metrics = {
                 "n_terms": int(seg.num_rows),
@@ -168,6 +213,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                 if seg.num_rows else 0,
                 "posting_bytes": len(payload),
                 "config_fp": fp,
+                "purge_fp": purge_fp,
                 "encode_avgdl": avgdl,
                 "compacted_from": [os.path.basename(f) for f in files],
             }
@@ -192,14 +238,31 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         ).count()
 
     # docmeta: consolidate every generation's files into the flat dir
-    # (names prefixed per source dir so generations can't collide)
+    # (names prefixed per source dir so generations can't collide);
+    # tombstoned docs' rows are dropped in transit
     for gen_dir, prefix in _docmeta_sources(src):
         for name in sorted(os.listdir(gen_dir)):
             if not name.endswith(".parquet"):
                 continue
             target = os.path.join(dst.docmeta_dir, f"{prefix}{name}")
-            if not os.path.exists(target):
-                shutil.copy2(os.path.join(gen_dir, name), target)
+            if os.path.exists(target):
+                continue
+            source_file = os.path.join(gen_dir, name)
+            if len(deleted):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(source_file)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                j = np.searchsorted(deleted, ids)
+                hit = (j < len(deleted)) & (
+                    deleted[np.minimum(j, len(deleted) - 1)] == ids
+                )
+                t = t.filter(pa.array(~hit))
+                tmp = target + ".tmp"
+                pq.write_table(t, tmp, compression="zstd")
+                os.replace(tmp, target)
+            else:
+                shutil.copy2(source_file, target)
 
     # merged docstats → future appends onto the compacted index work
     heavy: set[str] = set()
@@ -209,8 +272,8 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         g += 1
     dst.write_docstats(
         {
-            "n_docs": int(old["n_docs"]),
-            "sum_dl": int(old.get("sum_dl") or round(old["avgdl"] * old["n_docs"])),
+            "n_docs": n_docs_live,
+            "sum_dl": sum_dl_live,
             "avgdl": avgdl,
             "heavy_df_threshold": old.get("heavy_df_threshold"),
             "heavy_terms": sorted(heavy),
@@ -221,8 +284,12 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
 
     committed = dst.committed_parts()
     manifest = dict(old)
+    manifest.pop("n_deleted", None)  # purge is physical: no tombstones remain
     manifest.update(
         {
+            "n_docs": n_docs_live,
+            "sum_dl": sum_dl_live,
+            "avgdl": avgdl,
             "n_generations": 1,
             "n_partitions": len(committed),
             "n_partitions_built_this_run": int(n_built),
@@ -276,6 +343,12 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> dict:
         raise ValueError(
             "merge requires bounded doc ids (id_ceiling) on both indexes; "
             "hash-id indexes cannot be relocated into a union id space"
+        )
+    if len(src_a.read_deletes()) or len(src_b.read_deletes()):
+        raise ValueError(
+            "merge inputs carry tombstones; run compact_index on each "
+            "side first (purges deletions and recomputes exact stats), "
+            "then merge the compacted indexes"
         )
     offset_b = int(ma["id_ceiling"])
     dst = IndexLayout(out_dir)
@@ -409,6 +482,42 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> dict:
     )
     dst.write_manifest(manifest)
     return manifest
+
+
+def _deleted_doclen_sum(src: IndexLayout, deleted: np.ndarray) -> int:
+    """Σ doc_len of the tombstoned docs — an exact metadata pass over
+    the (doc_id, doc_len) columns of docmeta (every generation), so
+    compaction's recomputed avgdl matches a fresh build over the
+    surviving corpus to the bit."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for gen_dir, _ in _docmeta_sources(src):
+        for f in sorted(_glob.glob(os.path.join(gen_dir, "*.parquet"))):
+            t = pq.read_table(f, columns=["doc_id", "doc_len"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            j = np.searchsorted(deleted, ids)
+            hit = (j < len(deleted)) & (
+                deleted[np.minimum(j, len(deleted) - 1)] == ids
+            )
+            if hit.any():
+                total += int(t["doc_len"].to_numpy(zero_copy_only=False)[hit].sum())
+    return total
+
+
+def _purge_fingerprint(deleted: np.ndarray, avgdl: float) -> str:
+    """Stable hash of (tombstone set, live avgdl) — partitions purged
+    under different sets/stats must never mix in one output index."""
+    import hashlib
+
+    if not len(deleted):
+        return ""
+    h = hashlib.blake2s(digest_size=8)
+    h.update(np.ascontiguousarray(deleted, dtype=np.int64).tobytes())
+    h.update(repr(avgdl).encode())
+    return h.hexdigest()
 
 
 def _docmeta_sources(src: IndexLayout) -> list[tuple[str, str]]:

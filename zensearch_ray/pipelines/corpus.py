@@ -314,6 +314,69 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     return d
 
 
+# deterministic tombstone set for the deletion-lifecycle oracle entries:
+# every ~17th doc (doc_id % 17 == 3) — expressible in SQL on both sides
+DELETE_MOD, DELETE_RESIDUE = 17, 3
+
+
+def deleted_index_dir_for(sf_dir: str) -> str:
+    """A SEPARATE cached index (never the shared ``index_dir_for`` one —
+    tombstones change its results) with the deterministic delete set
+    applied. ``delete_docs`` is idempotent, so re-entry is safe."""
+    from zensearch_ray.pipelines.delete import delete_docs
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}_del")
+    layout = IndexLayout(d)
+    if not layout.is_complete():
+        build_index(_documents(sf_dir), d, _INDEX_CFG)
+    import pyarrow.parquet as pq
+
+    ids = pq.ParquetDataset(layout.docmeta_dir).read(columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy(zero_copy_only=False)
+    delete_docs(d, doc_ids=ids[ids % DELETE_MOD == DELETE_RESIDUE])
+    return d
+
+
+def purged_index_dir_for(sf_dir: str) -> str:
+    """The deleted index compacted — tombstoned docs physically gone,
+    stats/df recomputed exactly (results == a build over survivors)."""
+    from zensearch_ray.pipelines.compact import compact_index
+
+    src = deleted_index_dir_for(sf_dir)
+    d = src + "_purged"
+    if not IndexLayout(d).is_complete():
+        compact_index(src, d)
+    return d
+
+
+def bm25_topk_deleted(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k AFTER tombstoning (pre-compaction Lucene semantics:
+    deleted docs excluded from results, stats still count them)."""
+    hits = QueryEngine(deleted_index_dir_for(sf_dir)).topk(query, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
+def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k after compaction purged the tombstones — stats/df are
+    the survivors-only values (== an index built without those docs)."""
+    hits = QueryEngine(purged_index_dir_for(sf_dir)).topk(query, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
 def bm25_topk(
     sf_dir: str, query: str, k: int = 10, pruned: bool = False, conjunctive: bool = False
 ) -> pd.DataFrame:

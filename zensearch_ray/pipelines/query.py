@@ -54,15 +54,22 @@ _POSTING_COLS = [
 
 class _TermPostings:
     """Decoded-on-demand postings of one term (possibly merged from
-    several salt sub-partitions)."""
+    several salt sub-partitions). ``deleted`` (sorted tombstoned
+    doc_ids, see ``pipelines/delete.py``) filters at decode time — the
+    one choke point every evaluation strategy flows through, so
+    tombstoned docs vanish from exhaustive/pruned/and/phrase/near/
+    prefix/fuzzy/not alike. ``df`` stays the STORED count (tombstones
+    included) until compaction — Lucene's stats-at-merge semantics, so
+    surviving docs keep their exact pre-delete scores."""
 
-    __slots__ = ("df", "rows", "_decoded", "_pos")
+    __slots__ = ("df", "rows", "_decoded", "_pos", "_deleted")
 
-    def __init__(self, rows: list[dict]):
+    def __init__(self, rows: list[dict], deleted: np.ndarray | None = None):
         self.rows = rows
         self.df = sum(r["df"] for r in rows)
         self._decoded = None
         self._pos = None
+        self._deleted = deleted if deleted is not None and len(deleted) else None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self._decoded is None:
@@ -71,7 +78,17 @@ class _TermPostings:
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
             order = np.argsort(ids, kind="stable")
-            self._decoded = (ids[order], tfs[order], dls[order])
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            if self._deleted is not None and len(ids):
+                # sorted-membership probe (tombstone set is sorted unique)
+                j = np.searchsorted(self._deleted, ids)
+                hit = (j < len(self._deleted)) & (
+                    self._deleted[np.minimum(j, len(self._deleted) - 1)] == ids
+                )
+                if hit.any():
+                    keep = ~hit
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            self._decoded = (ids, tfs, dls)
         return self._decoded
 
     def max_tf_norm_bound(self) -> float:
@@ -222,6 +239,9 @@ class QueryEngine:
         self._cache: OrderedDict[str, _TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
         self._vocab: list[str] | None = None  # lazy, fuzzy expansion only
+        # tombstones (pipelines/delete.py): loaded once per engine;
+        # deletes applied after construction need a reopen to be seen
+        self.deleted = layout.read_deletes()
 
     # -- lookup -----------------------------------------------------------
     def _part_files(self, shard: int) -> list[str]:
@@ -260,7 +280,7 @@ class QueryEngine:
             for r in t.to_pylist():
                 r["_bound_scale"] = scale
                 rows.append(r)
-        result = _TermPostings(rows) if rows else None
+        result = _TermPostings(rows, deleted=self.deleted) if rows else None
         self._cache[term] = result
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)

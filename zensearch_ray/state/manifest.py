@@ -24,6 +24,8 @@ import json
 import os
 from typing import Any
 
+import numpy as np
+
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
@@ -40,6 +42,40 @@ class IndexLayout:
         self.docmeta_dir = os.path.join(index_dir, "docmeta")
         self.postings_dir = os.path.join(index_dir, "postings")
         self.part_manifest_dir = os.path.join(index_dir, "_manifests")
+
+    @property
+    def deletes_path(self) -> str:
+        """Tombstone sidecar: one sorted ``doc_id`` column (parquet).
+        Docs listed here are excluded from every query result; their
+        postings/docmeta/stats are physically purged by the next
+        ``compact_index``. Parquet (not JSON) so the set stays columnar
+        at scale; a roaring bitmap is the upgrade path if tombstones
+        ever exceed a few percent of the corpus."""
+        return os.path.join(self.root, "deletes.parquet")
+
+    def read_deletes(self) -> "np.ndarray":
+        """Sorted unique tombstoned doc_ids (empty array if none)."""
+        if not os.path.exists(self.deletes_path):
+            return np.empty(0, dtype=np.int64)
+        import pyarrow.parquet as pq
+
+        return pq.read_table(self.deletes_path)["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    def write_deletes(self, doc_ids: "np.ndarray") -> None:
+        """Atomically publish the FULL tombstone set (sorted, unique)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        tmp = self.deletes_path + ".tmp"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64())}),
+            tmp,
+            compression="zstd",
+        )
+        os.replace(tmp, self.deletes_path)
 
     def ensure_dirs(self) -> None:
         for d in (self.root, self.docmeta_dir, self.postings_dir, self.part_manifest_dir):
