@@ -97,6 +97,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # survivors-only values — results == a build without those docs
         return corpus.bm25_topk_purged(sf_dir, BM25_QUERY, k=10)
 
+    def bm25_filtered(sf_dir: str):
+        # faceted search: results restricted to lang='de' docs; scores
+        # stay corpus-global (Lucene filter-query semantics)
+        return corpus.bm25_topk_filtered(sf_dir, BM25_QUERY, k=10)
+
+    def facets(sf_dir: str):
+        return corpus.facet_counts(sf_dir, BM25_QUERY, col="lang")
+
     def phrase(sf_dir: str):
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
@@ -335,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": bm25_and,
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_purged": bm25_purged,
+        "bm25_topk_filtered": bm25_filtered,
+        "facet_counts": facets,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
@@ -435,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
+        "bm25_topk_filtered": _bm25_filtered_sql(),
+        "facet_counts": _facet_counts_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
@@ -1226,6 +1238,78 @@ def _bm25_and_sql() -> str:
 
 
 _DELETE_PRED = "doc_id % 17 = 3"  # corpus.DELETE_MOD / DELETE_RESIDUE
+FACET_LANG = "de"  # corpus.FACET_FILTER_LANG
+
+
+def _bm25_filtered_sql() -> str:
+    """Faceted-search oracle: the plain BM25 body (stats corpus-global —
+    the filter narrows RESULTS only, Lucene filter-query semantics)
+    restricted to docs whose lang facet matches."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        WHERE score > 0 AND doc_id IN
+            (SELECT doc_id FROM documents WHERE lang = '{FACET_LANG}')
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _facet_counts_sql() -> str:
+    """Facet-counts oracle: matched docs (exhaustive OR, score > 0)
+    counted per lang."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT d.lang AS value, count(*)::BIGINT AS n_docs
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
 
 
 def _bm25_deleted_sql() -> str:

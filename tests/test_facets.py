@@ -1,0 +1,116 @@
+"""Faceted search (BuildConfig.attrs docmeta sidecar +
+QueryEngine.topk_filtered / facet_counts):
+
+  * the filter narrows RESULTS only — surviving docs keep their exact
+    unfiltered scores (Lucene filter-query semantics), checked against
+    a brute-force referee built from the engine's own full result set
+    plus the docmeta attribute mapping;
+  * facet counts equal a Counter over the matched set;
+  * the attr columns ride tokenize → docmeta (both positional and
+    positionless paths) and survive the CLI surface.
+"""
+
+import json
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.__main__ import main
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+from zensearch_ray.sources.pages import generate_pages_table
+from zensearch_ray.state.manifest import IndexLayout
+
+QUERIES = ["search engine ranking", "the of and", "data stream"]
+
+
+@pytest.fixture(scope="module")
+def facet_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("facet_src")
+    src = str(root / "pages.parquet")
+    pq.write_table(generate_pages_table(300, seed=47), src, row_group_size=64)
+    idx = str(root / "idx")
+    # lang=None keeps every language; attrs carries lang into docmeta
+    build_index(
+        src, idx,
+        BuildConfig(
+            num_shards=4, salt_subs=2, heavy_df_threshold=60,
+            lang=None, attrs=("lang",),
+        ),
+    )
+    return idx
+
+
+def _lang_of(idx: str) -> dict[int, str]:
+    meta = pq.ParquetDataset(IndexLayout(idx).docmeta_dir).read(
+        columns=["doc_id", "lang"]
+    )
+    return dict(zip(meta["doc_id"].to_pylist(), meta["lang"].to_pylist()))
+
+
+def test_docmeta_carries_attrs(facet_index):
+    lang_of = _lang_of(facet_index)
+    assert set(lang_of.values()) > {"en"}  # multiple languages present
+
+
+def test_topk_filtered_matches_referee(facet_index):
+    engine = QueryEngine(facet_index)
+    lang_of = _lang_of(facet_index)
+    for q in QUERIES:
+        all_hits = engine.topk(q, k=1 << 62)  # every score>0 doc
+        for lang in sorted(set(lang_of.values())):
+            want = [(d, s) for d, s in all_hits if lang_of[d] == lang][:10]
+            assert engine.topk_filtered(q, "lang", lang, 10) == want, (q, lang)
+    # unknown facet value → empty, not an error
+    assert engine.topk_filtered(QUERIES[0], "lang", "xx", 10) == []
+
+
+def test_facet_counts_match_referee(facet_index):
+    engine = QueryEngine(facet_index)
+    for q in QUERIES:
+        matched = Counter(
+            _lang_of(facet_index)[d] for d, _ in engine.topk(q, k=1 << 62)
+        )
+        want = sorted(matched.items(), key=lambda vc: (-vc[1], vc[0]))
+        assert engine.facet_counts(q, "lang") == want, q
+
+
+def test_attrs_survive_positional_build(ray_session, tmp_path):
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages_table(120, seed=48), src, row_group_size=64)
+    idx = str(tmp_path / "idx_pos")
+    build_index(
+        src, idx,
+        BuildConfig(
+            num_shards=4, salt_subs=2, heavy_df_threshold=60,
+            lang=None, attrs=("lang",), positions=True,
+        ),
+    )
+    engine = QueryEngine(idx)
+    assert engine.facet_counts("the", "lang")  # attr readable
+    with pytest.raises(Exception):
+        engine._facet("nope")  # unknown attr fails loudly
+
+
+def test_cli_filter_and_facets(facet_index, capsys):
+    assert main([
+        "query", "--index", facet_index, "--filter", "lang=en", "-k", "3",
+        "search engine",
+    ]) == 0
+    (out,) = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    engine = QueryEngine(facet_index)
+    assert [r["doc_id"] for r in out["results"]] == [
+        d for d, _ in engine.topk_filtered("search engine", "lang", "en", 3)
+    ]
+    assert main(["query", "--index", facet_index, "--facets", "lang", "the"]) == 0
+    (fc,) = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    assert fc["counts"] == [
+        {"value": v, "n_docs": c} for v, c in engine.facet_counts("the", "lang")
+    ]
+    # an explicit conflicting mode is rejected, not silently ignored
+    with pytest.raises(SystemExit):
+        main([
+            "query", "--index", facet_index, "--filter", "lang=en",
+            "--mode", "and", "x",
+        ])

@@ -45,13 +45,39 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from zensearch_ray.pipelines.query import QueryEngine
+    from zensearch_ray.pipelines.query import QueryEngine, resolve_docs
 
     engine = QueryEngine(args.index)
+    mode = args.mode or "pruned"
     for q in args.query:
+        if args.facets:
+            counts = engine.facet_counts(q, args.facets)
+            print(json.dumps({"query": q, "facet": args.facets,
+                              "counts": [{"value": v, "n_docs": c} for v, c in counts]}))
+            continue
+        if args.filter:
+            # filtered search is exhaustive by design (pruning needs
+            # per-facet bounds); reject an EXPLICIT conflicting mode
+            # instead of silently serving a different strategy
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--filter serves exhaustive mode only")
+            col, _, value = args.filter.partition("=")
+            if not value:
+                raise SystemExit("--filter expects col=value")
+            hits = engine.topk_filtered(q, col, value, args.k)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({"query": q, "filter": args.filter, "results": rows}))
+            continue
         if args.urls:
             rows = engine.topk_docs(
-                q, k=args.k, mode=args.mode, window=args.window
+                q, k=args.k, mode=mode, window=args.window
             )
         else:
             fn = {
@@ -63,7 +89,7 @@ def cmd_query(args) -> int:
                 "prefix": engine.topk_prefix,
                 "fuzzy": engine.topk_fuzzy,
                 "not": engine.topk_not,
-            }[args.mode]
+            }[mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
                 for i, (d, s) in enumerate(fn(q, args.k))
@@ -269,13 +295,22 @@ def main(argv=None) -> int:
     q.add_argument(
         "--mode",
         choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not"],
-        default="pruned",
+        default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
         "--window", type=int, default=8,
         help="proximity window for --mode near (tokens)",
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
+    q.add_argument(
+        "--filter", metavar="COL=VALUE",
+        help="faceted search: restrict results to docs whose docmeta "
+             "attribute matches (exhaustive evaluation)",
+    )
+    q.add_argument(
+        "--facets", metavar="COL",
+        help="print per-value match counts for the attribute instead of results",
+    )
     q.set_defaults(fn=cmd_query)
 
     bt = sub.add_parser(

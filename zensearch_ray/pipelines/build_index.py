@@ -74,6 +74,11 @@ class BuildConfig:
     # exchange grows by ~the token count × varint bytes, the inherent
     # cost of a positional index.
     positions: bool = False
+    # document ATTRIBUTE columns carried into docmeta (e.g. lang, host,
+    # source) — the facet sidecar: query-time filtered search and facet
+    # counts resolve doc_id → attribute against docmeta only, postings
+    # never change. Metadata-scale (one small column per doc).
+    attrs: tuple = ()
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
@@ -90,6 +95,7 @@ def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
     id_ceiling = None
     if isinstance(source, (str, list)):
         cols = ["url", "warc_ts", "text", "lang"]
+        cols.extend(a for a in cfg.attrs if a not in cols)
         if cfg.extract_from_html:
             cols.append("html")
         if cfg.id_col:
@@ -145,6 +151,10 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         # when on so positionless fingerprints (and their cached
         # indexes) stay stable across this version.
         spec["positions"] = True
+    if cfg.attrs:
+        # docmeta schema changes with attrs → a resume must not mix
+        # (same only-when-set rule as positions to keep old fps stable)
+        spec["attrs"] = list(cfg.attrs)
     return hashlib.blake2s(
         json.dumps(spec, sort_keys=True).encode(), digest_size=8
     ).hexdigest()
@@ -353,7 +363,9 @@ def _pass1_stats(tokenized, cfg: BuildConfig, layout: IndexLayout, fp: str,
     else:
         shutil.rmtree(meta_dir, ignore_errors=True)
     _os.makedirs(meta_dir, exist_ok=True)
-    tokenized.select_columns(["doc_id", "url", "title", "doc_len"]).write_parquet(
+    tokenized.select_columns(
+        ["doc_id", "url", "title", *cfg.attrs, "doc_len"]
+    ).write_parquet(
         meta_dir
     )
     stats = {
@@ -427,7 +439,7 @@ def build_index(
         actor_kwargs["concurrency"] = cfg.tokenize_concurrency
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col, "positions": cfg.positions},
+        fn_kwargs={"id_col": id_col, "positions": cfg.positions, "attrs": cfg.attrs},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
@@ -565,7 +577,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
 
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col, "positions": cfg.positions},
+        fn_kwargs={"id_col": id_col, "positions": cfg.positions, "attrs": cfg.attrs},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )

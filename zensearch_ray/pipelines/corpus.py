@@ -32,6 +32,17 @@ def _documents(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _documents_for_index(sf_dir: str):
+    """Index-build reader: text plus the facet attr columns the
+    _INDEX_CFG docmeta carries (lang, source)."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+
 def _tokenized(sf_dir: str):
     return _documents(sf_dir).map_batches(
         tokenize_batch,
@@ -287,7 +298,8 @@ def lang_source_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _INDEX_CFG = BuildConfig(
-    num_shards=8, salt_subs=4, lang=None, id_col="doc_id", heavy_df_threshold=None
+    num_shards=8, salt_subs=4, lang=None, id_col="doc_id", heavy_df_threshold=None,
+    attrs=("lang", "source"),  # facet sidecar columns in docmeta
 )
 
 
@@ -296,11 +308,12 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     built once, reused (the manifest marks completeness).
     ``positions=True`` names (and builds) the POSITIONAL twin — a
     separate cache dir because the segment schema differs."""
-    # v2: dense-id/title docmeta schema — new cache key so a stale
-    # round-1 index under /tmp is never reused against new readers
+    # v3: docmeta schema gained facet attr columns (lang, source) —
+    # new cache key so a stale earlier-session index under /tmp is
+    # never reused against new readers
     key = hash64(os.path.realpath(sf_dir)) % 10**12
     suffix = "_pos" if positions else ""
-    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}{suffix}")
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}{suffix}")
     layout = IndexLayout(d)
     if not layout.is_complete():
         import dataclasses
@@ -310,7 +323,7 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
             if positions
             else _INDEX_CFG
         )
-        build_index(_documents(sf_dir), d, cfg)
+        build_index(_documents_for_index(sf_dir), d, cfg)
     return d
 
 
@@ -326,10 +339,10 @@ def deleted_index_dir_for(sf_dir: str) -> str:
     from zensearch_ray.pipelines.delete import delete_docs
 
     key = hash64(os.path.realpath(sf_dir)) % 10**12
-    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v2_{key}_del")
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}_del")
     layout = IndexLayout(d)
     if not layout.is_complete():
-        build_index(_documents(sf_dir), d, _INDEX_CFG)
+        build_index(_documents_for_index(sf_dir), d, _INDEX_CFG)
     import pyarrow.parquet as pq
 
     ids = pq.ParquetDataset(layout.docmeta_dir).read(columns=["doc_id"])[
@@ -373,6 +386,38 @@ def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
             "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
             "doc_id": [d for d, _ in hits],
             "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
+FACET_FILTER_LANG = "de"
+
+
+def bm25_topk_filtered(
+    sf_dir: str, query: str, k: int = 10, lang: str = FACET_FILTER_LANG
+) -> pd.DataFrame:
+    """Filtered (faceted) BM25 top-k: results restricted to documents
+    whose ``lang`` facet equals ``lang`` — Lucene filter-query
+    semantics (idf/avgdl stay corpus-global, so surviving scores equal
+    the unfiltered ones). Facet resolution is a docmeta-only lookup."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_filtered(query, "lang", lang, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
+def facet_counts(sf_dir: str, query: str, col: str = "lang") -> pd.DataFrame:
+    """Facet counts for a query (the result-page facet sidebar): how
+    many docs match (exhaustive OR, score > 0) per value of ``col``."""
+    rows = QueryEngine(index_dir_for(sf_dir)).facet_counts(query, col)
+    return pd.DataFrame(
+        {
+            "value": [v for v, _ in rows],
+            "n_docs": np.array([c for _, c in rows], dtype=np.int64),
         }
     )
 

@@ -309,10 +309,9 @@ class QueryEngine:
         """Exhaustive evaluation — the checked default (SURVEY.md §7-5)."""
         return self._score_plan(self._term_plan(query), k)
 
-    def _score_plan(self, plan, k: int) -> list[tuple[int, float]]:
-        """Exhaustive accumulation over a [(postings, idf)] plan."""
-        if not plan:
-            return []
+    def _accumulate_plan(self, plan) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive accumulation over a [(postings, idf)] plan →
+        (sorted unique doc_ids, summed scores)."""
         all_ids, all_contrib = [], []
         for p, w in plan:
             ids, tfs, dls = p.decode_all()
@@ -323,9 +322,89 @@ class QueryEngine:
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contrib)
+        return uniq, scores
+
+    def _score_plan(self, plan, k: int) -> list[tuple[int, float]]:
+        """Exhaustive accumulation over a [(postings, idf)] plan."""
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
         mask = scores > 0.0
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    # -- facets (docmeta attribute columns, BuildConfig.attrs) -------------
+    def _facet(self, col: str):
+        """doc_id → attribute lookup: (sorted doc_ids, int32 codes,
+        value list), built from docmeta's (doc_id, col) columns and
+        cached per engine. Metadata-scale (the postings never load);
+        works for ANY id space via sorted-array membership — with dense
+        ids a doc_id-indexed code array (1-4 B/doc, exactly like the
+        build's dl broadcast) is the drop-in upgrade when the sort ever
+        shows up in a profile."""
+        cache = getattr(self, "_facet_cache", None)
+        if cache is None:
+            cache = self._facet_cache = {}
+        if col not in cache:
+            meta = pq.ParquetDataset(self.layout.docmeta_dir).read(
+                columns=["doc_id", col]
+            )
+            ids = meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = meta[col].combine_chunks().dictionary_encode()
+            codes = np.asarray(dic.indices, dtype=np.int32)
+            values = dic.dictionary.to_pylist()
+            order = np.argsort(ids, kind="stable")
+            cache[col] = (ids[order], codes[order], values)
+        return cache[col]
+
+    def _facet_member_mask(self, uniq: np.ndarray, col: str, value) -> np.ndarray:
+        """Boolean mask over ``uniq`` doc_ids: attribute == value."""
+        fids, codes, values = self._facet(col)
+        try:
+            code = values.index(value)
+        except ValueError:
+            return np.zeros(len(uniq), dtype=bool)
+        j = np.searchsorted(fids, uniq)
+        ok = (j < len(fids)) & (fids[np.minimum(j, len(fids) - 1)] == uniq)
+        return ok & (codes[np.minimum(j, len(fids) - 1)] == code)
+
+    def topk_filtered(
+        self, query: str, col: str, value, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Filtered (faceted) search: ``topk`` restricted to documents
+        whose docmeta attribute ``col`` equals ``value`` — the Lucene
+        filter-query semantic (the filter narrows RESULTS; idf/avgdl
+        stay corpus-global, so a doc's score is identical with or
+        without the filter). Exhaustive evaluation: correct filtered
+        MaxScore pruning needs per-facet upper bounds, a build-time
+        artifact this index doesn't carry."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        mask = (scores > 0.0) & self._facet_member_mask(uniq, col, value)
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def facet_counts(self, query: str, col: str) -> list[tuple[str, int]]:
+        """Facet counts: how many documents MATCH the query (exhaustive
+        OR semantics, score > 0) per value of attribute ``col`` —
+        the result-page facet sidebar. Returns (value, n_docs) sorted
+        by (n_docs DESC, value ASC); zero-count values are omitted."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        matched = uniq[scores > 0.0]
+        fids, codes, values = self._facet(col)
+        j = np.searchsorted(fids, matched)
+        ok = (j < len(fids)) & (fids[np.minimum(j, len(fids) - 1)] == matched)
+        counts = np.bincount(
+            codes[np.minimum(j, len(fids) - 1)][ok], minlength=len(values)
+        )
+        out = [(values[i], int(c)) for i, c in enumerate(counts) if c > 0]
+        out.sort(key=lambda vc: (-vc[1], vc[0]))
+        return out
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All index terms starting with ``prefix`` (normalized), sorted.

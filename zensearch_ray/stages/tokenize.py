@@ -42,6 +42,7 @@ class TokenizeStage:
         text_col: str = "text",
         id_col: str | None = None,
         positions: bool = False,
+        attrs: tuple = (),
     ):
         self.text_col = text_col
         self.id_col = id_col  # None → derive doc_id = hash64(url)
@@ -49,6 +50,17 @@ class TokenizeStage:
         # (``poss`` list<list<int32>> aligned with ``terms``) so phrase
         # queries resolve from the index alone — no corpus re-scan
         self.positions = positions
+        # attribute columns passed through into docmeta (facet sidecar)
+        self.attrs = tuple(attrs)
+
+    def _attr_cols(self, batch: pa.Table) -> dict:
+        missing = [a for a in self.attrs if a not in batch.column_names]
+        if missing:
+            raise ValueError(
+                f"attr column(s) {missing} not in corpus batch "
+                f"(columns: {batch.column_names})"
+            )
+        return {a: batch[a] for a in self.attrs}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -129,6 +141,7 @@ class TokenizeStage:
                     "doc_id": pa.array(doc_ids, type=pa.int64()),
                     "url": urls,
                     "title": titles,
+                    **self._attr_cols(batch),
                     "doc_len": pa.array(doc_lens, type=pa.int64()),
                     "terms": terms_arr,
                     "tfs": tfs_arr,
@@ -147,6 +160,7 @@ class TokenizeStage:
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "url": urls,
                 "title": titles,
+                **self._attr_cols(batch),
                 "doc_len": pa.array(doc_lens, type=pa.int64()),
                 "terms": pa.array(terms_col, type=pa.list_(pa.string())),
                 "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
@@ -266,7 +280,10 @@ class ExplodeStage:
 
 
 def tokenize_batch(
-    batch: pa.Table, id_col: str | None = None, positions: bool = False
+    batch: pa.Table,
+    id_col: str | None = None,
+    positions: bool = False,
+    attrs: tuple = (),
 ) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
@@ -276,7 +293,7 @@ def tokenize_batch(
     of startup at 32 CPUs for a ~45 CPU-second corpus, destroying N→4N
     scaling. Keep the class for genuinely stateful tokenizers (models).
     """
-    return TokenizeStage(id_col=id_col, positions=positions)(batch)
+    return TokenizeStage(id_col=id_col, positions=positions, attrs=attrs)(batch)
 
 
 _HEAVY_CACHE: dict = {}
