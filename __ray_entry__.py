@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def facets(sf_dir: str):
         return corpus.facet_counts(sf_dir, BM25_QUERY, col="lang")
 
+    def keywords(sf_dir: str):
+        return corpus.doc_keywords(sf_dir, m=5)
+
     def phrase(sf_dir: str):
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
@@ -345,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_purged": bm25_purged,
         "bm25_topk_filtered": bm25_filtered,
         "facet_counts": facets,
+        "doc_keywords": keywords,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
@@ -447,6 +451,29 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_purged": _bm25_purged_sql(),
         "bm25_topk_filtered": _bm25_filtered_sql(),
         "facet_counts": _facet_counts_sql(),
+        "doc_keywords": f"""
+            WITH toks AS ({_TOKS}),
+            stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            w AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln((SELECT n FROM stats) / df.df) AS w
+                FROM tf JOIN df USING (term)
+                WHERE df.df < (SELECT n FROM stats)
+            ),
+            r AS (
+                SELECT doc_id, term, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY w DESC, term) AS rn
+                FROM w
+            )
+            SELECT doc_id, rn::BIGINT AS rank, term, round(w, 6) AS weight
+            FROM r WHERE rn <= 5
+        """,
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),

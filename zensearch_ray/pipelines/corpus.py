@@ -390,6 +390,74 @@ def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+KEYWORDS_M = 5
+
+
+def doc_keywords(sf_dir: str, m: int = KEYWORDS_M):
+    """Keyword extraction: each document's top-``m`` terms by tf·idf
+    (idf = ln(N/df), idf-0 terms excluded; ties → term ASC) — the
+    corpus-wide form of ``more_like_this``'s per-doc term selection,
+    as one distributed pipeline:
+
+        term_tf rows (doc_id, term, tf)
+          ⨝ term_df (co-partitioned hash join on term — vocabulary is
+            never broadcast: the no-broadcast join shape PMI uses)
+          → weight = tf · ln(N/df), map-side
+          → per-doc top-m: map-side head(m) partials (each batch emits
+            ≤ m rows per doc) → ONE doc-bucket exchange → exact top-m
+
+    Output: (doc_id, rank, term, weight). Scale shape: two vocabulary-
+    keyed exchanges bounded by |tf rows| and m·N rows respectively; no
+    driver-side state."""
+    import pyarrow.compute as pc
+
+    from zensearch_ray.pipelines.analytics import _with_bucket
+    from zensearch_ray.pipelines.joins import hash_join
+
+    n = float(_documents(sf_dir).count())
+
+    tf = term_tf(sf_dir)
+    df = term_df(sf_dir)
+    joined = hash_join(tf, df, on="term")
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = tfs * np.log(n / dfs)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+        return out.filter(pc.greater(out["w"], 0.0))
+
+    def headm(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values(
+            ["doc_id", "w", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df_.groupby("doc_id", as_index=False).head(m)
+
+    def ranked(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = headm(df_)
+        df_ = df_.assign(
+            rank=(df_.groupby("doc_id").cumcount() + 1).astype(np.int64),
+            weight=round6(df_["w"].to_numpy()),
+        )
+        return df_[["doc_id", "rank", "term", "weight"]]
+
+    partials = joined.map_batches(weigh, batch_format="pyarrow").map_batches(
+        headm, batch_format="pandas"
+    )
+    return (
+        partials.map_batches(_with_bucket("doc_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(ranked, batch_format="pandas")
+    )
+
+
 FACET_FILTER_LANG = "de"
 
 
