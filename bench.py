@@ -286,6 +286,48 @@ def run_bench() -> dict:
     _, t = timed(lambda: cosine_topk(emb, probe, k=10))
     results["ann_topk_sec"] = round(t, 3)
 
+    # -- r2 session-5 operators ---------------------------------------------
+    from zensearch_ray.pipelines.corpus import (
+        bm25_topk_filtered,
+        doc_keywords,
+        facet_counts,
+    )
+
+    # first call pays the one docmeta facet-cache read; steady-state is
+    # a plain exhaustive query + one gather
+    _, t = timed(lambda: bm25_topk_filtered(SF_DIR, BENCH_QUERIES[0], k=10))
+    results["bm25_filtered_cold_sec"] = round(t, 3)
+    _, t = timed(lambda: facet_counts(SF_DIR, BENCH_QUERIES[0]))
+    results["facet_counts_sec"] = round(t, 3)
+    _, t = timed(lambda: doc_keywords(SF_DIR, m=5).count())
+    results["doc_keywords_sec"] = round(t, 3)
+
+    # -- deletion lifecycle on the bench index (runs LAST: it mutates
+    # the bench index, which is rebuilt from scratch every run) ----------
+    from zensearch_ray.pipelines.compact import compact_index
+    from zensearch_ray.pipelines.delete import delete_docs
+    from zensearch_ray.state.manifest import IndexLayout
+
+    all_ids = pq.ParquetDataset(IndexLayout(index_dir).docmeta_dir).read(
+        columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    _, t = timed(lambda: delete_docs(index_dir, doc_ids=all_ids[::100]))
+    results["delete_tombstone_1pct_sec"] = round(t, 3)
+    engine_del = QueryEngine(index_dir)
+    for q in BENCH_QUERIES:  # warm
+        engine_del.topk(q, 10)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        for q in BENCH_QUERIES:
+            engine_del.topk(q, 10)
+    results["query_tombstoned_warm_ms"] = round(
+        1000 * (time.perf_counter() - t0) / (20 * len(BENCH_QUERIES)), 3
+    )
+    purge_dir = f"/tmp/zensearch_bench_index_purged_{NUM_CPUS}"
+    shutil.rmtree(purge_dir, ignore_errors=True)
+    _, t = timed(compact_index, index_dir, purge_dir)
+    results["compact_purge_sec"] = round(t, 3)
+
     ray.shutdown()
     return {
         "metric": "cold inverted-index build over 50k-page html corpus (extract+tokenize+shuffle+commit), sec",
