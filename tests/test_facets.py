@@ -93,6 +93,25 @@ def test_attrs_survive_positional_build(ray_session, tmp_path):
         engine._facet("nope")  # unknown attr fails loudly
 
 
+def test_services_serve_filtered(facet_index):
+    """Both serving faces (warm replicas + term-sharded workers) serve
+    the filtered path identically to the engine."""
+    from zensearch_ray.pipelines.service import QueryService, ShardedQueryService
+
+    engine = QueryEngine(facet_index)
+    q, lang = QUERIES[0], "en"
+    want = engine.topk_filtered(q, "lang", lang, 5)
+    assert want
+    with QueryService(facet_index, replicas=1) as svc:
+        assert svc.search(q, k=5, filter=("lang", lang)) == want
+        rows = svc.search(q, k=5, docs=True, filter=("lang", lang))
+        assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+    with ShardedQueryService(facet_index, workers=2) as svc:
+        assert svc.topk(q, 5, filter=("lang", lang)) == want
+        rows = svc.topk_docs(q, k=5, filter=("lang", lang))
+        assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+
+
 def test_cli_filter_and_facets(facet_index, capsys):
     assert main([
         "query", "--index", facet_index, "--filter", "lang=en", "-k", "3",

@@ -38,6 +38,7 @@ def cmd_build(args) -> int:
         dedup_urls=args.dedup_urls,
         id_col=args.id_col,
         positions=args.positions,
+        attrs=tuple(args.attrs),
     )
     manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
@@ -248,14 +249,26 @@ def cmd_serve(args) -> int:
     from zensearch_ray.pipelines.service import QueryService, ShardedQueryService
 
     _ensure_ray()
+    filt = None
+    if args.filter:
+        col, _, value = args.filter.partition("=")
+        if not value:
+            raise SystemExit("--filter expects col=value")
+        if args.mode not in (None, "exhaustive"):
+            raise SystemExit("--filter serves exhaustive mode only")
+        filt = (col, value)
     if args.sharded:
         svc_cm = ShardedQueryService(args.index, workers=args.sharded)
-        search = lambda q: svc_cm.topk_docs(q, k=args.k)  # noqa: E731
+        search = lambda q: svc_cm.topk_docs(q, k=args.k, filter=filt)  # noqa: E731
     else:
         svc_cm = QueryService(
-            args.index, replicas=args.replicas, k=args.k, mode=args.mode
+            args.index, replicas=args.replicas, k=args.k,
+            mode=args.mode or "pruned",
         )
-        search = lambda q: svc_cm.search(q, docs=True)  # noqa: E731
+        search = lambda q: svc_cm.search(  # noqa: E731
+            q, docs=True, filter=filt,
+            mode="exhaustive" if filt else None,
+        )
     with svc_cm:
         for line in sys.stdin:
             q = line.strip()
@@ -281,6 +294,11 @@ def main(argv=None) -> int:
     b.add_argument(
         "--positions", action="store_true",
         help="positional index: store token positions (phrase/near queries)",
+    )
+    b.add_argument(
+        "--attrs", nargs="*", default=[],
+        help="attribute columns carried into docmeta (facet sidecar: "
+             "query --filter/--facets, serve --filter)",
     )
     b.add_argument(
         "--append", action="store_true",
@@ -397,12 +415,17 @@ def main(argv=None) -> int:
     s.add_argument(
         "--mode",
         choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not"],
-        default="pruned",
+        default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)
     s.add_argument(
         "--sharded", type=int, default=0, metavar="N",
         help="serve through N term-shard workers instead of full replicas",
+    )
+    s.add_argument(
+        "--filter", metavar="COL=VALUE",
+        help="faceted serving: restrict results to docs whose docmeta "
+             "attribute matches (exhaustive evaluation)",
     )
     s.set_defaults(fn=cmd_serve)
 

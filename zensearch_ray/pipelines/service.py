@@ -27,7 +27,16 @@ class _EngineReplica:
 
         self.engine = QueryEngine(index_dir, cache_terms=cache_terms)
 
-    def search(self, query: str, k: int, mode: str, docs: bool):
+    def search(self, query: str, k: int, mode: str, docs: bool,
+               filter: tuple | None = None):
+        if filter is not None:
+            col, value = filter
+            hits = self.engine.topk_filtered(query, col, value, k)
+            if not docs:
+                return hits
+            from zensearch_ray.pipelines.query import resolve_docs
+
+            return resolve_docs(self.engine.layout, hits)
         if docs:
             return self.engine.topk_docs(query, k=k, mode=mode)
         fn = {
@@ -42,8 +51,9 @@ class _EngineReplica:
         }[mode]
         return fn(query, k)
 
-    def search_many(self, queries: list[str], k: int, mode: str, docs: bool):
-        return [self.search(q, k, mode, docs) for q in queries]
+    def search_many(self, queries: list[str], k: int, mode: str, docs: bool,
+                    filter: tuple | None = None):
+        return [self.search(q, k, mode, docs, filter) for q in queries]
 
     def pid(self) -> int:
         import os
@@ -83,17 +93,21 @@ class QueryService:
         return a
 
     def search(self, query: str, k: int | None = None, mode: str | None = None,
-               docs: bool = False):
+               docs: bool = False, filter: tuple | None = None):
+        """``filter=(col, value)`` serves faceted search (exhaustive
+        evaluation, Lucene filter-query semantics) through the warm
+        replicas; each replica's facet lookup loads once and stays."""
         import ray
 
         return ray.get(
             self._next().search.remote(
-                query, k or self._k, mode or self._mode, docs
+                query, k or self._k, mode or self._mode, docs, filter
             )
         )
 
     def search_batch(self, queries: list[str], k: int | None = None,
-                     mode: str | None = None, docs: bool = False):
+                     mode: str | None = None, docs: bool = False,
+                     filter: tuple | None = None):
         """Fan a query list across all replicas; results in input order."""
         import ray
 
@@ -104,7 +118,7 @@ class QueryService:
         futs = [
             self._replicas[r].search_many.remote(
                 [queries[i] for i in shards[r]], k or self._k,
-                mode or self._mode, docs,
+                mode or self._mode, docs, filter,
             )
             for r in range(n)
             if shards[r]
@@ -201,6 +215,16 @@ class ShardedQueryService:
         ]
         # shard → worker: round-robin keeps Zipf-head terms spread out
         self._route = [s % workers for s in range(self.num_shards)]
+        # driver-side metadata engine: facet lookups + docmeta resolve
+        # only — it never decodes postings (those live on the workers)
+        self._meta_engine = None
+
+    def _meta(self):
+        if self._meta_engine is None:
+            from zensearch_ray.pipelines.query import QueryEngine
+
+            self._meta_engine = QueryEngine(self._layout.root)
+        return self._meta_engine
 
     def _gather(self, terms: set[str]) -> dict:
         import ray
@@ -220,11 +244,14 @@ class ShardedQueryService:
             merged.update(part)
         return merged
 
-    @staticmethod
-    def _assemble(toks: list[str], term_map: dict, k: int):
+    def _assemble(self, toks: list[str], term_map: dict, k: int,
+                  filter: tuple | None = None):
         """Exactly ``QueryEngine._score_plan`` over the gathered
         partials, in tokenize() order with multiplicity — float
-        accumulation order matches the single-engine path bit for bit."""
+        accumulation order matches the single-engine path bit for bit.
+        ``filter=(col, value)`` applies the driver-side facet mask
+        (docmeta-only lookup) before top-k — identical semantics to
+        ``QueryEngine.topk_filtered``."""
         import numpy as np
 
         from zensearch_ray.functions.bm25 import topk_order
@@ -239,24 +266,27 @@ class ShardedQueryService:
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contrib)
         mask = scores > 0.0
+        if filter is not None:
+            col, value = filter
+            mask &= self._meta()._facet_member_mask(uniq, col, value)
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
-    def topk(self, query: str, k: int = 10):
+    def topk(self, query: str, k: int = 10, filter: tuple | None = None):
         from zensearch_ray.functions.text import tokenize
 
         toks = tokenize(query)
         if not toks:
             return []
-        return self._assemble(toks, self._gather(set(toks)), k)
+        return self._assemble(toks, self._gather(set(toks)), k, filter)
 
-    def topk_docs(self, query: str, k: int = 10):
+    def topk_docs(self, query: str, k: int = 10, filter: tuple | None = None):
         """Ranked url/title rows — docmeta resolves on the CALLER
         (metadata-sized predicate-pushdown read), scoring on the
         shard workers."""
         from zensearch_ray.pipelines.query import resolve_docs
 
-        return resolve_docs(self._layout, self.topk(query, k))
+        return resolve_docs(self._layout, self.topk(query, k, filter))
 
     def topk_batch(self, queries: list[str], k: int = 10):
         """Bulk path: ONE round-trip per worker for the union of all
