@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def keywords(sf_dir: str):
         return corpus.doc_keywords(sf_dir, m=5)
 
+    def hybrid(sf_dir: str):
+        # lexical BM25 leg + dense cosine leg, reciprocal-rank fused
+        return corpus.hybrid_rrf(sf_dir, BM25_QUERY, probe_vec_id=0, k=10)
+
     def phrase(sf_dir: str):
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10)
 
@@ -349,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_filtered,
         "facet_counts": facets,
         "doc_keywords": keywords,
+        "hybrid_rrf": hybrid,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
@@ -451,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_purged": _bm25_purged_sql(),
         "bm25_topk_filtered": _bm25_filtered_sql(),
         "facet_counts": _facet_counts_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "doc_keywords": f"""
             WITH toks AS ({_TOKS}),
             stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -1301,6 +1307,63 @@ def _bm25_filtered_sql() -> str:
         WHERE score > 0 AND doc_id IN
             (SELECT doc_id FROM documents WHERE lang = '{FACET_LANG}')
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _hybrid_rrf_sql() -> str:
+    """Hybrid-retrieval oracle: BM25 top-100 and cosine top-100 fused
+    with reciprocal ranks, rrf = Σ 1/(60 + rank). COALESCE order (bm25
+    term first) matches the engine's accumulation order."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+        bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 100
+        ),
+        probe AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        sims AS (
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT e FROM probe)), 6) AS sim
+            FROM embeddings
+        ),
+        emr AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 100
+        ),
+        fused AS (
+            SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+                   coalesce(1.0::DOUBLE / (60 + b.r), 0) +
+                   coalesce(1.0::DOUBLE / (60 + e.r), 0) AS rrf
+            FROM bmr b FULL OUTER JOIN emr e USING (doc_id)
+        )
+        SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """
 
 

@@ -390,6 +390,61 @@ def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+RRF_K = 60
+RRF_DEPTH = 100
+
+
+def hybrid_rrf(
+    sf_dir: str, query: str, probe_vec_id: int = 0, k: int = 10,
+    depth: int = RRF_DEPTH, rrf_k: int = RRF_K,
+) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25
+    top-``depth``) and dense (cosine top-``depth``) rankings —
+    rrf(d) = Σ 1/(rrf_k + rank_list(d)) over the lists containing d,
+    the standard hybrid-search combiner. Both legs are the engine's
+    already-oracle-checked operators (posting-list BM25 + streaming
+    per-batch partial cosine top-k); fusion itself is k-sized driver
+    work. Output: (rank, doc_id, rrf), ties → doc_id ASC.
+
+    The test tables join 1:1 (embeddings.vec_id ≡ documents.doc_id);
+    on a real corpus the dense leg's ids are whatever embedding sidecar
+    the pipeline produced — the operator only needs the two id-ranked
+    lists."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zensearch_ray.stages.ann import cosine_topk
+
+    bm = QueryEngine(index_dir_for(sf_dir)).topk(query, depth)
+    probe = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", probe_vec_id)],
+    )["embedding"].to_pylist()[0]
+    emb = cosine_topk(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        probe,
+        k=depth,
+    )
+    # fuse bm25-leg first, then dense-leg — the SQL oracle adds its
+    # COALESCEd terms in the same order, so sums match bit for bit
+    scores: dict[int, float] = {}
+    for r, (d, _) in enumerate(bm, 1):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    for r, d in enumerate(emb["vec_id"].tolist(), 1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (rrf_k + r)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in top], dtype=np.int64),
+            "rrf": round6(np.array([s for _, s in top], dtype=np.float64)),
+        }
+    )
+
+
 KEYWORDS_M = 5
 
 
