@@ -206,6 +206,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return near_dup_pairs(ds, NEAR_DUP_THRESHOLD)
 
+    def embedding_dup_components(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import dup_components
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return dup_components(ds, NEAR_DUP_THRESHOLD)
+
     def jaccard(sf_dir: str):
         import duckdb
         import ray.data as rd
@@ -426,7 +436,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
         "media_frames": media_frames,
+        # graph family (stages/graph.py): edge extraction + weighted
+        # PageRank (broadcast-ranks iterations over object-store edge
+        # blocks) + connected components over the near-dup pair graph
+        "event_transitions": analytics.event_transitions,
+        "event_pagerank": analytics.event_pagerank,
+        "term_pagerank": corpus.term_pagerank,
+        "embedding_dup_components": embedding_dup_components,
     }
+
+
+# --- PageRank oracle generation (graph family) -----------------------
+# Both oracles share one generator that UNROLLS the fixed iteration
+# count into chained CTEs — the pinned semantics live in one place
+# (stages/graph.py module docstring) and the SQL is produced from them.
+
+_EVENT_EDGES_CTE = """
+    edges AS MATERIALIZED (
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        )
+        SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS w
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    )
+"""
+
+_TERM_EDGES_CTE = f"""
+    edges AS MATERIALIZED (
+        WITH tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        )
+        SELECT a.term AS src, b.term AS dst, count(*)::DOUBLE AS w
+        FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY a.term, b.term
+    )
+"""
+
+
+def _pagerank_sql(edges_cte: str, node_alias: str, iters: int = 20,
+                  damping: float = 0.85, limit: int | None = None) -> str:
+    """Unrolled damped-PageRank SQL over an ``edges(src, dst, w)`` CTE:
+    r_{{i+1}}(v) = (1-d)/|V| + d·(Σ_{{u→v}} r_i(u)·w/out(u) + dangling_i/|V|),
+    exactly the pinned semantics of ``stages/graph.py:pagerank``. The
+    final SELECT orders by the ROUNDED value (+ node tiebreak) so float
+    summation order cannot flip ranks between engines."""
+    d = repr(damping)
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+    r{i} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {d}) / (SELECT v FROM nv)
+               + {d} * (coalesce(c.contrib, 0)
+                        + (SELECT coalesce(sum(p.r), 0) FROM {p} p
+                           WHERE p.node NOT IN (SELECT src FROM outw))
+                          / (SELECT v FROM nv)) AS r
+        FROM nodes n
+        LEFT JOIN (SELECT e.dst AS node, sum(p.r * e.w / o.tot) AS contrib
+                   FROM edges e
+                   JOIN {p} p ON p.node = e.src
+                   JOIN outw o ON o.src = e.src
+                   GROUP BY e.dst) c ON c.node = n.node
+    )""")
+    lim = f" LIMIT {limit}" if limit else ""
+    return f"""
+        WITH {edges_cte},
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS v FROM nodes),
+        outw AS MATERIALIZED (SELECT src, sum(w) AS tot FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT v FROM nv) AS r FROM nodes),
+        {",".join(steps)}
+        SELECT row_number() OVER (
+                   ORDER BY round(r, 6) DESC, node)::BIGINT AS rank,
+               node AS {node_alias}, round(r, 6) AS pagerank
+        FROM r{iters}
+        ORDER BY round(r, 6) DESC, node{lim}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -879,6 +971,41 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY sim DESC, vec_id)::BIGINT AS rank,
                    vec_id, sim
             FROM sims QUALIFY rank <= 10
+        """,
+        "event_transitions": f"""
+            WITH seq AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT prev AS src, event_type AS dst, count(*)::BIGINT AS n
+            FROM seq WHERE prev IS NOT NULL
+            GROUP BY prev, event_type ORDER BY src, dst
+        """,
+        "event_pagerank": _pagerank_sql(_EVENT_EDGES_CTE, "event_type"),
+        "term_pagerank": _pagerank_sql(_TERM_EDGES_CTE, "term", limit=50),
+        "embedding_dup_components": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      >= {NEAR_DUP_THRESHOLD}
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.node, e.dst
+                FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT node AS vec_id, min(r)::BIGINT AS component_id
+            FROM reach GROUP BY node
         """,
     }
 

@@ -329,3 +329,69 @@ def lineitem_quantiles(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     return exact_quantiles(ds, "l_extendedprice")
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition edges of the per-user event stream: for every
+    user in (ts, event_id) order, count consecutive (prev_type →
+    type) pairs corpus-wide — the click-graph/edge-extraction step a
+    web-analytics pipeline runs before PageRank-style ranking.
+
+    Shape: ONE bucket shuffle on the entity key (same partitioning
+    assumption as the as-of/lag family), per-bucket vectorized
+    ``groupby(...).shift`` + pandas (src, dst) count — each bucket
+    emits at most |types|² partial rows, so the driver-side final
+    combine is bounded by n_buckets·|types|², never event-scale.
+
+    Output: (src, dst, n) sorted by (src, dst)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def edge_partials(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["event_type"].shift()
+        mask = prev.notna()
+        pairs = pd.DataFrame({"src": prev[mask], "dst": g["event_type"][mask]})
+        return pairs.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
+
+    partials = (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(edge_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["src", "dst"], as_index=False)["n"].sum()
+        .sort_values(["src", "dst"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def event_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20) -> pd.DataFrame:
+    """PageRank over the event-transition graph (nodes = event types,
+    edges = ``event_transitions`` counts): which state the per-user
+    event Markov chain concentrates on. The tiny node set here stands
+    in for the host/domain graph of the 100-TB corpus — same operator
+    (``stages/graph.py:pagerank``), same broadcast-ranks layout.
+
+    Output: (rank, event_type, pagerank) ordered by
+    (round6(pagerank) DESC, event_type) — ordering on the ROUNDED
+    value so float summation order can never flip a rank across
+    engines."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.graph import pagerank
+
+    edges = event_transitions(sf_dir).rename(columns={"n": "w"})
+    pr = pagerank(rd.from_pandas(edges), damping=damping, iters=iters)
+    pr["pagerank"] = round6(pr["pagerank"])
+    pr = pr.sort_values(
+        ["pagerank", "node"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    pr.insert(0, "rank", np.arange(1, len(pr) + 1, dtype=np.int64))
+    return pr.rename(columns={"node": "event_type"})

@@ -987,3 +987,47 @@ def more_like_this(
             "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
         }
     )
+
+
+def term_pagerank(
+    sf_dir: str, damping: float = 0.85, iters: int = 20, k: int = 50
+) -> pd.DataFrame:
+    """TextRank: PageRank over the directed term-adjacency graph
+    (nodes = terms, edge term_a → term_b weighted by corpus count of
+    the adjacent bigram "a b") — the graph-centrality variant of
+    keyword extraction (vs ``doc_keywords``' tf·idf). Edge extraction
+    reuses the pre-aggregated bigram pipeline (`_bigram_partials` →
+    one coarse exchange), so the PageRank input is vocab²-bounded, and
+    the iteration itself is ``stages/graph.py:pagerank``'s
+    broadcast-ranks pass over object-store blocks.
+
+    Output: top-``k`` (rank, term, pagerank) ordered by
+    (round6(pagerank) DESC, term) — ordered on the ROUNDED value so
+    distributed summation order cannot flip ranks vs the SQL oracle."""
+    import pyarrow.compute as pc
+
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+    from zensearch_ray.stages.graph import pagerank
+
+    big = bucketed_groupby_sum(_bigram_partials(sf_dir), ["bigram"], ["cnt"])
+
+    def split_edges(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["bigram"], " ")
+        return pa.table(
+            {
+                "src": pc.list_element(parts, 0),
+                "dst": pc.list_element(parts, 1),
+                "w": batch["cnt"].cast(pa.float64()),
+            }
+        )
+
+    edges = big.map_batches(split_edges, batch_format="pyarrow")
+    pr = pagerank(edges, damping=damping, iters=iters)
+    pr["pagerank"] = round6(pr["pagerank"])
+    pr = (
+        pr.sort_values(["pagerank", "node"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pr.insert(0, "rank", np.arange(1, len(pr) + 1, dtype=np.int64))
+    return pr.rename(columns={"node": "term"})

@@ -16,6 +16,7 @@ does one matmul against the broadcast matrix. No shuffle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from zensearch_ray.functions.rounding import round6
@@ -281,3 +282,49 @@ class IvfIndex:
         sims = self.m[cand] @ q
         order = np.lexsort((self.ids[cand], -sims))[:k]
         return self.ids[cand][order], round6(sims[order])
+
+
+def dup_components(ds, threshold: float, id_col: str = "vec_id",
+                   emb_col: str = "embedding", num_partitions: int = 8):
+    """Connected components of the embedding near-duplicate graph:
+    every vector labeled with the min vec_id of its cosine-≥threshold
+    component (singletons label themselves) — the grouping step that
+    turns pairwise near-dup evidence into keep-one-per-group
+    deduplication decisions.
+
+    Composition of two already-distributed operators: exact block-pair
+    ``near_dup_pairs`` (pairs never touch the driver) →
+    ``stages/minhash.py:connected_components`` (min-label propagation,
+    edge-scale joins). The final label attach broadcasts the PAIR-scale
+    label map and streams the id column — the same shape as
+    ``minhash.dup_groups``.
+
+    Output Dataset: (vec_id, component_id), one row per input vector.
+    """
+    import ray
+
+    from zensearch_ray.stages.minhash import connected_components
+
+    pairs = near_dup_pairs(ds, threshold, id_col, emb_col).select_columns(["a", "b"])
+    labels = connected_components(pairs, num_partitions).to_pandas()
+    label_map = dict(
+        zip(labels["node"].astype("int64"), labels["label"].astype("int64"))
+    )
+    map_ref = ray.put(label_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lm = ray.get(map_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = (
+            pd.Series(ids).map(lm).fillna(pd.Series(ids)).astype(np.int64).to_numpy()
+            if lm
+            else ids
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "component_id": pa.array(comp, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(attach, batch_format="pyarrow")
