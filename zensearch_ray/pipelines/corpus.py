@@ -455,38 +455,27 @@ def doc_keywords(sf_dir: str, m: int = KEYWORDS_M):
     as one distributed pipeline:
 
         term_tf rows (doc_id, term, tf)
-          ⨝ term_df (co-partitioned hash join on term — vocabulary is
-            never broadcast: the no-broadcast join shape PMI uses)
-          → weight = tf · ln(N/df), map-side
-          → per-doc top-m: map-side head(m) partials (each batch emits
-            ≤ m rows per doc) → ONE doc-bucket exchange → exact top-m
+          → ONE term-bucket exchange: a term's rows all land in its
+            bucket, so the bucket computes the GLOBAL df of its terms
+            in place (groupby-size) — no second tokenize pass, no
+            separate df pipeline, no tf⨝df join exchange (r2s6:
+            replaced the hash-join shape, ~2× fewer exchanges)
+          → weight = tf · ln(N/df) + per-doc head(m) partials inside
+            the same bucket group
+          → ONE doc-bucket exchange → exact per-doc top-m
 
-    Output: (doc_id, rank, term, weight). Scale shape: two vocabulary-
-    keyed exchanges bounded by |tf rows| and m·N rows respectively; no
+    Output: (doc_id, rank, term, weight). Scale shape: two exchanges
+    bounded by |tf rows| and m·N partial rows respectively; no
     driver-side state."""
-    import pyarrow.compute as pc
-
+    from zensearch_ray.functions.agg import _BUCKET_COL, _bucket_of
     from zensearch_ray.pipelines.analytics import _with_bucket
-    from zensearch_ray.pipelines.joins import hash_join
 
     n = float(_documents(sf_dir).count())
 
-    tf = term_tf(sf_dir)
-    df = term_df(sf_dir)
-    joined = hash_join(tf, df, on="term")
-
-    def weigh(batch: pa.Table) -> pa.Table:
-        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        w = tfs * np.log(n / dfs)
-        out = pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "term": batch["term"],
-                "w": pa.array(w, type=pa.float64()),
-            }
+    def bucket_by_term(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _BUCKET_COL, pa.array(_bucket_of(batch["term"], 64))
         )
-        return out.filter(pc.greater(out["w"], 0.0))
 
     def headm(df_: pd.DataFrame) -> pd.DataFrame:
         df_ = df_.sort_values(
@@ -494,6 +483,15 @@ def doc_keywords(sf_dir: str, m: int = KEYWORDS_M):
             kind="mergesort",
         )
         return df_.groupby("doc_id", as_index=False).head(m)
+
+    def weigh_bucket(df_: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are per-(doc, term) unique, and the bucket holds ALL
+        # rows of each of its terms -> group size IS the global df
+        dfs = df_.groupby("term")["term"].transform("size").to_numpy(np.float64)
+        w = df_["tf"].to_numpy(np.float64) * np.log(n / dfs)
+        out = df_.assign(w=w)
+        out = out[out["w"] > 0.0]
+        return headm(out)[["doc_id", "term", "w"]]
 
     def ranked(df_: pd.DataFrame) -> pd.DataFrame:
         df_ = headm(df_)
@@ -503,8 +501,11 @@ def doc_keywords(sf_dir: str, m: int = KEYWORDS_M):
         )
         return df_[["doc_id", "rank", "term", "weight"]]
 
-    partials = joined.map_batches(weigh, batch_format="pyarrow").map_batches(
-        headm, batch_format="pandas"
+    partials = (
+        term_tf(sf_dir)
+        .map_batches(bucket_by_term, batch_format="pyarrow")
+        .groupby(_BUCKET_COL)
+        .map_groups(weigh_bucket, batch_format="pandas")
     )
     return (
         partials.map_batches(_with_bucket("doc_id"), batch_format="pyarrow")
@@ -762,6 +763,37 @@ def _unigram_partials(sf_dir: str):
     return _documents(sf_dir).map_batches(part, batch_format="pyarrow")
 
 
+def _fused_gram_partials(sf_dir: str):
+    """Bigram AND unigram per-batch counts from a single tokenize pass:
+    (gram, u, cnt) with u=0 → adjacent-token bigram, u=1 → unigram.
+    The two gram spaces are disjoint (bigrams contain a space), so one
+    (gram, u)-keyed exchange aggregates both."""
+    from collections import Counter
+
+    def part(batch: pa.Table) -> pa.Table:
+        cb: Counter = Counter()
+        cu: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = tokenize(text)
+            cu.update(toks)
+            cb.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table(
+            {
+                "gram": pa.array(
+                    list(cb.keys()) + list(cu.keys()), type=pa.string()
+                ),
+                "u": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8), [len(cb), len(cu)])
+                ),
+                "cnt": pa.array(
+                    list(cb.values()) + list(cu.values()), type=pa.int64()
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(part, batch_format="pyarrow")
+
+
 def _global_topn(agg_ds, sort_cols, ascending, n):
     """Exact global top-N over an already-aggregated Dataset: partial
     head(N) per batch (each key appears once post-aggregation), final
@@ -810,15 +842,25 @@ def pmi_bigrams(
     from zensearch_ray.functions.agg import bucketed_groupby_sum
     from zensearch_ray.pipelines.joins import hash_join
 
-    # materialize the AGGREGATED datasets (vocab-sized, tiny): each is
-    # consumed 2-3 times below (total + joins), and without pinning,
-    # every consumer would re-run the corpus tokenization from scratch
-    big = bucketed_groupby_sum(
-        _bigram_partials(sf_dir), ["bigram"], ["cnt"]
+    # ONE tokenize pass emits bigram AND unigram partials (r2s6: was
+    # two full passes); materialize the AGGREGATED dataset (vocab-
+    # sized, tiny) — it is consumed 4+ times below (totals + joins),
+    # and without pinning every consumer would re-tokenize the corpus
+    fused = bucketed_groupby_sum(
+        _fused_gram_partials(sf_dir), ["gram", "u"], ["cnt"]
     ).materialize()
-    uni = bucketed_groupby_sum(
-        _unigram_partials(sf_dir), ["term"], ["ucnt"]
-    ).materialize()
+
+    def _take(flag: int, names: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            k = t.filter(pc.equal(t["u"], flag))
+            return pa.table({names[0]: k["gram"], names[1]: k["cnt"]})
+
+        return f
+
+    big = fused.map_batches(_take(0, ["bigram", "cnt"]), batch_format="pyarrow")
+    uni = fused.map_batches(_take(1, ["term", "ucnt"]), batch_format="pyarrow")
     u_total = float(uni.sum("ucnt") or 0)
     b_total = float(big.sum("cnt") or 0)
     if b_total == 0:

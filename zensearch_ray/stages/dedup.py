@@ -265,16 +265,17 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     ``n`` tokens are excluded. Columns:
     (doc_id, n_ngrams, n_dup, dup_rate).
 
-    100-TB shape (no driver-side state, no corpus broadcast):
+    100-TB shape (no driver-side state, no corpus broadcast; r2s6:
+    single tokenize pass and NO join — a doc's total window count is
+    the sum of its per-gram counts, so totals ride the same exchange):
 
     1. map: per (doc, n-gram) pre-aggregated occurrence counts, the
        n-gram shipped as its 8-byte hash64 (not the string);
     2. one hash-bucket exchange on the n-gram hash: inside a bucket,
-       global counts per hash; only occurrences of DUPLICATED n-grams
-       leave as (doc_id, n_dup) partials — unique n-grams (the vast
-       majority) never re-shuffle;
-    3. tiny per-doc aggregation + left join against per-doc totals
-       (computed from doc_len — no second tokenize pass).
+       global counts per hash; each bucket emits per-doc PARTIALS
+       (n_dup = occurrences of duplicated grams, n_win = all
+       occurrences) — gram hashes never leave the bucket;
+    3. one per-doc bucketed sum of those two columns → finish.
 
     Hash note: 64-bit collisions would over-count a pair of distinct
     n-grams as duplicated; at 10^9 distinct n-grams the expected
@@ -283,8 +284,6 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
     """
     from zensearch_ray.functions.agg import bucketed_groupby_sum
     from zensearch_ray.functions.rounding import round6
-    from zensearch_ray.functions.text import tokenize
-    from zensearch_ray.pipelines.joins import hash_join
     from zensearch_ray.stages.minhash import _TokenHasher
 
     def gram_partials(batch: pa.Table) -> pa.Table:
@@ -321,22 +320,6 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
             }
         )
 
-    def totals(batch: pa.Table) -> pa.Table:
-        dls = np.array(
-            [len(tokenize(t)) for t in batch["text"].to_pylist()],
-            dtype=np.int64,
-        )
-        keep = dls >= n
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
-                    type=pa.int64(),
-                ),
-                "n_ngrams": pa.array(dls[keep] - n + 1, type=pa.int64()),
-            }
-        )
-
     grams = ds.map_batches(gram_partials, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -346,34 +329,41 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
         ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 
-    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_stats(group: pd.DataFrame) -> pd.DataFrame:
+        # per-doc partials within the bucket: n_win = all occurrences,
+        # n_dup = occurrences whose gram's GLOBAL count (exact here —
+        # the gram's every row is in this bucket) exceeds 1
         g = group.groupby("h")["c"].transform("sum")
-        keep = group[g > 1]
-        out = keep.groupby("doc_id", as_index=False)["c"].sum()
-        return out.rename(columns={"c": "n_dup"})
+        return (
+            group.assign(dup_c=group["c"].where(g > 1, 0))
+            .groupby("doc_id", as_index=False)
+            .agg(n_dup=("dup_c", "sum"), n_win=("c", "sum"))
+        )
 
-    dups = (
+    partials = (
         grams.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_dups, batch_format="pandas")
+        .map_groups(bucket_stats, batch_format="pandas")
     )
-    per_doc = bucketed_groupby_sum(dups, ["doc_id"], ["n_dup"])
-    tot = ds.map_batches(totals, batch_format="pyarrow")
+    per_doc = bucketed_groupby_sum(partials, ["doc_id"], ["n_dup", "n_win"])
     if per_doc.schema() is None:
-        # no duplicated n-gram anywhere → schema-less empty Dataset;
-        # every doc's n_dup is 0
-        joined = tot.map_batches(
-            lambda t: t.append_column(
-                "n_dup", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
+        # no doc had >= n tokens → typed empty result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_ngrams": pa.array([], type=pa.int64()),
+                    "n_dup": pa.array([], type=pa.int64()),
+                    "dup_rate": pa.array([], type=pa.float64()),
+                }
+            )
         )
-    else:
-        joined = hash_join(tot, per_doc, on="doc_id", how="left")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df["n_dup"].fillna(0).to_numpy(np.int64)
-        nn = df["n_ngrams"].to_numpy(np.int64)
+        nd = df["n_dup"].to_numpy(np.int64)
+        nn = df["n_win"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
@@ -383,4 +373,4 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
             }
         )
 
-    return joined.map_batches(finish, batch_format="pandas")
+    return per_doc.map_batches(finish, batch_format="pandas")
