@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def facets(sf_dir: str):
         return corpus.facet_counts(sf_dir, BM25_QUERY, col="lang")
 
+    def bm25f(sf_dir: str):
+        # fielded BM25F: title tokens (deterministic synthetic title =
+        # first TITLE_WORDS tokens) weighted TITLE_BOOST× in tf + dl,
+        # folded into the index at build — query path unchanged
+        return corpus.bm25f_topk(sf_dir, BM25_QUERY, k=10)
+
     def keywords(sf_dir: str):
         return corpus.doc_keywords(sf_dir, m=5)
 
@@ -361,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_purged": bm25_purged,
         "bm25_topk_filtered": bm25_filtered,
+        "bm25f_topk": bm25f,
         "facet_counts": facets,
         "doc_keywords": keywords,
         "hybrid_rrf": hybrid,
@@ -543,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
@@ -1583,6 +1591,53 @@ def _bm25_purged_sql() -> str:
         tf AS (
             SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
             FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25f_sql() -> str:
+    """BM25F oracle: weighted tokens — every body token at weight 1
+    UNION ALL the first-TITLE_WORDS (title) tokens at weight
+    TITLE_BOOST; tf' = Σw per (doc, term), dl' = Σw per doc, df over
+    docs with tf' > 0. Mirrors corpus.bm25f_topk exactly (engine folds
+    the same weighting into the index at tokenize time)."""
+    from zensearch_ray.pipelines.corpus import TITLE_BOOST, TITLE_WORDS
+
+    return f"""
+        WITH wtoks AS (
+            SELECT doc_id, term, 1 AS w FROM ({_TOKS}) body
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_slice(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       1, {TITLE_WORDS})) AS term,
+                   {TITLE_BOOST} AS w
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, sum(w)::DOUBLE AS dl FROM wtoks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, sum(t.w)::DOUBLE AS tf
+            FROM wtoks t JOIN qterms q USING (term)
             GROUP BY t.term, t.doc_id
         ),
         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),

@@ -302,6 +302,25 @@ def run_bench() -> dict:
     _, t = timed(lambda: doc_keywords(SF_DIR, m=5).count())
     results["doc_keywords_sec"] = round(t, 3)
 
+    # -- r2 session-6 operators: graph family -----------------------------
+    from zensearch_ray.pipelines.analytics import event_pagerank
+    from zensearch_ray.pipelines.corpus import term_pagerank
+    from zensearch_ray.stages.ann import dup_components
+
+    _, t = timed(lambda: event_pagerank(SF_DIR))
+    results["event_pagerank_sec"] = round(t, 3)
+    _, t = timed(lambda: term_pagerank(SF_DIR, k=50))
+    results["term_pagerank_sec"] = round(t, 3)
+    _, t = timed(
+        lambda: dup_components(
+            rd.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            0.4,
+        ).count()
+    )
+    results["dup_components_sec"] = round(t, 3)
+
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
     from zensearch_ray.pipelines.compact import compact_index

@@ -79,6 +79,15 @@ class BuildConfig:
     # counts resolve doc_id → attribute against docmeta only, postings
     # never change. Metadata-scale (one small column per doc).
     attrs: tuple = ()
+    # BM25F title field weight (0 = off). When > 0, tokenize folds
+    # boost·tf_title into tf and boost·dl_title into doc_len (integer
+    # token-repetition field boost — the Lucene-era BM25F
+    # simplification), so the ENTIRE downstream path — explode, shuffle,
+    # codec, block-max pruning, deletes, facets, merge — is unchanged
+    # and every query mode scores fielded relevance. Requires a `title`
+    # column in the corpus; incompatible with positions=True (positions
+    # index body offsets only).
+    title_boost: int = 0
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
@@ -95,6 +104,8 @@ def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
     id_ceiling = None
     if isinstance(source, (str, list)):
         cols = ["url", "warc_ts", "text", "lang"]
+        if cfg.title_boost and not cfg.extract_from_html:
+            cols.append("title")  # html sources get title from extraction
         cols.extend(a for a in cfg.attrs if a not in cols)
         if cfg.extract_from_html:
             cols.append("html")
@@ -151,6 +162,11 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         # when on so positionless fingerprints (and their cached
         # indexes) stay stable across this version.
         spec["positions"] = True
+    if cfg.title_boost:
+        # boosted tfs/doc_lens are a different index CONTENT — a resume
+        # or append must never mix fielded and unfielded partitions.
+        # Added only when on so existing fingerprints stay stable.
+        spec["title_boost"] = cfg.title_boost
     if cfg.attrs:
         # docmeta schema changes with attrs → a resume must not mix
         # (same only-when-set rule as positions to keep old fps stable)
@@ -396,6 +412,13 @@ def build_index(
     import ray
 
     cfg = cfg or BuildConfig()
+    if cfg.title_boost and cfg.positions:
+        # fail on the driver, not as a wrapped worker error: positions
+        # index BODY token offsets only, and boosted tfs would disagree
+        # with positional-list lengths
+        raise ValueError(
+            "title_boost is incompatible with a positional build"
+        )
     layout = IndexLayout(index_dir)
     layout.ensure_dirs()
     t_start = time.perf_counter()
@@ -439,7 +462,12 @@ def build_index(
         actor_kwargs["concurrency"] = cfg.tokenize_concurrency
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col, "positions": cfg.positions, "attrs": cfg.attrs},
+        fn_kwargs={
+            "id_col": id_col,
+            "positions": cfg.positions,
+            "attrs": cfg.attrs,
+            "title_boost": cfg.title_boost,
+        },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
@@ -577,7 +605,12 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
 
     tokenized = corpus.map_batches(
         tokenize_batch,
-        fn_kwargs={"id_col": id_col, "positions": cfg.positions, "attrs": cfg.attrs},
+        fn_kwargs={
+            "id_col": id_col,
+            "positions": cfg.positions,
+            "attrs": cfg.attrs,
+            "title_boost": cfg.title_boost,
+        },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )

@@ -390,6 +390,67 @@ def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+# BM25F fielded search: deterministic synthetic title = the document's
+# first TITLE_WORDS tokens (the fixture generator's own convention,
+# sources/pages.py:181), weighted TITLE_BOOST× in tf and doc_len
+TITLE_WORDS = 4
+TITLE_BOOST = 2
+
+
+def _documents_with_title(sf_dir: str):
+    """documents + computed ``title`` column (first TITLE_WORDS
+    whitespace tokens — identical to the SQL oracle's list_slice over
+    the filtered split; documents.text is verified pure [a-z0-9 ])."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def add_title(batch: pa.Table) -> pa.Table:
+        titles = [
+            " ".join(t.split()[:TITLE_WORDS]) for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column("title", pa.array(titles, type=pa.string()))
+
+    return ds.map_batches(add_title, batch_format="pyarrow")
+
+
+def titled_index_dir_for(sf_dir: str) -> str:
+    """Cached BM25F index twin (separate dir — boosted tf/doc_len are
+    different index contents; the config fingerprint enforces this)."""
+    import dataclasses
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(
+        tempfile.gettempdir(), f"zensearch_idx_v3_{key}_f{TITLE_BOOST}"
+    )
+    if not IndexLayout(d).is_complete():
+        cfg = dataclasses.replace(_INDEX_CFG, title_boost=TITLE_BOOST)
+        build_index(_documents_with_title(sf_dir), d, cfg)
+    return d
+
+
+def bm25f_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Fielded (title-boosted) BM25F top-k: tf' = tf_body +
+    TITLE_BOOST·tf_title, dl' likewise, folded into the index at build
+    (BuildConfig.title_boost) — query-side path is the UNCHANGED
+    block-max engine. The reference carries Title through its whole
+    result surface (search-engine/internal/types/types.go:3-13,
+    express-server/src/app/index.ts:194-197) but never ranks on it;
+    this is the standard-search-engine upgrade of that surface.
+    Columns: (rank, doc_id, score)."""
+    hits = QueryEngine(titled_index_dir_for(sf_dir)).topk(query, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
 RRF_K = 60
 RRF_DEPTH = 100
 

@@ -71,6 +71,10 @@ def pagerank(
 
     @ray.remote
     def block_nodes(tbl: pa.Table) -> np.ndarray:
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            # zero-row blocks out of an upstream map_groups can carry an
+            # EMPTY schema (no columns at all) — treat as no nodes
+            return np.array([])
         return np.union1d(
             tbl[src_col].to_numpy(zero_copy_only=False),
             tbl[dst_col].to_numpy(zero_copy_only=False),
@@ -90,6 +94,9 @@ def pagerank(
     # back to the driver)
     @ray.remote(num_returns=2)
     def block_prep(tbl: pa.Table, idx: dict, nv: int):
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            z = np.empty(0, dtype=np.int64)
+            return (z, z, np.empty(0, dtype=np.float64)), np.zeros(nv)
         s = pd.Series(tbl[src_col].to_numpy(zero_copy_only=False)).map(idx)
         d = pd.Series(tbl[dst_col].to_numpy(zero_copy_only=False)).map(idx)
         w = tbl[w_col].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -43,6 +43,7 @@ class TokenizeStage:
         id_col: str | None = None,
         positions: bool = False,
         attrs: tuple = (),
+        title_boost: int = 0,
     ):
         self.text_col = text_col
         self.id_col = id_col  # None → derive doc_id = hash64(url)
@@ -52,6 +53,18 @@ class TokenizeStage:
         self.positions = positions
         # attribute columns passed through into docmeta (facet sidecar)
         self.attrs = tuple(attrs)
+        # BM25F field weighting folded into the index at tokenize time:
+        # tf' = tf_body + boost·tf_title, dl' = dl_body + boost·dl_title
+        # (integer "token repetition" field boost — Lucene-era BM25F
+        # simplification). Everything downstream — explode, shuffle,
+        # codec, block-max pruning, deletes, facets — is unchanged.
+        self.title_boost = int(title_boost)
+        if self.title_boost and positions:
+            raise ValueError(
+                "title_boost is incompatible with a positional build: "
+                "positions index BODY token offsets, and boosted tfs "
+                "would disagree with position-list lengths"
+            )
 
     def _attr_cols(self, batch: pa.Table) -> dict:
         missing = [a for a in self.attrs if a not in batch.column_names]
@@ -150,8 +163,13 @@ class TokenizeStage:
             )
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
+        boost = self.title_boost
+        title_texts = titles.to_pylist() if boost else None
         for i, text in enumerate(texts):
             tf = term_frequencies(text)
+            if boost:
+                for tok in tokenize(title_texts[i]):
+                    tf[tok] = tf.get(tok, 0) + boost
             terms_col.append(list(tf.keys()))
             tfs_col.append(list(tf.values()))
             doc_lens[i] = sum(tf.values())
@@ -284,6 +302,7 @@ def tokenize_batch(
     id_col: str | None = None,
     positions: bool = False,
     attrs: tuple = (),
+    title_boost: int = 0,
 ) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
@@ -293,7 +312,9 @@ def tokenize_batch(
     of startup at 32 CPUs for a ~45 CPU-second corpus, destroying N→4N
     scaling. Keep the class for genuinely stateful tokenizers (models).
     """
-    return TokenizeStage(id_col=id_col, positions=positions, attrs=attrs)(batch)
+    return TokenizeStage(
+        id_col=id_col, positions=positions, attrs=attrs, title_boost=title_boost
+    )(batch)
 
 
 _HEAVY_CACHE: dict = {}
