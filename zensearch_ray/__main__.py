@@ -39,6 +39,7 @@ def cmd_build(args) -> int:
         id_col=args.id_col,
         positions=args.positions,
         attrs=tuple(args.attrs),
+        title_boost=args.title_boost,
     )
     manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
@@ -299,6 +300,12 @@ def main(argv=None) -> int:
         "--attrs", nargs="*", default=[],
         help="attribute columns carried into docmeta (facet sidecar: "
              "query --filter/--facets, serve --filter)",
+    )
+    b.add_argument(
+        "--title-boost", type=int, default=0,
+        help="BM25F: weight title-field terms N x in tf and doc_len "
+             "(requires a title column or --extract-html; not with "
+             "--positions)",
     )
     b.add_argument(
         "--append", action="store_true",

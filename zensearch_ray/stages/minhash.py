@@ -299,16 +299,31 @@ def verify_pairs_ds(ds, pairs_ds, shingle_k: int = 3, threshold: float = 0.8,
     return joined.map_batches(jaccard_filter, batch_format="pyarrow")
 
 
-def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 30):
+def connected_components(
+    pairs_ds,
+    num_partitions: int = 8,
+    max_iters: int = 30,
+    broadcast_max_nodes: int = 32_000_000,
+):
     """Distributed connected components over an edge Dataset (a, b) →
     Dataset (node, label), label = min node id of the component.
 
-    Min-label propagation: each iteration sends every node's current
-    label to its neighbors and takes the min (one hash join + one
-    groupby-min over EDGE-scale data — never corpus-scale). Converges in
-    O(component diameter) iterations; duplicate groups are near-cliques,
-    so 2-3 in practice. Each iteration materializes the (tiny) label
-    set to keep the lazy plan bounded."""
+    Two layouts, picked by the size of the NODE set (which for dup
+    graphs is the duplicated sliver, not the corpus):
+
+    * node set ≤ ``broadcast_max_nodes`` (8 B/node → ≤256 MB): the
+      ``stages/graph.py:pagerank`` layout — symmetrized edge blocks
+      index-mapped once and pinned in plasma, the label vector
+      broadcast per iteration, per-block ``np.minimum.at`` partials
+      reduced on the driver, plus pointer-jumping (label ← label of
+      label) so convergence is O(log diameter). Iterations cost
+      milliseconds instead of the join path's per-iteration shuffle
+      startup (measured 80 s → ~2 s on the sf0.1 near-dup graph).
+    * larger node sets: min-label propagation as EDGE-scale Dataset
+      joins — each iteration one hash join + one groupby-min; nothing
+      node-scale ever sits on one machine.
+    """
+    import ray
     from ray.data.aggregate import Min
 
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -330,6 +345,21 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 30)
             ),
             batch_format="pyarrow",
         )
+
+    block_refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def block_nodes(tbl: pa.Table) -> np.ndarray:
+        # symmetrized → src alone covers every node; zero-row blocks out
+        # of map_batches can carry an empty schema
+        if tbl.num_rows == 0 or "src" not in tbl.column_names:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(tbl["src"].to_numpy(zero_copy_only=False))
+
+    node_lists = [a for a in ray.get([block_nodes.remote(r) for r in block_refs]) if len(a)]
+    nodes = np.unique(np.concatenate(node_lists))
+    if len(nodes) <= broadcast_max_nodes:
+        return _cc_broadcast(block_refs, nodes, max_iters)
 
     # label(v) = min(v, min neighbor) — the first propagation step
     labels = (
@@ -397,6 +427,60 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iters: int = 30)
         if not changed:
             break
     return labels
+
+
+def _cc_broadcast(block_refs, nodes: np.ndarray, max_iters: int):
+    """Broadcast-label connected components (see ``connected_components``
+    docstring). ``nodes`` is the sorted node vocabulary; labels live in
+    INDEX space (nodes sorted ascending → min index ⇔ min node id)."""
+    import ray
+    import ray.data as rd
+
+    nodes_ref = ray.put(nodes)
+
+    @ray.remote
+    def prep(tbl: pa.Table, nv: np.ndarray):
+        if tbl.num_rows == 0 or "src" not in tbl.column_names:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        s = np.searchsorted(nv, tbl["src"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nv, tbl["dst"].to_numpy(zero_copy_only=False))
+        return s, d
+
+    pair_refs = [prep.remote(r, nodes_ref) for r in block_refs]
+
+    @ray.remote
+    def min_prop(sd, labels: np.ndarray):
+        s, d = sd
+        out = labels.copy()
+        np.minimum.at(out, d, labels[s])
+        return out
+
+    labels = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_iters):
+        l_ref = ray.put(labels)
+        partials = ray.get([min_prop.remote(p, l_ref) for p in pair_refs])
+        new = labels.copy()
+        for p in partials:
+            np.minimum(new, p, out=new)
+        # pointer jumping: a node may adopt its label's label (same
+        # component by construction) — O(log diameter) convergence
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "label": pa.array(nodes[labels], type=pa.int64()),
+            }
+        )
+    )
 
 
 def dup_groups(ds, shingle_k: int = 3, threshold: float = 0.8,
