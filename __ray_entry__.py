@@ -105,6 +105,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def facets(sf_dir: str):
         return corpus.facet_counts(sf_dir, BM25_QUERY, col="lang")
 
+    def scrub(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import scrub_batch
+
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(scrub_batch, batch_format="pyarrow")
+
     def bm25f(sf_dir: str):
         # fielded BM25F: title tokens (deterministic synthetic title =
         # first TITLE_WORDS tokens) weighted TITLE_BOOST× in tf + dl,
@@ -398,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quality": token_quality,
         "doc_fingerprint": fingerprint,
         "lang_id": lang_id,
+        "scrub_text": scrub,
+        "docs_split": corpus.docs_split,
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
@@ -722,6 +733,8 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, jaccard
             FROM j ORDER BY jaccard DESC, doc_id LIMIT 10
         """,
+        "scrub_text": _scrub_sql(),
+        "docs_split": _docs_split_sql(),
         "token_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents)
             SELECT doc_id,
@@ -1609,6 +1622,44 @@ def _bm25_purged_sql() -> str:
                doc_id, round(score, 6) AS score
         FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _scrub_sql() -> str:
+    """PII-scrub oracle: same RE2 pattern via DuckDB's regexp kernels."""
+    from zensearch_ray.stages.textstats import SCRUB_PATTERN, SCRUB_REPLACEMENT
+
+    return f"""
+        SELECT doc_id,
+               regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_REPLACEMENT}', 'g')
+                   AS clean_text,
+               len(regexp_extract_all(text, '{SCRUB_PATTERN}'))::BIGINT AS n_masked
+        FROM documents
+    """
+
+
+def _docs_split_sql() -> str:
+    """Knuth-hash split oracle: HUGEINT product mod 2^64 matches the
+    engine's uint64 wraparound exactly (doc_id ≥ 0)."""
+    from zensearch_ray.pipelines.corpus import (
+        SPLIT_KNUTH,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    return f"""
+        SELECT doc_id,
+               CASE
+                   WHEN h < {SPLIT_TRAIN_PCT} THEN 'train'
+                   WHEN h < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT doc_id,
+                   ((doc_id::HUGEINT * {SPLIT_KNUTH})
+                    % 18446744073709551616) % 100 AS h
+            FROM documents
+        )
     """
 
 

@@ -390,6 +390,43 @@ def bm25_topk_purged(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+# deterministic train/val/test assignment: Knuth multiplicative hash
+# of doc_id (mod 2^64, matching HUGEINT arithmetic in the SQL oracle)
+# so the split is decorrelated from id order — ids are usually
+# crawl-ordered, and `id % 10` would put each host's newest pages in
+# test. Pure map-side metadata; no shuffle, no state.
+SPLIT_KNUTH = 2654435761
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+def docs_split(sf_dir: str):
+    """(doc_id, split) with split ∈ {train, val, test} at 80/10/10 by
+    hashed doc_id — the standard deterministic dataset-split stage of a
+    training-data pipeline (stable under reruns, shard-count changes,
+    and appends, unlike random_shuffle-based splits)."""
+    import pyarrow.compute as pc
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(SPLIT_KNUTH)) % np.uint64(100)
+        split = np.where(
+            h < SPLIT_TRAIN_PCT, "train",
+            np.where(h < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 # BM25F fielded search: deterministic synthetic title = the document's
 # first TITLE_WORDS tokens (the fixture generator's own convention,
 # sources/pages.py:181), weighted TITLE_BOOST× in tf and doc_len

@@ -133,3 +133,34 @@ class LangIdStage:
                 "pred_lang": pa.array(preds, type=pa.string()),
             }
         )
+
+
+# PII-style scrub patterns (RE2 — identical engine in Arrow and the
+# DuckDB oracle): email-shaped tokens and runs of ≥5 digits. The C4/
+# RefinedWeb-style cleaning step; extend the alternation per corpus.
+SCRUB_PATTERN = r"([a-z0-9.]+@[a-z0-9.]+|[0-9]{5,})"
+SCRUB_REPLACEMENT = "<masked>"
+
+
+def scrub_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Mask PII-shaped spans in ``text_col`` → (doc_id, clean_text,
+    n_masked). Fully vectorized: one ``replace_substring_regex`` and
+    one ``count_substring_regex`` Arrow C++ kernel per batch — no
+    Python per row (map-only, no shuffle; the 100-TB shape is trivially
+    streaming)."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "clean_text": pc.replace_substring_regex(
+                batch[text_col], pattern=SCRUB_PATTERN,
+                replacement=SCRUB_REPLACEMENT,
+            ),
+            "n_masked": pc.count_substring_regex(
+                batch[text_col], pattern=SCRUB_PATTERN
+            ).cast(pa.int64()),
+        }
+    )
