@@ -39,6 +39,7 @@ NEAR_WINDOW = 5
 PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
+BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -113,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ).map_batches(scrub_batch, batch_format="pyarrow")
+
+    def boolq(sf_dir: str):
+        return corpus.bool_topk(sf_dir, BOOL_QUERY, k=10)
 
     def bm25f(sf_dir: str):
         # fielded BM25F: title tokens (deterministic synthetic title =
@@ -377,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_purged": bm25_purged,
         "bm25_topk_filtered": bm25_filtered,
         "bm25f_topk": bm25f,
+        "bool_topk": boolq,
         "facet_counts": facets,
         "doc_keywords": keywords,
         "hybrid_rrf": hybrid,
@@ -562,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "bool_topk": _bool_sql(BOOL_QUERY),
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
@@ -1621,6 +1627,67 @@ def _bm25_purged_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bool_sql(expr: str) -> str:
+    """Boolean-retrieval oracle GENERATED from the same AST the engine
+    evaluates (``functions/boolquery.py`` is the shared spec):
+    membership = EXISTS-algebra over the token table (NOT = SQL NOT,
+    complement over all documents — the engine's live-docmeta
+    universe), score = BM25 sum over the distinct non-negated terms,
+    zero-score members kept (LEFT JOIN + coalesce)."""
+    from zensearch_ray.functions.boolquery import parse_bool, scoring_terms
+
+    ast = parse_bool(expr)
+
+    def pred(node) -> str:
+        kind = node[0]
+        if kind == "term":
+            return (
+                "EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id "
+                f"AND t.term = '{node[1]}')"
+            )
+        if kind == "and":
+            return "(" + " AND ".join(pred(c) for c in node[1]) + ")"
+        if kind == "or":
+            return "(" + " OR ".join(pred(c) for c in node[1]) + ")"
+        return "NOT " + pred(node[1])
+
+    terms = scoring_terms(ast)
+    vals = ", ".join(f"('{t}')" for t in terms) or "('')"
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        cand AS (SELECT d.doc_id FROM documents d WHERE {pred(ast)}),
+        qterms(term) AS (VALUES {vals}),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT cand.doc_id, coalesce(sum(contrib.c), 0.0) AS score
+            FROM cand LEFT JOIN contrib USING (doc_id)
+            GROUP BY cand.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
         ORDER BY score DESC, doc_id LIMIT 10
     """
 

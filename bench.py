@@ -262,6 +262,12 @@ def run_bench() -> dict:
     results["did_you_mean_sec"] = round(t, 3)
     _, t = timed(lambda: not_topk(SF_DIR, "spark window -merge -stream", k=10))
     results["not_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import bool_topk
+
+    _, t = timed(
+        lambda: bool_topk(SF_DIR, "(spark OR hash) AND window -merge", k=10)
+    )
+    results["bool_topk_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -488,6 +488,20 @@ def bm25f_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def bool_topk(sf_dir: str, expr: str, k: int = 10) -> pd.DataFrame:
+    """Boolean-expression top-k (AND/OR/NOT + parens) via the engine's
+    posting-set algebra — Lucene filter-then-rank semantics (see
+    ``QueryEngine.topk_bool``). Columns: (rank, doc_id, score)."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_bool(expr, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": [d for d, _ in hits],
+            "score": [round6(s) for _, s in hits],
+        }
+    )
+
+
 RRF_K = 60
 RRF_DEPTH = 100
 

@@ -555,6 +555,79 @@ class QueryEngine:
             out.append((tok, best, self.df(best)))
         return out
 
+    def _universe(self) -> np.ndarray:
+        """Sorted ids of every LIVE doc (docmeta minus tombstones) —
+        the complement base for boolean NOT. Metadata-scale, cached
+        per engine (same footprint class as the facet cache)."""
+        u = getattr(self, "_universe_ids", None)
+        if u is None:
+            meta = pq.ParquetDataset(self.layout.docmeta_dir).read(
+                columns=["doc_id"]
+            )
+            ids = np.unique(
+                meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if self.deleted is not None and len(self.deleted):
+                ids = ids[~np.isin(ids, self.deleted, assume_unique=True)]
+            self._universe_ids = u = ids
+        return u
+
+    def topk_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Full boolean retrieval: AND / OR / NOT with parentheses
+        (UPPERCASE keywords; ``-term`` = NOT; adjacency = implicit AND
+        — grammar in ``functions/boolquery.py``). Lucene semantics:
+        the expression is a FILTER (membership via posting doc-id set
+        algebra; NOT complements against live docmeta ids), ranking is
+        the BM25 sum over the DISTINCT terms occurring outside any NOT
+        — negated clauses never score, and zero-score members (e.g.
+        matched through a pure NOT branch) stay in the result, ordered
+        (score DESC, doc_id ASC)."""
+        from zensearch_ray.functions.boolquery import parse_bool, scoring_terms
+
+        ast = parse_bool(query)
+
+        def ids_of(tok: str) -> np.ndarray:
+            p = self.lookup(tok)
+            return (
+                p.decode_all()[0] if p is not None else np.empty(0, dtype=np.int64)
+            )
+
+        def ev(node) -> np.ndarray:  # sorted unique doc_ids
+            kind = node[0]
+            if kind == "term":
+                return ids_of(node[1])
+            if kind == "and":
+                parts = sorted((ev(c) for c in node[1]), key=len)
+                cand = parts[0]
+                for ids in parts[1:]:
+                    if not len(cand):
+                        break
+                    cand = cand[np.isin(cand, ids, assume_unique=True)]
+                return cand
+            if kind == "or":
+                return np.unique(np.concatenate([ev(c) for c in node[1]]))
+            return np.setdiff1d(self._universe(), ev(node[1]), assume_unique=True)
+
+        cand = ev(ast)
+        if not len(cand):
+            return []
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for tok in scoring_terms(ast):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            ids, tfs, dls = p.decode_all()
+            m = np.isin(ids, cand, assume_unique=True)
+            if not m.any():
+                continue
+            pos = np.searchsorted(cand, ids[m])
+            scores[pos] += w * tf_norm(tfs[m], dls[m], self.avgdl, self.params)
+        top_ids, top_sc = topk_order(cand, scores, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def topk_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Conjunctive (AND) top-k: only documents containing EVERY
         distinct query term are scored — the posting-list intersection
@@ -731,6 +804,7 @@ class QueryEngine:
             "prefix": self.topk_prefix,
             "fuzzy": self.topk_fuzzy,
             "not": self.topk_not,
+            "bool": self.topk_bool,
         }[mode]
         return resolve_docs(self.layout, fn(query, k))
 
@@ -881,6 +955,7 @@ class QueryScorer:
             "prefix": e.topk_prefix,
             "fuzzy": e.topk_fuzzy,
             "not": e.topk_not,
+            "bool": e.topk_bool,
         }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

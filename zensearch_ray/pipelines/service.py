@@ -48,6 +48,7 @@ class _EngineReplica:
             "prefix": self.engine.topk_prefix,
             "fuzzy": self.engine.topk_fuzzy,
             "not": self.engine.topk_not,
+            "bool": self.engine.topk_bool,
         }[mode]
         return fn(query, k)
 
