@@ -40,6 +40,7 @@ PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
 BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
+WILDCARD_QUERY = "s*a*"  # glob: expands to {scan, small, spark, stream}
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -117,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def boolq(sf_dir: str):
         return corpus.bool_topk(sf_dir, BOOL_QUERY, k=10)
+
+    def wildcard(sf_dir: str):
+        return corpus.wildcard_topk(sf_dir, WILDCARD_QUERY, k=10)
 
     def bm25f(sf_dir: str):
         # fielded BM25F: title tokens (deterministic synthetic title =
@@ -382,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_filtered,
         "bm25f_topk": bm25f,
         "bool_topk": boolq,
+        "wildcard_topk": wildcard,
         "facet_counts": facets,
         "doc_keywords": keywords,
         "hybrid_rrf": hybrid,
@@ -568,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_pruned": _bm25_sql(),
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
+        "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
@@ -1197,6 +1203,45 @@ def _prefix_sql() -> str:
         stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
                          (SELECT avg(dl) FROM dl) AS avgdl),
         qterms AS (SELECT DISTINCT term FROM toks WHERE term LIKE '{PREFIX_QUERY}%'),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _wildcard_sql(pattern: str) -> str:
+    """Wildcard-search oracle: the same exhaustive-BM25 body as
+    ``_prefix_sql`` with qterms = the DISTINCT corpus terms matching
+    the glob as a SQL LIKE ('*'→'%'; terms are pure token text so no
+    LIKE metacharacters need escaping) — exactly the engine's
+    dictionary expansion."""
+    like = pattern.replace("*", "%")
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms AS (SELECT DISTINCT term FROM toks WHERE term LIKE '{like}'),
         tf AS (
             SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
             FROM toks t JOIN qterms q USING (term)

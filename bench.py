@@ -268,6 +268,10 @@ def run_bench() -> dict:
         lambda: bool_topk(SF_DIR, "(spark OR hash) AND window -merge", k=10)
     )
     results["bool_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import wildcard_topk
+
+    _, t = timed(lambda: wildcard_topk(SF_DIR, "s*a*", k=10))
+    results["wildcard_topk_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -205,6 +205,54 @@ def test_prefix_empty_and_nomatch(built_index):
     assert engine.topk_prefix("qqqqzzz", 10) == []
 
 
+def test_wildcard_expansion_and_scoring(built_index, oracle):
+    """expand_wildcard == fnmatch vocab scan; topk_wildcard == topk of
+    the expansion treated as a (deduplicated) OR-query — prefix/suffix/
+    infix patterns, the generalization of the prefix mode."""
+    from fnmatch import fnmatchcase
+
+    from zensearch_ray.functions.bm25 import idf
+    from zensearch_ray.functions.text import tokenize as tk
+
+    index_dir, _, pages_path = built_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    vocab = set()
+    for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        if lg == "en":
+            vocab.update(tk(tx))
+    for pat in ["*er", "c*l", "*aw*", "s*e*", "th*", "*zzqq*", "w*d*w"]:
+        want_terms = sorted(v for v in vocab if fnmatchcase(v, pat))
+        got_terms = engine.expand_wildcard(pat)
+        assert got_terms == want_terms, pat
+        want = engine._score_plan(
+            [
+                (engine.lookup(term), idf(engine.n_docs, engine.df(term)))
+                for term in want_terms
+                if engine.df(term) not in (0, engine.n_docs)
+            ],
+            10,
+        )
+        assert engine.topk_wildcard(pat, 10) == want, pat
+
+
+def test_wildcard_edges(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    # pure-prefix pattern takes the pushdown path; must agree with prefix
+    assert engine.expand_wildcard("th*") == engine.expand_prefix("th")
+    # no '*' → exact-term degenerate case (scored iff the term exists)
+    assert engine.topk_wildcard("the", 10) == engine.topk("the", 10)
+    assert engine.expand_wildcard("") == []
+    assert engine.topk_wildcard("*qqzz*", 10) == []
+    # non-token literal segments fail loudly
+    with pytest.raises(ValueError):
+        engine.expand_wildcard("a-b*")
+    # expansion-size guard
+    with pytest.raises(ValueError):
+        engine.expand_wildcard("*", max_terms=3)
+
+
 def test_topk_not_excludes_documents(built_index, oracle):
     """topk_not == exhaustive topk over the positive terms minus every
     doc containing an excluded term (referee: oracle postings)."""

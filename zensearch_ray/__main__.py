@@ -92,6 +92,7 @@ def cmd_query(args) -> int:
                 "fuzzy": engine.topk_fuzzy,
                 "not": engine.topk_not,
                 "bool": engine.topk_bool,
+                "wildcard": engine.topk_wildcard,
             }[mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -320,7 +321,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -351,7 +352,7 @@ def main(argv=None) -> int:
     bt.add_argument("-k", type=int, default=10)
     bt.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default="pruned",
     )
     bt.add_argument("--window", type=int, default=8)
@@ -422,7 +423,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)

@@ -1051,6 +1051,22 @@ def prefix_topk(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def wildcard_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
+    """Glob-pattern BM25 top-k: '*'-wildcards anywhere (suffix/infix —
+    the generalization of ``prefix_topk``), expanded against the index
+    term dictionary and scored as an OR-query (see
+    ``QueryEngine.topk_wildcard``). Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_wildcard(pattern, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def fuzzy_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     """Fuzzy (typo-tolerant) BM25 top-k: every query term expanded
     against the index term dictionary at byte-Levenshtein distance ≤ 1,

@@ -448,6 +448,62 @@ class QueryEngine:
             plan.append((p, w))
         return self._score_plan(plan, k)
 
+    def expand_wildcard(self, pattern: str, max_terms: int = 1000) -> list[str]:
+        """Dictionary terms matching a glob ``pattern`` ('*' = any run,
+        anywhere: ``pre*``, ``*suf``, ``mi*le``, ``*mid*``), sorted.
+        Literal segments are normalized by the pinned normalizer and
+        must be pure token characters. A leading literal narrows the
+        scan via the sorted-vocab bisect (same dictionary-scale cost
+        class as ``expand_prefix``); a leading '*' scans the vocab —
+        at cluster scale the reversed-term dictionary sidecar is the
+        metadata-only upgrade, exactly as for fuzzy. Raises if the
+        expansion exceeds ``max_terms`` (query-cost guard) so an
+        over-broad pattern fails loudly instead of scoring half the
+        dictionary."""
+        import re as _re
+        from bisect import bisect_left
+
+        from zensearch_ray.functions.text import _TOKEN_RE, normalize
+
+        segs = [normalize(s) for s in pattern.split("*")]
+        for s in segs:
+            if s and _TOKEN_RE.fullmatch(s) is None:
+                raise ValueError(f"wildcard segment {s!r} is not token text")
+        if len(segs) == 1:  # no '*': exact-term degenerate case
+            return [segs[0]] if segs[0] else []
+        if segs[-1] == "" and len(segs) == 2 and segs[0]:
+            out = self.expand_prefix(segs[0])  # pure prefix: pushdown path
+        else:
+            rx = _re.compile(".*".join(_re.escape(s) for s in segs) + r"\Z")
+            vocab = self._all_terms()
+            lo, hi = 0, len(vocab)
+            if segs[0]:  # sorted vocab → literal-prefix window
+                lo = bisect_left(vocab, segs[0])
+                stop = segs[0][:-1] + chr(ord(segs[0][-1]) + 1)
+                hi = bisect_left(vocab, stop, lo)
+            out = [t for t in vocab[lo:hi] if rx.match(t)]
+        if len(out) > max_terms:
+            raise ValueError(
+                f"wildcard {pattern!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
+    def topk_wildcard(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
+        """Wildcard search: glob expansion against the term dictionary
+        (``expand_wildcard``), scored as an OR-query exactly like
+        ``topk_prefix`` — the suffix/infix generalization of the prefix
+        mode (SQL oracle: qterms = DISTINCT terms LIKE with '*'→'%')."""
+        plan = []
+        for t in self.expand_wildcard(pattern):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return self._score_plan(plan, k)
+
     def _all_terms(self) -> list[str]:
         """The full term dictionary (sorted, deduped across partitions/
         generations), cached per engine. Vocab-scale, postings never
@@ -805,6 +861,7 @@ class QueryEngine:
             "fuzzy": self.topk_fuzzy,
             "not": self.topk_not,
             "bool": self.topk_bool,
+            "wildcard": self.topk_wildcard,
         }[mode]
         return resolve_docs(self.layout, fn(query, k))
 
@@ -956,6 +1013,7 @@ class QueryScorer:
             "fuzzy": e.topk_fuzzy,
             "not": e.topk_not,
             "bool": e.topk_bool,
+            "wildcard": e.topk_wildcard,
         }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

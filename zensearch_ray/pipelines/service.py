@@ -49,6 +49,7 @@ class _EngineReplica:
             "fuzzy": self.engine.topk_fuzzy,
             "not": self.engine.topk_not,
             "bool": self.engine.topk_bool,
+            "wildcard": self.engine.topk_wildcard,
         }[mode]
         return fn(query, k)
 
