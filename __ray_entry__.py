@@ -122,6 +122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def wildcard(sf_dir: str):
         return corpus.wildcard_topk(sf_dir, WILDCARD_QUERY, k=10)
 
+    def dump(sf_dir: str):
+        # index-integrity export: segments decoded back to (term,
+        # doc_id, tf, dl) facts, verified against the tokenization SQL
+        # — closes the loop over encode/shuffle/commit/decode
+        from zensearch_ray.pipelines.export import dump_postings
+
+        return dump_postings(corpus.index_dir_for(sf_dir))
+
     def bm25f(sf_dir: str):
         # fielded BM25F: title tokens (deterministic synthetic title =
         # first TITLE_WORDS tokens) weighted TITLE_BOOST× in tf + dl,
@@ -387,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": bm25f,
         "bool_topk": boolq,
         "wildcard_topk": wildcard,
+        "dump_postings": dump,
         "facet_counts": facets,
         "doc_keywords": keywords,
         "hybrid_rrf": hybrid,
@@ -574,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
+        "dump_postings": _dump_postings_sql(),
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
@@ -1226,6 +1236,21 @@ def _prefix_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _dump_postings_sql() -> str:
+    """Index-export oracle: the exported segment rows must equal the
+    (term, doc_id, tf, dl) facts recomputed from the raw corpus by SQL
+    tokenization — a full-index integrity invariant."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        tf AS (
+            SELECT term, doc_id, count(*)::BIGINT AS tf
+            FROM toks GROUP BY term, doc_id
+        ),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
+        SELECT term, doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
     """
 
 

@@ -272,6 +272,12 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: wildcard_topk(SF_DIR, "s*a*", k=10))
     results["wildcard_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import index_dir_for
+    from zensearch_ray.pipelines.export import dump_postings
+
+    n_dumped, t = timed(lambda: dump_postings(index_dir_for(SF_DIR)).count())
+    results["dump_postings_sec"] = round(t, 3)
+    results["dump_postings_rows"] = int(n_dumped)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

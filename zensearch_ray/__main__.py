@@ -199,6 +199,17 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Decode the committed segments into columnar (term, doc_id, tf,
+    dl) parquet — the interop/integrity inverse of the build's encode
+    (see ``pipelines/export.py``)."""
+    from zensearch_ray.pipelines.export import export_postings
+
+    _ensure_ray()
+    print(json.dumps(export_postings(args.index, args.output)))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: the global manifest plus the per-partition
     lineage metrics the build emitted (postings, bytes, build/sort/
@@ -417,6 +428,14 @@ def main(argv=None) -> int:
         help="include every partition's raw metrics row",
     )
     st.set_defaults(fn=cmd_stats)
+
+    ex = sub.add_parser(
+        "export",
+        help="decode segments → (term, doc_id, tf, dl) parquet rows",
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--output", required=True)
+    ex.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
     s.add_argument("--index", required=True)
