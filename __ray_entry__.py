@@ -428,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "scrub_text": scrub,
         "docs_split": corpus.docs_split,
+        "docs_sample": corpus.docs_sample,
+        "source_cap": corpus.source_cap,
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
@@ -757,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_text": _scrub_sql(),
         "docs_split": _docs_split_sql(),
+        "docs_sample": _docs_sample_sql(),
+        "source_cap": _source_cap_sql(),
         "token_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents)
             SELECT doc_id,
@@ -1797,6 +1801,44 @@ def _docs_split_sql() -> str:
                     % 18446744073709551616) % 100 AS h
             FROM documents
         )
+    """
+
+
+def _docs_sample_sql() -> str:
+    """Deterministic-Bernoulli-sample oracle: HUGEINT product mod 2^64
+    matches the engine's uint64 wraparound exactly (as _docs_split_sql,
+    different multiplier)."""
+    from zensearch_ray.pipelines.corpus import SAMPLE_KNUTH, SAMPLE_PCT
+
+    return f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ((doc_id::HUGEINT * {SAMPLE_KNUTH})
+                    % 18446744073709551616) % 100 AS h
+            FROM documents
+        ) WHERE h < {SAMPLE_PCT}
+    """
+
+
+def _source_cap_sql() -> str:
+    """Host-cap oracle: per-source ROW_NUMBER under the same
+    multiplicative-hash priority, capped."""
+    from zensearch_ray.pipelines.corpus import (
+        CAP_HASH_MOD,
+        CAP_HASH_MULT,
+        SOURCE_CAP,
+    )
+
+    return f"""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * {CAP_HASH_MULT}) % {CAP_HASH_MOD},
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {SOURCE_CAP}
     """
 
 

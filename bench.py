@@ -278,6 +278,12 @@ def run_bench() -> dict:
     n_dumped, t = timed(lambda: dump_postings(index_dir_for(SF_DIR)).count())
     results["dump_postings_sec"] = round(t, 3)
     results["dump_postings_rows"] = int(n_dumped)
+    from zensearch_ray.pipelines.corpus import docs_sample, source_cap
+
+    _, t = timed(lambda: source_cap(SF_DIR).count())
+    results["source_cap_sec"] = round(t, 3)
+    _, t = timed(lambda: docs_sample(SF_DIR).count())
+    results["docs_sample_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -427,6 +427,68 @@ def docs_split(sf_dir: str):
     ).map_batches(assign, batch_format="pyarrow")
 
 
+# host-cap: keep at most CAP docs per source under a deterministic
+# multiplicative-hash priority — the per-host page cap of webtext
+# pipelines (a skewed host must not dominate the training mix). The
+# priority hash is the lang_balanced_sample one; the ORDER is what the
+# cap selects on, so it must be decorrelated from crawl-ordered ids.
+SOURCE_CAP = 5
+CAP_HASH_MULT, CAP_HASH_MOD = 48271, 65536
+
+
+def source_cap(sf_dir: str, cap: int = SOURCE_CAP):
+    """(source, doc_id) — the ≤``cap`` docs kept per source. Unlike
+    ``lang_balanced_sample`` (few groups → constant-key combine), the
+    group count here is unbounded (hosts), so the finish runs as a
+    keyed ``groupby(source).map_groups`` — a real hash shuffle, but
+    over the per-batch partials only: each batch pre-trims to ≤cap
+    rows per source it contains, so at most cap·n_batches rows per
+    source ever move, independent of corpus size."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def headn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.int64) * CAP_HASH_MULT) % CAP_HASH_MOD
+        df = df.assign(h=h).sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return df.groupby("source", as_index=False).head(cap)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return headn(df)[["source", "doc_id"]]
+
+    return (
+        ds.map_batches(headn, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+# uniform deterministic sample: golden-ratio multiplier, decorrelated
+# from SPLIT_KNUTH so sample membership is independent of the
+# train/val/test assignment
+SAMPLE_KNUTH = 0x9E3779B97F4A7C15
+SAMPLE_PCT = 10
+
+
+def docs_sample(sf_dir: str, pct: int = SAMPLE_PCT):
+    """(doc_id,) — a deterministic ``pct``-percent Bernoulli sample by
+    hashed doc_id: reproducible across reruns, cluster sizes, and
+    appends (a doc's membership never changes as the corpus grows),
+    unlike ``Dataset.random_sample``. Map-only streaming filter."""
+    import ray.data as rd
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(SAMPLE_KNUTH)) % np.uint64(100)
+        return batch.filter(pa.array(h < pct))
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
 # BM25F fielded search: deterministic synthetic title = the document's
 # first TITLE_WORDS tokens (the fixture generator's own convention,
 # sources/pages.py:181), weighted TITLE_BOOST× in tf and doc_len
