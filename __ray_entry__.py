@@ -41,6 +41,14 @@ FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
 BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
 WILDCARD_QUERY = "s*a*"  # glob: expands to {scan, small, spark, stream}
+# standing percolator registry (boolean grammar, incl. NOT + parens)
+PERCOLATE_QUERIES = {
+    "q_spark_win": "spark AND window",
+    "q_hash_or": "hash OR (merge AND stream)",
+    "q_table_not_join": "table -join",
+    "q_rare_pair": "vector dup",
+    "q_no_common": "NOT (a OR the OR table)",
+}
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -121,6 +129,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def wildcard(sf_dir: str):
         return corpus.wildcard_topk(sf_dir, WILDCARD_QUERY, k=10)
+
+    def percolate_docs(sf_dir: str):
+        # reverse search: the standing boolean-query registry matched
+        # against the streaming document table (broadcast small side)
+        import ray.data as rd
+
+        from zensearch_ray.stages.percolate import percolate
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return percolate(docs, PERCOLATE_QUERIES)
 
     def dump(sf_dir: str):
         # index-integrity export: segments decoded back to (term,
@@ -396,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_topk": boolq,
         "wildcard_topk": wildcard,
         "dump_postings": dump,
+        "percolate": percolate_docs,
         "facet_counts": facets,
         "doc_keywords": keywords,
         "hybrid_rrf": hybrid,
@@ -586,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
         "dump_postings": _dump_postings_sql(),
+        "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
@@ -1243,6 +1265,24 @@ def _prefix_sql() -> str:
     """
 
 
+def _percolate_sql(registry: dict[str, str]) -> str:
+    """Percolator oracle: one membership SELECT per standing query,
+    UNION ALL — each predicate GENERATED from the same AST the
+    percolator evaluates (``to_sql_predicate``), NOT = SQL NOT over
+    the document's own tokens."""
+    from zensearch_ray.functions.boolquery import parse_bool, to_sql_predicate
+
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT d.doc_id, '{qid}' AS query_id FROM documents d "
+        f"WHERE {to_sql_predicate(parse_bool(expr))}"
+        for qid, expr in sorted(registry.items())
+    )
+    return f"""
+        WITH toks AS ({_TOKS})
+{arms}
+    """
+
+
 def _dump_postings_sql() -> str:
     """Index-export oracle: the exported segment rows must equal the
     (term, doc_id, tf, dl) facts recomputed from the raw corpus by SQL
@@ -1712,23 +1752,13 @@ def _bool_sql(expr: str) -> str:
     complement over all documents — the engine's live-docmeta
     universe), score = BM25 sum over the distinct non-negated terms,
     zero-score members kept (LEFT JOIN + coalesce)."""
-    from zensearch_ray.functions.boolquery import parse_bool, scoring_terms
+    from zensearch_ray.functions.boolquery import (
+        parse_bool,
+        scoring_terms,
+        to_sql_predicate,
+    )
 
     ast = parse_bool(expr)
-
-    def pred(node) -> str:
-        kind = node[0]
-        if kind == "term":
-            return (
-                "EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id "
-                f"AND t.term = '{node[1]}')"
-            )
-        if kind == "and":
-            return "(" + " AND ".join(pred(c) for c in node[1]) + ")"
-        if kind == "or":
-            return "(" + " OR ".join(pred(c) for c in node[1]) + ")"
-        return "NOT " + pred(node[1])
-
     terms = scoring_terms(ast)
     vals = ", ".join(f"('{t}')" for t in terms) or "('')"
     return f"""
@@ -1736,7 +1766,7 @@ def _bool_sql(expr: str) -> str:
         dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
         stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
                          (SELECT avg(dl) FROM dl) AS avgdl),
-        cand AS (SELECT d.doc_id FROM documents d WHERE {pred(ast)}),
+        cand AS (SELECT d.doc_id FROM documents d WHERE {to_sql_predicate(ast)}),
         qterms(term) AS (VALUES {vals}),
         tf AS (
             SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf

@@ -284,6 +284,22 @@ def run_bench() -> dict:
     results["source_cap_sec"] = round(t, 3)
     _, t = timed(lambda: docs_sample(SF_DIR).count())
     results["docs_sample_sec"] = round(t, 3)
+    import ray.data as rd
+
+    from zensearch_ray.stages.percolate import percolate
+
+    _registry = {
+        "q_spark_win": "spark AND window",
+        "q_hash_or": "hash OR (merge AND stream)",
+        "q_table_not_join": "table -join",
+        "q_rare_pair": "vector dup",
+        "q_no_common": "NOT (a OR the OR table)",
+    }
+    _docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    _, t = timed(lambda: percolate(_docs, _registry).count())
+    results["percolate_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -102,6 +102,47 @@ def parse_bool(query: str):
     return node
 
 
+def all_terms(ast) -> list[str]:
+    """Every distinct term in the expression (negated or not), sorted —
+    the vocabulary a membership evaluator (e.g. the percolator) needs."""
+    out: set[str] = set()
+
+    def walk(node):
+        kind = node[0]
+        if kind == "term":
+            out.add(node[1])
+        elif kind == "not":
+            walk(node[1])
+        else:
+            for c in node[1]:
+                walk(c)
+
+    walk(ast)
+    return sorted(out)
+
+
+def to_sql_predicate(ast, toks_alias: str = "toks", doc_alias: str = "d") -> str:
+    """Render the AST as a SQL membership predicate over a
+    ``(doc_id, term)`` token table — EXISTS-algebra, NOT = SQL NOT.
+    Shared by the boolean-retrieval and percolator oracles so the SQL
+    is GENERATED from the same AST the engine evaluates."""
+    kind = ast[0]
+    if kind == "term":
+        return (
+            f"EXISTS (SELECT 1 FROM {toks_alias} t "
+            f"WHERE t.doc_id = {doc_alias}.doc_id AND t.term = '{ast[1]}')"
+        )
+    if kind == "and":
+        return "(" + " AND ".join(
+            to_sql_predicate(c, toks_alias, doc_alias) for c in ast[1]
+        ) + ")"
+    if kind == "or":
+        return "(" + " OR ".join(
+            to_sql_predicate(c, toks_alias, doc_alias) for c in ast[1]
+        ) + ")"
+    return "NOT " + to_sql_predicate(ast[1], toks_alias, doc_alias)
+
+
 def scoring_terms(ast) -> list[str]:
     """Distinct terms with at least one occurrence OUTSIDE any NOT —
     the Lucene rule: negated clauses filter but never score. Sorted for
