@@ -130,3 +130,70 @@ def test_sharded_service_resolves_docs(service_index):
         want = engine.topk_docs("search engine", k=5, mode="exhaustive")
         assert rows == want
         assert rows and {"rank", "doc_id", "url", "title", "score"} <= set(rows[0])
+
+
+def test_live_reload_sees_appends_and_deletes(ray_session, tmp_path_factory):
+    """The grow-by-crawling loop at serve time: a warm service must pick
+    up an append (new docs rankable) and a delete (tombstones honored)
+    without restart, via the version-token reload."""
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.delete import delete_docs
+    from zensearch_ray.sources.pages import generate_pages_table
+    from zensearch_ray.state.manifest import IndexLayout
+
+    root = tmp_path_factory.mktemp("reload")
+    t = generate_pages_table(120, seed=23)
+    a, b = str(root / "a.parquet"), str(root / "b.parquet")
+    pq.write_table(t.slice(0, 70), a, row_group_size=32)
+    pq.write_table(t.slice(70, 50), b, row_group_size=32)
+    idx = str(root / "idx")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en")
+    build_index(a, idx, cfg)
+
+    layout = IndexLayout(idx)
+    tok0 = layout.version_token()
+    assert layout.version_token() == tok0  # stable when nothing changed
+
+    q = "search engine"
+    with QueryService(idx, replicas=2, reload_secs=0.0) as svc:
+        before = svc.search(q, k=50)
+        build_index(b, idx, cfg, append=True)
+        assert layout.version_token() != tok0
+        after = svc.search(q, k=50)
+        assert after == QueryEngine(idx).topk(q, 50)
+        assert after != before  # the appended docs changed the ranking
+        # both replicas reloaded (round-robin: ask twice more)
+        assert svc.search(q, k=50) == after
+
+        dead = [d for d, _ in after[:2]]
+        delete_docs(idx, doc_ids=dead)
+        got = svc.search(q, k=50)
+        assert not ({d for d, _ in got} & set(dead))
+        assert got == QueryEngine(idx).topk(q, 50)
+
+
+def test_refresh_is_explicit_push(ray_session, tmp_path_factory):
+    """Without reload_secs the service serves a stable snapshot until
+    refresh() is called (the push form)."""
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.sources.pages import generate_pages_table
+
+    root = tmp_path_factory.mktemp("push")
+    t = generate_pages_table(100, seed=29)
+    a, b = str(root / "a.parquet"), str(root / "b.parquet")
+    pq.write_table(t.slice(0, 60), a, row_group_size=32)
+    pq.write_table(t.slice(60, 40), b, row_group_size=32)
+    idx = str(root / "idx")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en")
+    build_index(a, idx, cfg)
+
+    q = "search engine"
+    with QueryService(idx, replicas=1, reload_secs=None) as svc:
+        snap = svc.search(q, k=50)
+        build_index(b, idx, cfg, append=True)
+        assert svc.search(q, k=50) == snap  # snapshot isolation
+        assert svc.refresh() == [True]
+        assert svc.search(q, k=50) == QueryEngine(idx).topk(q, 50)
+        assert svc.refresh() == [False]  # nothing new → no reload

@@ -278,6 +278,7 @@ def cmd_serve(args) -> int:
         svc_cm = QueryService(
             args.index, replicas=args.replicas, k=args.k,
             mode=args.mode or "pruned",
+            reload_secs=args.reload_secs,
         )
         search = lambda q: svc_cm.search(  # noqa: E731
             q, docs=True, filter=filt,
@@ -454,6 +455,11 @@ def main(argv=None) -> int:
         "--filter", metavar="COL=VALUE",
         help="faceted serving: restrict results to docs whose docmeta "
              "attribute matches (exhaustive evaluation)",
+    )
+    s.add_argument(
+        "--reload-secs", type=float, default=None, metavar="S",
+        help="live reload: replicas re-check the index version at most "
+             "every S seconds and pick up appends/deletes without restart",
     )
     s.set_defaults(fn=cmd_serve)
 

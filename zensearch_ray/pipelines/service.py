@@ -18,17 +18,58 @@ serving loop is exactly what the Dataset API does not model.
 
 from __future__ import annotations
 
+import time as _time
+
 
 class _EngineReplica:
-    """One warm engine replica (actor body)."""
+    """One warm engine replica (actor body).
 
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    ``reload_secs`` enables LIVE RELOAD: at most once per interval the
+    replica compares the index's metadata fingerprint
+    (``IndexLayout.version_token`` — manifest bytes, tombstone stat,
+    segment list; no postings read) and rebuilds its engine when the
+    index changed underneath it. This closes the reference's
+    grow-by-crawling loop at serve time (``crawler/main.go:84-112`` →
+    MySQL upsert → the next ``GET /search`` sees the new pages): here,
+    an ``append``/``delete`` published to the index directory is
+    visible to the warm service within one interval, with no restart.
+    ``reload_secs=0`` checks on every call (the test/determinism mode).
+    """
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096,
+                 reload_secs: float | None = None):
         from zensearch_ray.pipelines.query import QueryEngine
 
+        self._index_dir = index_dir
+        self._cache_terms = cache_terms
+        self._reload_secs = reload_secs
         self.engine = QueryEngine(index_dir, cache_terms=cache_terms)
+        if reload_secs is not None:
+            self._token = self.engine.layout.version_token()
+            self._last_check = _time.monotonic()
+
+    def refresh(self) -> bool:
+        """Reload the engine if the index changed; True if reloaded."""
+        from zensearch_ray.pipelines.query import QueryEngine
+
+        token = self.engine.layout.version_token()
+        if token == getattr(self, "_token", None):
+            return False
+        self.engine = QueryEngine(self._index_dir, cache_terms=self._cache_terms)
+        self._token = token
+        return True
+
+    def _maybe_reload(self) -> None:
+        if self._reload_secs is None:
+            return
+        now = _time.monotonic()
+        if now - self._last_check >= self._reload_secs:
+            self._last_check = now
+            self.refresh()
 
     def search(self, query: str, k: int, mode: str, docs: bool,
                filter: tuple | None = None):
+        self._maybe_reload()
         if filter is not None:
             col, value = filter
             hits = self.engine.topk_filtered(query, col, value, k)
@@ -78,16 +119,25 @@ class QueryService:
     """
 
     def __init__(self, index_dir: str, replicas: int = 2, k: int = 10,
-                 mode: str = "exhaustive", cache_terms: int = 4096):
+                 mode: str = "exhaustive", cache_terms: int = 4096,
+                 reload_secs: float | None = None):
         import ray
 
         self._k = k
         self._mode = mode
         actor_cls = ray.remote(num_cpus=1)(_EngineReplica)
         self._replicas = [
-            actor_cls.remote(index_dir, cache_terms) for _ in range(replicas)
+            actor_cls.remote(index_dir, cache_terms, reload_secs)
+            for _ in range(replicas)
         ]
         self._rr = 0
+
+    def refresh(self) -> list[bool]:
+        """Force every replica to re-check the index version now (the
+        push form of live reload); returns per-replica reloaded flags."""
+        import ray
+
+        return ray.get([a.refresh.remote() for a in self._replicas])
 
     def _next(self):
         a = self._replicas[self._rr % len(self._replicas)]

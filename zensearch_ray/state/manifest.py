@@ -77,6 +77,34 @@ class IndexLayout:
         )
         os.replace(tmp, self.deletes_path)
 
+    def version_token(self) -> str:
+        """Cheap content fingerprint of everything that changes query
+        results in place: the global manifest bytes (appends rewrite
+        it last), the tombstone sidecar (mtime_ns, size), and the
+        sorted segment file list. Metadata-only — no segment is read.
+        Serving replicas compare tokens to decide whether to reload
+        (``QueryService`` live reload); compaction writes a NEW
+        directory, so a swapped serving dir is a restart by design."""
+        import glob as _glob
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        try:
+            with open(self.manifest_path, "rb") as f:
+                h.update(f.read())
+        except FileNotFoundError:
+            h.update(b"no-manifest")
+        try:
+            st = os.stat(self.deletes_path)
+            h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+        except FileNotFoundError:
+            h.update(b"no-deletes")
+        for name in sorted(
+            _glob.glob(os.path.join(self.postings_dir, "part=*.parquet"))
+        ):
+            h.update(os.path.basename(name).encode())
+        return h.hexdigest()
+
     def ensure_dirs(self) -> None:
         for d in (self.root, self.docmeta_dir, self.postings_dir, self.part_manifest_dir):
             os.makedirs(d, exist_ok=True)
