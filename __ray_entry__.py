@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def wildcard(sf_dir: str):
         return corpus.wildcard_topk(sf_dir, WILDCARD_QUERY, k=10)
 
+    def collapsed(sf_dir: str):
+        # SERP field collapse: ≤1 result per source in the top-k
+        return corpus.collapsed_topk(sf_dir, BM25_QUERY, col="source", per=1, k=10)
+
     def percolate_docs(sf_dir: str):
         # reverse search: the standing boolean-query registry matched
         # against the streaming document table (broadcast small side)
@@ -415,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": bm25f,
         "bool_topk": boolq,
         "wildcard_topk": wildcard,
+        "bm25_topk_collapsed": collapsed,
         "dump_postings": dump,
         "percolate": percolate_docs,
         "facet_counts": facets,
@@ -606,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
+        "bm25_topk_collapsed": _collapsed_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
@@ -1295,6 +1301,52 @@ def _dump_postings_sql() -> str:
         ),
         dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
         SELECT term, doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
+    """
+
+
+def _collapsed_sql(per: int = 1) -> str:
+    """Field-collapse oracle: the exhaustive-BM25 body, then at most
+    ``per`` rows per source survive — ROW_NUMBER over the full ranking
+    partitioned by the attribute, exactly the engine's greedy
+    rank-order collapse."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        ),
+        ranked AS (
+            SELECT s.doc_id, s.score,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY s.score DESC, s.doc_id
+                   ) AS rn
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM ranked WHERE rn <= {per}
+        ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

@@ -300,6 +300,14 @@ def run_bench() -> dict:
     )
     _, t = timed(lambda: percolate(_docs, _registry).count())
     results["percolate_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import collapsed_topk
+
+    _, t = timed(
+        lambda: collapsed_topk(
+            SF_DIR, "spark window merge stream table", col="source", per=1
+        )
+    )
+    results["collapsed_topk_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -133,3 +133,46 @@ def test_cli_filter_and_facets(facet_index, capsys):
             "query", "--index", facet_index, "--filter", "lang=en",
             "--mode", "and", "x",
         ])
+
+
+def test_topk_collapsed_matches_referee(facet_index):
+    """Greedy field collapse: a doc survives iff fewer than ``per``
+    same-group docs rank above it (score DESC, doc_id ASC) — checked
+    against a brute-force pass over the engine's own full ranking."""
+    engine = QueryEngine(facet_index)
+    lang_of = _lang_of(facet_index)
+    for q in QUERIES:
+        full = engine.topk(q, k=10**9)  # the complete positive ranking
+        for per in (1, 2):
+            seen: Counter = Counter()
+            want = []
+            for d, s in full:
+                g = lang_of[d]
+                if seen[g] < per:
+                    want.append((d, s))
+                    seen[g] += 1
+                if len(want) == 10:
+                    break
+            assert engine.topk_collapsed(q, "lang", per=per, k=10) == want, (q, per)
+        # per >= group count → collapse is a no-op
+        assert engine.topk_collapsed(q, "lang", per=10**6, k=10) == full[:10], q
+
+
+def test_topk_collapsed_edges(facet_index):
+    engine = QueryEngine(facet_index)
+    assert engine.topk_collapsed("", "lang") == []
+    assert engine.topk_collapsed("zzzznotaword", "lang") == []
+
+
+def test_cli_collapse(facet_index, capsys):
+    rc = main([
+        "query", "--index", facet_index, "search engine",
+        "--collapse", "lang=1", "-k", "5",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    engine = QueryEngine(facet_index)
+    want = engine.topk_collapsed("search engine", "lang", per=1, k=5)
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == want
+    langs = [_lang_of(facet_index)[r["doc_id"]] for r in out["results"]]
+    assert len(langs) == len(set(langs))  # one per language

@@ -57,6 +57,23 @@ def cmd_query(args) -> int:
             print(json.dumps({"query": q, "facet": args.facets,
                               "counts": [{"value": v, "n_docs": c} for v, c in counts]}))
             continue
+        if args.collapse:
+            # field collapse is exhaustive by design (the collapse may
+            # dig arbitrarily deep into the ranking)
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--collapse serves exhaustive mode only")
+            col, _, per = args.collapse.partition("=")
+            hits = engine.topk_collapsed(q, col, int(per) if per else 1, args.k)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({"query": q, "collapse": args.collapse, "results": rows}))
+            continue
         if args.filter:
             # filtered search is exhaustive by design (pruning needs
             # per-facet bounds); reject an EXPLICIT conflicting mode
@@ -349,6 +366,11 @@ def main(argv=None) -> int:
     q.add_argument(
         "--facets", metavar="COL",
         help="print per-value match counts for the attribute instead of results",
+    )
+    q.add_argument(
+        "--collapse", metavar="COL=N",
+        help="field collapsing: at most N results per value of the "
+             "docmeta attribute (exhaustive evaluation)",
     )
     q.set_defaults(fn=cmd_query)
 

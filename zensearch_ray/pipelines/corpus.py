@@ -1113,6 +1113,23 @@ def prefix_topk(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def collapsed_topk(
+    sf_dir: str, query: str, col: str = "source", per: int = 1, k: int = 10
+) -> pd.DataFrame:
+    """Field-collapsed BM25 top-k: at most ``per`` results per value of
+    docmeta attribute ``col`` (see ``QueryEngine.topk_collapsed`` — the
+    SERP host-collapse). Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_collapsed(query, col, per, k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def wildcard_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
     """Glob-pattern BM25 top-k: '*'-wildcards anywhere (suffix/infix —
     the generalization of ``prefix_topk``), expanded against the index

@@ -406,6 +406,48 @@ class QueryEngine:
         out.sort(key=lambda vc: (-vc[1], vc[0]))
         return out
 
+    def topk_collapsed(
+        self, query: str, col: str, per: int = 1, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Field collapsing (the SERP host-collapse / Lucene collapse
+        semantic): exhaustive ranking, then at most ``per`` results per
+        value of docmeta attribute ``col`` survive into the top-k —
+        greedy in rank order, i.e. a document is kept iff fewer than
+        ``per`` same-group documents rank above it (score DESC, doc_id
+        ASC). Scores are untouched (idf/avgdl corpus-global); only the
+        selection collapses. Docs missing the attribute (none, in a
+        complete docmeta) would collapse as one shared group."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        m = scores > 0.0
+        ids, sc = uniq[m], scores[m]
+        if not len(ids):
+            return []
+        order = np.lexsort((ids, -sc))
+        ids, sc = ids[order], sc[order]
+        fids, codes, values = self._facet(col)
+        j = np.searchsorted(fids, ids)
+        jc = np.minimum(j, len(fids) - 1)
+        ok = (j < len(fids)) & (fids[jc] == ids)
+        gcodes = np.where(ok, codes[jc], -1).astype(np.int64)
+        # occurrence number of each doc within its group, in rank order
+        pos = np.arange(len(gcodes))
+        by_group = np.lexsort((pos, gcodes))
+        sorted_g = gcodes[by_group]
+        new_group = np.empty(len(sorted_g), dtype=bool)
+        if len(sorted_g):
+            new_group[0] = True
+            new_group[1:] = sorted_g[1:] != sorted_g[:-1]
+        starts = np.flatnonzero(new_group)
+        lens = np.diff(np.r_[starts, len(sorted_g)])
+        occ_sorted = pos[: len(sorted_g)] - np.repeat(starts, lens)
+        occ = np.empty(len(gcodes), dtype=np.int64)
+        occ[by_group] = occ_sorted
+        keep = occ < per
+        return list(zip(ids[keep][:k].tolist(), sc[keep][:k].tolist()))
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """All index terms starting with ``prefix`` (normalized), sorted.
         Scans each partition's TERM column with a parquet range filter
