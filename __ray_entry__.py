@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SERP field collapse: ≤1 result per source in the top-k
         return corpus.collapsed_topk(sf_dir, BM25_QUERY, col="source", per=1, k=10)
 
+    def stop(sf_dir: str):
+        # analyzer config: stopword-filtered index; the leading 'the'
+        # in the query is inert (no postings), doc lengths exclude stops
+        return corpus.stopword_topk(sf_dir, "the " + BM25_QUERY, k=10)
+
     def percolate_docs(sf_dir: str):
         # reverse search: the standing boolean-query registry matched
         # against the streaming document table (broadcast small side)
@@ -420,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_topk": boolq,
         "wildcard_topk": wildcard,
         "bm25_topk_collapsed": collapsed,
+        "bm25_topk_stop": stop,
         "dump_postings": dump,
         "percolate": percolate_docs,
         "facet_counts": facets,
@@ -612,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
         "bm25_topk_collapsed": _collapsed_sql(),
+        "bm25_topk_stop": _stopword_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
@@ -1301,6 +1308,51 @@ def _dump_postings_sql() -> str:
         ),
         dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
         SELECT term, doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
+    """
+
+
+def _stopword_sql() -> str:
+    """Stopword-analyzer oracle: the exhaustive-BM25 body computed over
+    the FILTERED token stream (stop terms removed before dl/df/tf —
+    Lucene StopFilter semantics, exactly what the index stores); the
+    query's stop token rides along and is inert on both sides."""
+    from zensearch_ray.pipelines.corpus import STOPWORDS_CFG
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_CFG)
+    qvals = ", ".join(
+        f"('{t}')" for t in ["the"] + BM25_QUERY.split()
+    )
+    return f"""
+        WITH toks AS (
+            SELECT * FROM ({_TOKS}) WHERE term NOT IN ({stops})
+        ),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS (VALUES {qvals}),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

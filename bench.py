@@ -308,6 +308,12 @@ def run_bench() -> dict:
         )
     )
     results["collapsed_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import stopword_topk
+
+    _, t = timed(
+        lambda: stopword_topk(SF_DIR, "the spark window merge stream table")
+    )
+    results["stopword_topk_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

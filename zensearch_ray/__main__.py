@@ -40,6 +40,7 @@ def cmd_build(args) -> int:
         positions=args.positions,
         attrs=tuple(args.attrs),
         title_boost=args.title_boost,
+        stopwords=tuple(s for s in args.stopwords.split(",") if s),
     )
     manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
@@ -337,6 +338,12 @@ def main(argv=None) -> int:
         help="BM25F: weight title-field terms N x in tf and doc_len "
              "(requires a title column or --extract-html; not with "
              "--positions)",
+    )
+    b.add_argument(
+        "--stopwords", default="",
+        help="comma-separated terms dropped at index time (Lucene "
+             "StopFilter semantics: removed from tf and doc_len; "
+             "not with --positions)",
     )
     b.add_argument(
         "--append", action="store_true",

@@ -88,6 +88,12 @@ class BuildConfig:
     # column in the corpus; incompatible with positions=True (positions
     # index body offsets only).
     title_boost: int = 0
+    # analyzer config: index-time stopword removal (Lucene StopFilter
+    # semantics — dropped from tf AND doc_len, so df/idf/avgdl reflect
+    # the filtered stream and the query path needs NO change: a stop
+    # term simply has no postings). Incompatible with positions=True
+    # (token removal changes phrase adjacency).
+    stopwords: tuple = ()
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
@@ -171,6 +177,10 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         # docmeta schema changes with attrs → a resume must not mix
         # (same only-when-set rule as positions to keep old fps stable)
         spec["attrs"] = list(cfg.attrs)
+    if cfg.stopwords:
+        # a filtered token stream is different index CONTENT (tf, dl,
+        # df, avgdl all shift) — never mix with an unfiltered build
+        spec["stopwords"] = sorted(cfg.stopwords)
     return hashlib.blake2s(
         json.dumps(spec, sort_keys=True).encode(), digest_size=8
     ).hexdigest()
@@ -419,6 +429,11 @@ def build_index(
         raise ValueError(
             "title_boost is incompatible with a positional build"
         )
+    if cfg.stopwords and cfg.positions:
+        raise ValueError(
+            "stopwords are incompatible with a positional build "
+            "(token removal changes phrase adjacency semantics)"
+        )
     layout = IndexLayout(index_dir)
     layout.ensure_dirs()
     t_start = time.perf_counter()
@@ -467,6 +482,7 @@ def build_index(
             "positions": cfg.positions,
             "attrs": cfg.attrs,
             "title_boost": cfg.title_boost,
+            "stopwords": cfg.stopwords,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
@@ -531,6 +547,7 @@ def build_index(
         "num_shards": cfg.num_shards,
         "salt_subs": cfg.salt_subs,
         "positions": cfg.positions,
+        "stopwords": sorted(cfg.stopwords),
         "k1": cfg.params.k1,
         "b": cfg.params.b,
         "heavy_df_threshold": stats["heavy_df_threshold"],
@@ -610,6 +627,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
             "positions": cfg.positions,
             "attrs": cfg.attrs,
             "title_boost": cfg.title_boost,
+            "stopwords": cfg.stopwords,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,

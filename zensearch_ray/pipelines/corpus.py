@@ -531,6 +531,43 @@ def titled_index_dir_for(sf_dir: str) -> str:
     return d
 
 
+# analyzer-config demo: the two corpus terms that behave like English
+# stopwords ('a' and 'the' appear in essentially every document)
+STOPWORDS_CFG = ("a", "the")
+
+
+def stopword_index_dir_for(sf_dir: str) -> str:
+    """Cached stopword-analyzer index twin (separate dir — the filtered
+    token stream is different index contents; fingerprint-enforced)."""
+    import dataclasses
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"zensearch_idx_v3_{key}_sw{len(STOPWORDS_CFG)}",
+    )
+    if not IndexLayout(d).is_complete():
+        cfg = dataclasses.replace(_INDEX_CFG, stopwords=STOPWORDS_CFG)
+        build_index(_documents_for_index(sf_dir), d, cfg)
+    return d
+
+
+def stopword_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k over the stopword-filtered index: stop terms carry no
+    postings and doc lengths count surviving tokens only (Lucene
+    StopFilter semantics), so a stop term in the query is simply inert.
+    Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(stopword_index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def bm25f_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     """Fielded (title-boosted) BM25F top-k: tf' = tf_body +
     TITLE_BOOST·tf_title, dl' likewise, folded into the index at build

@@ -44,9 +44,23 @@ class TokenizeStage:
         positions: bool = False,
         attrs: tuple = (),
         title_boost: int = 0,
+        stopwords: tuple = (),
     ):
         self.text_col = text_col
         self.id_col = id_col  # None → derive doc_id = hash64(url)
+        # index-time stopword removal (analyzer config): stop terms are
+        # dropped from tf AND doc_len (Lucene StopFilter semantics), so
+        # df/idf/avgdl all reflect the filtered token stream and the
+        # query path needs no change at all — a stop term simply has no
+        # postings. Incompatible with positions (dropping tokens would
+        # silently change phrase adjacency; Lucene leaves position gaps
+        # — a different, deliberate semantic this index doesn't carry).
+        self.stopwords = frozenset(stopwords)
+        if self.stopwords and positions:
+            raise ValueError(
+                "stopwords are incompatible with a positional build: "
+                "removing tokens changes phrase adjacency semantics"
+            )
         # positional build: also emit per-(doc, term) token positions
         # (``poss`` list<list<int32>> aligned with ``terms``) so phrase
         # queries resolve from the index alone — no corpus re-scan
@@ -164,12 +178,16 @@ class TokenizeStage:
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
         boost = self.title_boost
+        stop = self.stopwords
         title_texts = titles.to_pylist() if boost else None
         for i, text in enumerate(texts):
             tf = term_frequencies(text)
             if boost:
                 for tok in tokenize(title_texts[i]):
                     tf[tok] = tf.get(tok, 0) + boost
+            if stop:
+                for s in stop:
+                    tf.pop(s, None)
             terms_col.append(list(tf.keys()))
             tfs_col.append(list(tf.values()))
             doc_lens[i] = sum(tf.values())
@@ -303,6 +321,7 @@ def tokenize_batch(
     positions: bool = False,
     attrs: tuple = (),
     title_boost: int = 0,
+    stopwords: tuple = (),
 ) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
@@ -313,7 +332,8 @@ def tokenize_batch(
     scaling. Keep the class for genuinely stateful tokenizers (models).
     """
     return TokenizeStage(
-        id_col=id_col, positions=positions, attrs=attrs, title_boost=title_boost
+        id_col=id_col, positions=positions, attrs=attrs,
+        title_boost=title_boost, stopwords=stopwords,
     )(batch)
 
 
