@@ -42,6 +42,7 @@ NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
 BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
 WILDCARD_QUERY = "s*a*"  # glob: expands to {scan, small, spark, stream}
 # standing percolator registry (boolean grammar, incl. NOT + parens)
+RANGE_LO, RANGE_HI = 30, 70  # doc_len window for the range-filter entry
 PERCOLATE_QUERIES = {
     "q_spark_win": "spark AND window",
     "q_hash_or": "hash OR (merge AND stream)",
@@ -133,6 +134,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def collapsed(sf_dir: str):
         # SERP field collapse: ≤1 result per source in the top-k
         return corpus.collapsed_topk(sf_dir, BM25_QUERY, col="source", per=1, k=10)
+
+    def rng(sf_dir: str):
+        # range-query sibling of the facet filter: doc_len ∈ [30, 70]
+        return corpus.range_topk(sf_dir, BM25_QUERY, RANGE_LO, RANGE_HI, k=10)
+
+    def mstats(sf_dir: str):
+        # ES-style metric aggregation over the matched set
+        return corpus.match_stats(sf_dir, BM25_QUERY)
 
     def stop(sf_dir: str):
         # analyzer config: stopword-filtered index; the leading 'the'
@@ -426,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": wildcard,
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
+        "bm25_topk_range": rng,
+        "match_stats": mstats,
         "dump_postings": dump,
         "percolate": percolate_docs,
         "facet_counts": facets,
@@ -619,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
+        "bm25_topk_range": _range_sql(),
+        "match_stats": _match_stats_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
@@ -1308,6 +1321,67 @@ def _dump_postings_sql() -> str:
         ),
         dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id)
         SELECT term, doc_id, tf, dl FROM tf JOIN dl USING (doc_id)
+    """
+
+
+_BM25_BODY = """
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+            HAVING sum(c) > 0
+        )
+"""
+
+
+def _range_sql() -> str:
+    """Range-filter oracle: exhaustive BM25, results narrowed to docs
+    whose token count (the indexed doc_len) lies in [LO, HI]; rank
+    assigned AFTER the filter (the engine's filter-then-rank order)."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM (
+            SELECT s.doc_id, s.score FROM scored s JOIN dl USING (doc_id)
+            WHERE dl.dl BETWEEN {RANGE_LO} AND {RANGE_HI}
+        )
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _match_stats_sql() -> str:
+    """Metric-aggregation oracle: count/sum/avg/min/max of doc_len over
+    the matched (score > 0) set."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT count(*)::BIGINT AS n_docs,
+               round(sum(dl.dl), 6) AS sum_len,
+               round(avg(dl.dl), 6) AS avg_len,
+               round(min(dl.dl), 6) AS min_len,
+               round(max(dl.dl), 6) AS max_len
+        FROM scored JOIN dl USING (doc_id)
     """
 
 

@@ -314,6 +314,14 @@ def run_bench() -> dict:
         lambda: stopword_topk(SF_DIR, "the spark window merge stream table")
     )
     results["stopword_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import match_stats, range_topk
+
+    _, t = timed(
+        lambda: range_topk(SF_DIR, "spark window merge stream table", 30, 70)
+    )
+    results["range_topk_sec"] = round(t, 3)
+    _, t = timed(lambda: match_stats(SF_DIR, "spark window merge stream table"))
+    results["match_stats_sec"] = round(t, 3)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -176,3 +176,51 @@ def test_cli_collapse(facet_index, capsys):
     assert [(r["doc_id"], r["score"]) for r in out["results"]] == want
     langs = [_lang_of(facet_index)[r["doc_id"]] for r in out["results"]]
     assert len(langs) == len(set(langs))  # one per language
+
+
+def _dl_of(idx: str) -> dict[int, int]:
+    meta = pq.ParquetDataset(IndexLayout(idx).docmeta_dir).read(
+        columns=["doc_id", "doc_len"]
+    )
+    return dict(zip(meta["doc_id"].to_pylist(), meta["doc_len"].to_pylist()))
+
+
+def test_topk_range_matches_referee(facet_index):
+    """Range filter narrows results only; surviving scores identical to
+    the unfiltered ranking (Lucene filter semantics, numeric form)."""
+    engine = QueryEngine(facet_index)
+    dl = _dl_of(facet_index)
+    for q in QUERIES:
+        full = engine.topk(q, k=10**9)
+        lo, hi = 40, 90
+        want = [(d, s) for d, s in full if lo <= dl[d] <= hi][:10]
+        assert engine.topk_range(q, "doc_len", lo, hi, k=10) == want, q
+        # degenerate windows
+        assert engine.topk_range(q, "doc_len", 10**9, 2 * 10**9, k=10) == []
+        assert engine.topk_range(q, "doc_len", 0, 10**9, k=10) == full[:10]
+
+
+def test_match_stats_matches_referee(facet_index):
+    engine = QueryEngine(facet_index)
+    dl = _dl_of(facet_index)
+    for q in QUERIES:
+        matched = [dl[d] for d, _ in engine.topk(q, k=10**9)]
+        got = engine.match_stats(q, "doc_len")
+        assert got["n_docs"] == len(matched)
+        assert got["sum"] == pytest.approx(sum(matched))
+        assert got["avg"] == pytest.approx(sum(matched) / len(matched))
+        assert got["min"] == min(matched) and got["max"] == max(matched)
+    empty = engine.match_stats("zzzznotaword", "doc_len")
+    assert empty == {"n_docs": 0, "sum": None, "avg": None, "min": None, "max": None}
+
+
+def test_cli_range(facet_index, capsys):
+    rc = main([
+        "query", "--index", facet_index, "search engine",
+        "--range", "doc_len=40:90", "-k", "5",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    engine = QueryEngine(facet_index)
+    want = engine.topk_range("search engine", "doc_len", 40, 90, k=5)
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == want

@@ -75,6 +75,24 @@ def cmd_query(args) -> int:
             )
             print(json.dumps({"query": q, "collapse": args.collapse, "results": rows}))
             continue
+        if args.range:
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--range serves exhaustive mode only")
+            col, _, window = args.range.partition("=")
+            lo, _, hi = window.partition(":")
+            if not lo or not hi:
+                raise SystemExit("--range expects col=lo:hi")
+            hits = engine.topk_range(q, col, float(lo), float(hi), args.k)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({"query": q, "range": args.range, "results": rows}))
+            continue
         if args.filter:
             # filtered search is exhaustive by design (pruning needs
             # per-facet bounds); reject an EXPLICIT conflicting mode
@@ -378,6 +396,11 @@ def main(argv=None) -> int:
         "--collapse", metavar="COL=N",
         help="field collapsing: at most N results per value of the "
              "docmeta attribute (exhaustive evaluation)",
+    )
+    q.add_argument(
+        "--range", metavar="COL=LO:HI",
+        help="numeric range filter over a docmeta column, e.g. "
+             "doc_len=40:90 (exhaustive evaluation)",
     )
     q.set_defaults(fn=cmd_query)
 

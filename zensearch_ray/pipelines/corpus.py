@@ -1167,6 +1167,37 @@ def collapsed_topk(
     )
 
 
+def range_topk(
+    sf_dir: str, query: str, lo: float, hi: float, k: int = 10
+) -> pd.DataFrame:
+    """Numeric range-filtered BM25 top-k over docmeta ``doc_len`` (see
+    ``QueryEngine.topk_range``). Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_range(query, "doc_len", lo, hi, k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
+def match_stats(sf_dir: str, query: str) -> pd.DataFrame:
+    """Metric aggregation (count/sum/avg/min/max of doc_len) over the
+    docs matching ``query`` — one row (see ``QueryEngine.match_stats``)."""
+    s = QueryEngine(index_dir_for(sf_dir)).match_stats(query, "doc_len")
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([s["n_docs"]], dtype=np.int64),
+            "sum_len": np.array([round6(s["sum"])], dtype=np.float64),
+            "avg_len": np.array([round6(s["avg"])], dtype=np.float64),
+            "min_len": np.array([round6(s["min"])], dtype=np.float64),
+            "max_len": np.array([round6(s["max"])], dtype=np.float64),
+        }
+    )
+
+
 def wildcard_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
     """Glob-pattern BM25 top-k: '*'-wildcards anywhere (suffix/infix —
     the generalization of ``prefix_topk``), expanded against the index

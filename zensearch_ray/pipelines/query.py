@@ -406,6 +406,74 @@ class QueryEngine:
         out.sort(key=lambda vc: (-vc[1], vc[0]))
         return out
 
+    def _numeric_attr(self, col: str):
+        """doc_id → numeric docmeta column (sorted ids, float64 values),
+        cached per engine — the numeric sibling of ``_facet`` (e.g.
+        ``doc_len``, or any numeric attr carried via BuildConfig.attrs).
+        Metadata-scale; postings never load."""
+        cache = getattr(self, "_numeric_cache", None)
+        if cache is None:
+            cache = self._numeric_cache = {}
+        if col not in cache:
+            meta = pq.ParquetDataset(self.layout.docmeta_dir).read(
+                columns=["doc_id", col]
+            )
+            ids = meta["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = meta[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(ids, kind="stable")
+            cache[col] = (ids[order], vals[order])
+        return cache[col]
+
+    def _numeric_values(self, uniq: np.ndarray, col: str) -> np.ndarray:
+        """Numeric attribute per ``uniq`` doc_id (NaN where missing)."""
+        fids, vals = self._numeric_attr(col)
+        j = np.searchsorted(fids, uniq)
+        jc = np.minimum(j, len(fids) - 1)
+        ok = (j < len(fids)) & (fids[jc] == uniq)
+        return np.where(ok, vals[jc], np.nan)
+
+    def topk_range(
+        self, query: str, col: str, lo: float, hi: float, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Numeric range-filtered search: ``topk`` restricted to docs
+        with ``lo <= docmeta[col] <= hi`` — the range-query sibling of
+        ``topk_filtered`` (same Lucene filter semantics: results narrow,
+        scores untouched). Exhaustive evaluation, same as every
+        filtered mode (pruning bounds are range-blind)."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        v = self._numeric_values(uniq, col)
+        mask = (scores > 0.0) & (v >= lo) & (v <= hi)
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def match_stats(self, query: str, col: str) -> dict:
+        """Metric aggregation over the MATCHED set (exhaustive OR,
+        score > 0): count / sum / avg / min / max of a numeric docmeta
+        column — the ES metric-aggregation analog of ``facet_counts``.
+        Returns zeros/None dict for an empty match set."""
+        plan = self._term_plan(query)
+        empty = {"n_docs": 0, "sum": None, "avg": None, "min": None, "max": None}
+        if not plan:
+            return empty
+        uniq, scores = self._accumulate_plan(plan)
+        matched = uniq[scores > 0.0]
+        if not len(matched):
+            return empty
+        v = self._numeric_values(matched, col)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return empty
+        return {
+            "n_docs": int(len(v)),
+            "sum": float(v.sum()),
+            "avg": float(v.mean()),
+            "min": float(v.min()),
+            "max": float(v.max()),
+        }
+
     def topk_collapsed(
         self, query: str, col: str, per: int = 1, k: int = 10
     ) -> list[tuple[int, float]]:
