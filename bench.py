@@ -322,6 +322,30 @@ def run_bench() -> dict:
     results["range_topk_sec"] = round(t, 3)
     _, t = timed(lambda: match_stats(SF_DIR, "spark window merge stream table"))
     results["match_stats_sec"] = round(t, 3)
+    import shutil
+    import tempfile
+
+    from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
+
+    vdir = tempfile.mkdtemp(prefix="bench_vidx_")
+    try:
+        _, t = timed(
+            lambda: build_vector_index(
+                f"{SF_DIR}/embeddings.parquet", vdir, n_lists=16, n_partitions=8
+            )
+        )
+        results["vindex_build_sec"] = round(t, 3)
+        _probe = pq.read_table(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )["embedding"].to_pylist()[0]
+        vi = VectorIndex(vdir)
+        import numpy as _np
+
+        _, t = timed(lambda: vi.search(_np.asarray(_probe), k=10, nprobe=4))
+        results["vindex_query_sec"] = round(t, 4)
+    finally:
+        shutil.rmtree(vdir, ignore_errors=True)
     bench_texts = pq.read_table(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)],

@@ -1,0 +1,108 @@
+"""Persisted IVF vector index (pipelines/vector.py): result identity
+with the ad-hoc distributed IVF path, exactness at full probe, partial
+I/O at low probe, and build idempotence/resume."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
+from zensearch_ray.stages.ann import IvfIndex, ivf_topk_dist, normalize_rows
+
+SF = "/root/testdata/sf0.001"
+SRC = f"{SF}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def vindex(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vidx"))
+    manifest = build_vector_index(SRC, d, n_lists=8, n_partitions=4)
+    return d, manifest
+
+
+@pytest.fixture(scope="module")
+def emb():
+    t = pq.read_table(SRC, columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def test_build_writes_all_rows_and_manifest(vindex, emb):
+    d, manifest = vindex
+    ids, _ = emb
+    assert manifest["n_vectors"] == len(ids)
+    assert manifest["n_lists"] == 8
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    got = pq.read_table([os.path.join(d, f) for f in parts])
+    assert sorted(got["vec_id"].to_pylist()) == sorted(ids.tolist())
+    assert "list_id" in got.column_names
+
+
+def test_search_matches_adhoc_ivf(ray_session, vindex, emb):
+    """Same training sample + seed → the persisted index answers
+    IDENTICALLY to ivf_topk_dist re-scanning the raw table."""
+    import ray.data as rd
+
+    d, _ = vindex
+    ids, vecs = emb
+    vi = VectorIndex(d)
+    ds = rd.read_parquet(SRC, columns=["vec_id", "embedding"])
+    for probe_row in (0, 7, 33):
+        q = vecs[probe_row]
+        got_ids, got_sims = vi.search(q, k=10, nprobe=4)
+        want = ivf_topk_dist(ds, q, k=10, n_lists=8, nprobe=4)
+        assert got_ids.tolist() == want["vec_id"].tolist(), probe_row
+        np.testing.assert_allclose(got_sims, want["sim"].to_numpy())
+
+
+def test_full_probe_is_exact(vindex, emb):
+    d, _ = vindex
+    ids, vecs = emb
+    vi = VectorIndex(d)
+    m = normalize_rows(vecs)
+    for probe_row in (3, 11):
+        q = vecs[probe_row]
+        qn = q / np.linalg.norm(q)
+        sims = np.round(m @ qn, 6)
+        want = ids[np.lexsort((ids, -sims))[:10]].tolist()
+        got_ids, _ = vi.search(q, k=10, nprobe=8)
+        assert got_ids.tolist() == want, probe_row
+
+
+def test_low_probe_reads_subset(vindex, emb):
+    """nprobe=1 must touch at most the partition files that can hold
+    one list — the I/O-proportionality contract."""
+    d, _ = vindex
+    _, vecs = emb
+    vi = VectorIndex(d)
+    q = vecs[0]
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(vi.centroids @ qn))[:1]
+    files = vi._probe_files(probe)
+    assert len(files) == 1  # one list → exactly one partition file
+    got_ids, _ = vi.search(q, k=5, nprobe=1)
+    assert len(got_ids) <= 5
+    # every hit genuinely lives in the probed list
+    t = pq.read_table(files)
+    in_probed = set(
+        t.filter(
+            np.isin(t["list_id"].to_numpy(zero_copy_only=False), probe)
+        )["vec_id"].to_pylist()
+    )
+    assert set(got_ids.tolist()) <= in_probed
+
+
+def test_rebuild_is_idempotent(ray_session, vindex):
+    d, manifest = vindex
+    mtimes = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    again = build_vector_index(SRC, d, n_lists=8, n_partitions=4)
+    assert again == manifest
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(d, f)) == m, f

@@ -246,6 +246,48 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_vbuild(args) -> int:
+    """Build (or resume) the persisted IVF vector index (see
+    ``pipelines/vector.py``)."""
+    from zensearch_ray.pipelines.vector import build_vector_index
+
+    _ensure_ray()
+    manifest = build_vector_index(
+        args.input, args.output,
+        n_lists=args.lists, n_partitions=args.partitions,
+        id_col=args.id_col, emb_col=args.emb_col,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_vquery(args) -> int:
+    """Query the persisted vector index with a probe vector taken from
+    a parquet row (``--probe-parquet FILE --probe-id N``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.vector import VectorIndex
+
+    vi = VectorIndex(args.index)
+    probe = pq.read_table(
+        args.probe_parquet,
+        columns=[vi.id_col, vi.emb_col],
+        filters=[(vi.id_col, "==", args.probe_id)],
+    )[vi.emb_col].to_pylist()
+    if not probe:
+        raise SystemExit(f"probe id {args.probe_id} not in {args.probe_parquet}")
+    ids, sims = vi.search(np.asarray(probe[0]), k=args.k, nprobe=args.nprobe)
+    print(json.dumps({
+        "probe_id": args.probe_id,
+        "results": [
+            {"rank": i + 1, "vec_id": int(d), "sim": float(s)}
+            for i, (d, s) in enumerate(zip(ids, sims))
+        ],
+    }))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: the global manifest plus the per-partition
     lineage metrics the build emitted (postings, bytes, build/sort/
@@ -481,6 +523,27 @@ def main(argv=None) -> int:
         help="include every partition's raw metrics row",
     )
     st.set_defaults(fn=cmd_stats)
+
+    vb = sub.add_parser(
+        "vbuild", help="build (or resume) the persisted IVF vector index"
+    )
+    vb.add_argument("--input", required=True)
+    vb.add_argument("--output", required=True)
+    vb.add_argument("--lists", type=int, default=16)
+    vb.add_argument("--partitions", type=int, default=8)
+    vb.add_argument("--id-col", default="vec_id")
+    vb.add_argument("--emb-col", default="embedding")
+    vb.set_defaults(fn=cmd_vbuild)
+
+    vq = sub.add_parser(
+        "vquery", help="ANN top-k against a persisted vector index"
+    )
+    vq.add_argument("--index", required=True)
+    vq.add_argument("--probe-parquet", required=True)
+    vq.add_argument("--probe-id", type=int, required=True)
+    vq.add_argument("-k", type=int, default=10)
+    vq.add_argument("--nprobe", type=int, default=4)
+    vq.set_defaults(fn=cmd_vquery)
 
     ex = sub.add_parser(
         "export",

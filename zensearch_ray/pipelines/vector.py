@@ -1,0 +1,167 @@
+"""Persisted IVF vector index: the build-once / query-many lifecycle
+for similarity search, mirroring the text index's shape (immutable
+partitioned artifact + manifest + resumable commit).
+
+``stages/ann.ivf_topk_dist`` re-trains centroids and re-scans the full
+embedding table on EVERY query — right for one-off batch jobs, wrong
+for a serving corpus. This module splits the lifecycle:
+
+- **build** (once): train deterministic spherical-k-means centroids on
+  a sample, assign every vector to its nearest list in ONE streaming
+  ``map_batches`` pass, and write the rows hash-partitioned BY LIST
+  through the same resumable partition sink the prep pipeline uses
+  (markers commit per partition; rerun skips completed ones). The
+  centroids (n_lists × dim — metadata-scale) and a manifest land last.
+- **query** (many): load centroids once, pick the ``nprobe`` nearest
+  lists, and read ONLY the partitions holding those lists (parquet
+  row-group predicate on ``list_id`` inside them) — I/O proportional
+  to nprobe/n_lists of the corpus instead of a full scan, the entire
+  point of IVF at rest.
+
+Same deterministic kernels as the ad-hoc path (``_kmeans_centroids``,
+cosine ordering, round6), so a persisted query with the same training
+sample is RESULT-IDENTICAL to ``ivf_topk_dist`` — asserted in
+``tests/test_vector_index.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from zensearch_ray.functions.rounding import round6
+from zensearch_ray.stages.ann import _kmeans_centroids, _matrix, normalize_rows
+from zensearch_ray.state.sink import _part_of, write_partitioned
+
+_MANIFEST = "vector_manifest.json"
+_CENTROIDS = "centroids.parquet"
+
+
+def build_vector_index(
+    source,
+    out_dir: str,
+    n_lists: int = 16,
+    n_partitions: int = 8,
+    train_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Build (or resume) the persisted IVF index. ``source``: parquet
+    path(s) or a Dataset of (id, embedding). Returns the manifest."""
+    import ray.data as rd
+
+    mpath = os.path.join(out_dir, _MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    ds = (
+        rd.read_parquet(source, columns=[id_col, emb_col])
+        if isinstance(source, (str, list))
+        else ds_select(source, id_col, emb_col)
+    )
+    sample = ds.limit(train_sample).to_pandas()
+    m_s = normalize_rows(np.array(sample[emb_col].tolist(), dtype=np.float64))
+    centroids = _kmeans_centroids(m_s, n_lists, seed, iters=10)
+    n_lists = len(centroids)  # clamped when the sample is tiny
+
+    import ray
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        lists = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    stats = write_partitioned(
+        tagged, out_dir, key_col="list_id", n_partitions=n_partitions
+    )
+
+    # metadata lands LAST (same data-then-manifest commit order as the
+    # text index): a crashed build resumes the partition sink, a
+    # complete manifest marks the artifact servable
+    cent_tmp = os.path.join(out_dir, _CENTROIDS + ".tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(n_lists, dtype=np.int64)),
+                "centroid": pa.array(centroids.tolist(), type=pa.list_(pa.float64())),
+            }
+        ),
+        cent_tmp,
+    )
+    os.replace(cent_tmp, os.path.join(out_dir, _CENTROIDS))
+    manifest = {
+        "version": 1,
+        "metric": "cosine",
+        "n_lists": int(n_lists),
+        "n_partitions": int(n_partitions),
+        "train_sample": int(train_sample),
+        "seed": int(seed),
+        "dim": int(centroids.shape[1]),
+        "n_vectors": int(stats["rows"]) if not stats["skipped"] else None,
+        "id_col": id_col,
+        "emb_col": emb_col,
+    }
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
+
+
+def ds_select(ds, id_col: str, emb_col: str):
+    return ds.select_columns([id_col, emb_col])
+
+
+class VectorIndex:
+    """Query side: centroids load once (metadata-scale); each search
+    reads only the partitions that can hold the probed lists."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        t = pq.read_table(os.path.join(index_dir, _CENTROIDS))
+        self.centroids = np.array(t["centroid"].to_pylist(), dtype=np.float64)
+        self.root = index_dir
+        self.id_col = self.manifest["id_col"]
+        self.emb_col = self.manifest["emb_col"]
+
+    def _probe_files(self, probe_lists: np.ndarray) -> list[str]:
+        parts = np.unique(
+            _part_of(pa.array(probe_lists, type=pa.int64()),
+                     self.manifest["n_partitions"])
+        )
+        out = [
+            os.path.join(self.root, f"part-{p:05d}.parquet") for p in parts
+        ]
+        return [p for p in out if os.path.exists(p)]
+
+    def search(self, q: np.ndarray, k: int = 10, nprobe: int = 4):
+        """(ids, sims) of the top-k by cosine among the probed lists —
+        ordering and rounding identical to ``ivf_topk_dist``."""
+        q = np.asarray(q, dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+        probe = np.argsort(-(self.centroids @ q))[:nprobe]
+        files = self._probe_files(probe)
+        if not files:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        t = pq.read_table(
+            files,
+            columns=[self.id_col, self.emb_col],
+            filters=[("list_id", "in", probe.tolist())],
+        )
+        if t.num_rows == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = normalize_rows(_matrix(t[self.emb_col])) @ q
+        sims = round6(sims)
+        order = np.lexsort((ids, -sims))[:k]
+        return ids[order], sims[order]
