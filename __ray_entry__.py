@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics family (pipelines/analytics.py): distinct, range
         # join, running windows, grouped top-N, sampling, quantiles
         "events_user_running": analytics.events_user_running,
+        "events_funnel": analytics.events_funnel,
         "events_lag": analytics.events_lag,
         "events_range_join": analytics.events_range_join,
         # co-partitioned fact×fact shuffle join (pipelines/joins.py)
@@ -1033,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice, 6) AS price
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         """,
+        "events_funnel": _funnel_sql(),
         "events_user_running": """
             WITH e AS (SELECT event_id, user_id,
                               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -1333,6 +1335,38 @@ def _percolate_sql(registry: dict[str, str]) -> str:
     )
     return f"""
         WITH toks AS ({_TOKS})
+{arms}
+    """
+
+
+def _funnel_sql() -> str:
+    """First-touch funnel oracle: step N anchors at the user's earliest
+    qualifying event strictly after their step-(N-1) reach — one
+    min-per-user CTE per step, chained."""
+    from zensearch_ray.pipelines.analytics import FUNNEL_STEPS
+
+    ctes, prev = [], None
+    for i, s in enumerate(FUNNEL_STEPS, 1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > {prev}.t "
+                f"GROUP BY e.user_id)"
+            )
+        prev = f"s{i}"
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT {i}::BIGINT AS step, '{s}' AS event_type, "
+        f"(SELECT count(*) FROM s{i})::BIGINT AS n_users"
+        for i, s in enumerate(FUNNEL_STEPS, 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
 {arms}
     """
 

@@ -104,3 +104,43 @@ def test_events_sample_deterministic_subset(ray_session):
     assert 0.03 * n_total < len(a) < 0.3 * n_total
     ids = a["event_id"].to_numpy()
     assert ((ids * 48271) % 65536 < 6553).all()
+
+
+def test_events_funnel_strict_ordering(ray_session, tmp_path):
+    """Crafted sequences: step N counts only events STRICTLY after the
+    user's step-(N-1) reach (ties and out-of-order steps don't count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.analytics import events_funnel
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view → never reaches step 2
+        (2, 10, "click"), (2, 20, "view"),
+        # u3: view only
+        (3, 10, "view"),
+        # u4: click at the SAME ts as view → strict > excludes it,
+        # but a later second click still qualifies
+        (4, 10, "view"), (4, 10, "click"), (4, 15, "click"),
+        # u5: no view at all → not even step 1
+        (5, 10, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_funnel(str(tmp_path))
+    assert list(got["step"]) == [1, 2, 3]
+    assert list(got["event_type"]) == ["view", "click", "purchase"]
+    assert list(got["n_users"]) == [4, 2, 1]  # views: u1-u4; clicks: u1,u4; purchase: u1

@@ -395,3 +395,64 @@ def event_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20) -> pd.Da
     ).reset_index(drop=True)
     pr.insert(0, "rank", np.arange(1, len(pr) + 1, dtype=np.int64))
     return pr.rename(columns={"node": "event_type"})
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> pd.DataFrame:
+    """Ordered funnel: how many users performed step 1, then step 2
+    STRICTLY AFTER their earliest step 1, then step 3 strictly after
+    that reach, and so on — the product-analytics sequence-match
+    operator (each step anchors at the user's EARLIEST qualifying
+    event, the standard first-touch funnel).
+
+    Distributed shape: one bucket shuffle on user_id (users never span
+    buckets, so funnels complete inside a bucket), then vectorized
+    pandas per bucket — per step one filter + merge + groupby-min, no
+    per-user Python. The combine is a |steps|-row sum.
+
+    Output: (step, event_type, n_users), step 1-based."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.assign(ts_s=_epoch_seconds(group["ts"]))
+        cur = (
+            g[g["event_type"] == steps[0]].groupby("user_id")["ts_s"].min()
+        )
+        counts = [len(cur)]
+        for s in steps[1:]:
+            ev = g.loc[g["event_type"] == s, ["user_id", "ts_s"]]
+            # prev-step reach per event row (NaN → user never reached)
+            prev_t = ev["user_id"].map(cur)
+            cur = (
+                ev[ev["ts_s"] > prev_t].groupby("user_id")["ts_s"].min()
+            )
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": list(steps),
+                "n_users": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["step", "event_type"], as_index=False)["n_users"]
+        .sum()
+        .sort_values("step", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["step"] = out["step"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
