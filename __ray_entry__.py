@@ -43,6 +43,7 @@ BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
 WILDCARD_QUERY = "s*a*"  # glob: expands to {scan, small, spark, stream}
 # standing percolator registry (boolean grammar, incl. NOT + parens)
 RANGE_LO, RANGE_HI = 30, 70  # doc_len window for the range-filter entry
+SYN_QUERY = "spark stream"  # expands via corpus.SYNONYMS_CFG
 PERCOLATE_QUERIES = {
     "q_spark_win": "spark AND window",
     "q_hash_or": "hash OR (merge AND stream)",
@@ -134,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def collapsed(sf_dir: str):
         # SERP field collapse: ≤1 result per source in the top-k
         return corpus.collapsed_topk(sf_dir, BM25_QUERY, col="source", per=1, k=10)
+
+    def syn(sf_dir: str):
+        # query-time synonym expansion over the shared index
+        return corpus.synonyms_topk(sf_dir, SYN_QUERY, k=10)
 
     def rng(sf_dir: str):
         # range-query sibling of the facet filter: doc_len ∈ [30, 70]
@@ -463,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
         "bm25_topk_range": rng,
+        "bm25_topk_syn": syn,
         "match_stats": mstats,
         "dump_postings": dump,
         "percolate": percolate_docs,
@@ -660,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_range": _range_sql(),
+        "bm25_topk_syn": _synonyms_sql(),
         "match_stats": _match_stats_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
@@ -1428,6 +1435,29 @@ def _range_sql() -> str:
             WHERE dl.dl BETWEEN {RANGE_LO} AND {RANGE_HI}
         )
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _synonyms_sql() -> str:
+    """Synonym-expansion oracle: the exhaustive-BM25 body with qterms =
+    the engine's expanded term set, computed HERE from the same
+    synonym table (shared spec)."""
+    from zensearch_ray.functions.text import tokenize as _tk
+    from zensearch_ray.pipelines.corpus import SYNONYMS_CFG
+
+    expanded: set[str] = set()
+    for t in _tk(SYN_QUERY):
+        expanded.add(t)
+        for s in SYNONYMS_CFG.get(t, ()):
+            expanded.update(_tk(s))
+    vals = ", ".join(f"('{t}')" for t in sorted(expanded))
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS (VALUES {vals}),
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

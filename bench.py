@@ -322,6 +322,10 @@ def run_bench() -> dict:
     results["range_topk_sec"] = round(t, 3)
     _, t = timed(lambda: match_stats(SF_DIR, "spark window merge stream table"))
     results["match_stats_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import synonyms_topk
+
+    _, t = timed(lambda: synonyms_topk(SF_DIR, "spark stream"))
+    results["synonyms_topk_sec"] = round(t, 3)
     from zensearch_ray.pipelines.analytics import events_funnel
 
     _, t = timed(lambda: events_funnel(SF_DIR))

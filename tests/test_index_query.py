@@ -282,3 +282,25 @@ def test_topk_not_excludes_documents(built_index, oracle):
             if d not in excl
         ][:10]
         assert engine.topk_not(q, 10) == want, q
+
+
+def test_topk_synonyms_equals_expanded_query(built_index):
+    """Synonym expansion == a plain OR-query over the expanded distinct
+    term set (the Lucene query-side SynonymFilter contract)."""
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    syn = {"search": ["query", "ranking"], "web": ["site"]}
+    for q in ["search engine", "web data", "nothing special"]:
+        from zensearch_ray.functions.text import tokenize as tk
+
+        expanded = set()
+        for t in tk(q):
+            expanded.add(t)
+            for s in syn.get(t, ()):
+                expanded.update(tk(s))
+        want = engine.topk(" ".join(sorted(expanded)), 10)
+        assert engine.topk_synonyms(q, syn, 10) == want, q
+    # empty table → identical to plain search
+    assert engine.topk_synonyms("search engine", {}, 10) == engine.topk(
+        "search engine", 10
+    )

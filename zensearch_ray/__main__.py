@@ -75,6 +75,22 @@ def cmd_query(args) -> int:
             )
             print(json.dumps({"query": q, "collapse": args.collapse, "results": rows}))
             continue
+        if args.synonyms:
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--synonyms serves exhaustive mode only")
+            with open(args.synonyms) as f:
+                syn = json.load(f)
+            hits = engine.topk_synonyms(q, syn, args.k)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({"query": q, "results": rows}))
+            continue
         if args.range:
             if args.mode not in (None, "exhaustive"):
                 raise SystemExit("--range serves exhaustive mode only")
@@ -443,6 +459,11 @@ def main(argv=None) -> int:
         "--range", metavar="COL=LO:HI",
         help="numeric range filter over a docmeta column, e.g. "
              "doc_len=40:90 (exhaustive evaluation)",
+    )
+    q.add_argument(
+        "--synonyms", metavar="FILE.json",
+        help="query-time synonym expansion: JSON {term: [synonyms...]}"
+             " (exhaustive evaluation)",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -1167,6 +1167,26 @@ def collapsed_topk(
     )
 
 
+# query-time synonym table for the driver entry (corpus-vocab words)
+SYNONYMS_CFG = {"stream": ["window"], "spark": ["hash", "fast"]}
+
+
+def synonyms_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Synonym-expanded BM25 top-k (see ``QueryEngine.topk_synonyms``).
+    Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [
+        (d, round6(s)) for d, s in engine.topk_synonyms(query, SYNONYMS_CFG, k=k)
+    ]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def range_topk(
     sf_dir: str, query: str, lo: float, hi: float, k: int = 10
 ) -> pd.DataFrame:

@@ -406,6 +406,33 @@ class QueryEngine:
         out.sort(key=lambda vc: (-vc[1], vc[0]))
         return out
 
+    def topk_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Query-time synonym expansion (Lucene query-side
+        SynonymFilter): every query token contributes itself plus its
+        synonym list, and the DISTINCT expanded terms score as one
+        OR-query — identical semantics to the prefix/wildcard/fuzzy
+        expansions, so the SQL oracle is the BM25 body over the
+        expanded term set. Synonym entries are normalized by the pinned
+        tokenizer (a multi-word synonym contributes each of its
+        tokens)."""
+        expanded: set[str] = set()
+        for t in tokenize(query):
+            expanded.add(t)
+            for s in synonyms.get(t, ()):
+                expanded.update(tokenize(s))
+        plan = []
+        for t in sorted(expanded):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return self._score_plan(plan, k)
+
     def _numeric_attr(self, col: str):
         """doc_id → numeric docmeta column (sorted ids, float64 values),
         cached per engine — the numeric sibling of ``_facet`` (e.g.
