@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join, running windows, grouped top-N, sampling, quantiles
         "events_user_running": analytics.events_user_running,
         "events_funnel": analytics.events_funnel,
+        "events_retention": analytics.events_retention,
         "events_lag": analytics.events_lag,
         "events_range_join": analytics.events_range_join,
         # co-partitioned fact×fact shuffle join (pipelines/joins.py)
@@ -1042,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         """,
         "events_funnel": _funnel_sql(),
+        "events_retention": _retention_sql(),
         "events_user_running": """
             WITH e AS (SELECT event_id, user_id,
                               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -1375,6 +1377,31 @@ def _funnel_sql() -> str:
     return f"""
         WITH {", ".join(ctes)}
 {arms}
+    """
+
+
+def _retention_sql() -> str:
+    """Cohort-retention oracle: first-event day per user (ts::DATE
+    truncation ≡ the engine's floor(epoch/86400) for positive ts),
+    distinct (user, offset) activity, counted per (cohort, offset)."""
+    from zensearch_ray.pipelines.analytics import RETENTION_OFFSETS
+
+    offs = ", ".join(str(o) for o in sorted(set(RETENTION_OFFSETS)))
+    return f"""
+        WITH d AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day
+            FROM events
+        ),
+        f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+        a AS (
+            SELECT DISTINCT d.user_id, f.cohort, d.day - f.cohort AS off
+            FROM d JOIN f USING (user_id)
+        )
+        SELECT cohort::BIGINT AS cohort_day, off::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM a WHERE off IN ({offs})
+        GROUP BY cohort, off
     """
 
 

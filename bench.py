@@ -330,6 +330,10 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: events_funnel(SF_DIR))
     results["events_funnel_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.analytics import events_retention
+
+    _, t = timed(lambda: events_retention(SF_DIR))
+    results["events_retention_sec"] = round(t, 3)
     import shutil
     import tempfile
 

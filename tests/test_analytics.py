@@ -144,3 +144,46 @@ def test_events_funnel_strict_ordering(ray_session, tmp_path):
     assert list(got["step"]) == [1, 2, 3]
     assert list(got["event_type"]) == ["view", "click", "purchase"]
     assert list(got["n_users"]) == [4, 2, 1]  # views: u1-u4; clicks: u1,u4; purchase: u1
+
+
+def test_events_retention_crafted(ray_session, tmp_path):
+    """Crafted cohorts: offset 0 equals cohort size; only listed
+    offsets appear; multi-event days dedup to one active mark."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.analytics import events_retention
+
+    DAY = 86400
+    rows = [
+        # cohort day 0: u1 active d0,d1,d1(dup),d7 ; u2 active d0 only
+        (1, 0), (1, DAY), (1, DAY + 5), (1, 7 * DAY),
+        (2, 10),
+        # cohort day 3: u3 active d3, d4 (offset 1), d5 (offset 2 → not listed)
+        (3, 3 * DAY), (3, 4 * DAY), (3, 5 * DAY),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_retention(str(tmp_path), offsets=(0, 1, 7))
+    want = {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 7): 1,  # u1
+        (3, 0): 1,  # u3
+        (3, 1): 1,  # u3 on day 4
+    }
+    got_map = {
+        (c, o): n
+        for c, o, n in zip(got["cohort_day"], got["day_offset"], got["n_users"])
+    }
+    assert got_map == want

@@ -456,3 +456,62 @@ def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> pd.DataFrame:
     out["step"] = out["step"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out
+
+
+RETENTION_OFFSETS = (0, 1, 3, 7, 14)
+
+
+def events_retention(
+    sf_dir: str, offsets: tuple = RETENTION_OFFSETS
+) -> pd.DataFrame:
+    """Cohort retention: users are cohorted by the DAY of their first
+    event; a cohort's retention at day-offset o is how many of its
+    users were active on cohort_day + o (offset 0 = cohort size) — the
+    product-analytics retention matrix.
+
+    Distributed shape: the same user_id bucket shuffle as the funnel
+    (users never span buckets, so per-bucket counts are exact
+    partials), vectorized per bucket (groupby-min first day, offset
+    arithmetic, (user, cohort, offset) dedup), then a tiny
+    (cohorts × offsets)-sized combine sum.
+
+    Output: (cohort_day, day_offset, n_users) — cohort_day in days
+    since epoch."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    offs = np.array(sorted(set(offsets)), dtype=np.int64)
+
+    def retain(group: pd.DataFrame) -> pd.DataFrame:
+        day = _epoch_seconds(group["ts"]) // 86400
+        g = pd.DataFrame({"user_id": group["user_id"].to_numpy(), "day": day})
+        first = g.groupby("user_id")["day"].min()
+        g["cohort"] = g["user_id"].map(first)
+        g["off"] = g["day"] - g["cohort"]
+        g = g[np.isin(g["off"].to_numpy(), offs)]
+        act = g.drop_duplicates(["user_id", "off"])
+        out = (
+            act.groupby(["cohort", "off"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users", "cohort": "cohort_day",
+                             "off": "day_offset"})
+        )
+        return out.astype(
+            {"cohort_day": np.int64, "day_offset": np.int64, "n_users": np.int64}
+        )
+
+    partials = (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(retain, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        partials.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort_day", "day_offset"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"cohort_day": np.int64, "day_offset": np.int64, "n_users": np.int64}
+    )
