@@ -334,7 +334,6 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: events_retention(SF_DIR))
     results["events_retention_sec"] = round(t, 3)
-    import shutil
     import tempfile
 
     from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index

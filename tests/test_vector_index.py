@@ -106,3 +106,25 @@ def test_rebuild_is_idempotent(ray_session, vindex):
     assert again == manifest
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(d, f)) == m, f
+
+
+def test_vector_service_matches_local(ray_session, vindex, emb):
+    from zensearch_ray.pipelines.vector import VectorService
+
+    d, _ = vindex
+    ids, vecs = emb
+    vi = VectorIndex(d)
+    probes = [vecs[i] for i in (0, 5, 21, 40)]
+    with VectorService(d, replicas=2, k=10, nprobe=4) as svc:
+        pids = set(svc.replica_pids())
+        assert len(pids) == 2
+        for q in probes:
+            want_ids, want_sims = vi.search(q, k=10, nprobe=4)
+            got_ids, got_sims = svc.search(q)
+            assert got_ids == want_ids.tolist()
+            assert got_sims == want_sims.tolist()
+        batch = svc.search_batch(probes * 2, k=5)
+        assert len(batch) == 8
+        for q, (gi, _) in zip(probes * 2, batch):
+            assert gi == vi.search(q, k=5, nprobe=4)[0].tolist()
+        assert set(svc.replica_pids()) == pids  # still the same warm actors

@@ -165,3 +165,89 @@ class VectorIndex:
         sims = round6(sims)
         order = np.lexsort((ids, -sims))[:k]
         return ids[order], sims[order]
+
+
+class _VectorReplica:
+    """One warm ANN replica (actor body): centroids + manifest load
+    once; probed-partition reads hit the OS page cache across calls."""
+
+    def __init__(self, index_dir: str):
+        self.vi = VectorIndex(index_dir)
+
+    def search(self, q, k: int, nprobe: int):
+        ids, sims = self.vi.search(np.asarray(q, dtype=np.float64), k, nprobe)
+        return ids.tolist(), sims.tolist()
+
+    def search_many(self, qs, k: int, nprobe: int):
+        return [self.search(q, k, nprobe) for q in qs]
+
+    def pid(self) -> int:
+        import os as _os
+
+        return _os.getpid()
+
+
+class VectorService:
+    """Warm actor-pool ANN serving over a persisted vector index — the
+    similarity-search face of ``QueryService`` (same round-robin
+    replica shape; answers identical to a local ``VectorIndex``)."""
+
+    def __init__(self, index_dir: str, replicas: int = 2, k: int = 10,
+                 nprobe: int = 4):
+        import ray
+
+        self._k, self._nprobe = k, nprobe
+        actor_cls = ray.remote(num_cpus=1)(_VectorReplica)
+        self._replicas = [actor_cls.remote(index_dir) for _ in range(replicas)]
+        self._rr = 0
+
+    def _next(self):
+        a = self._replicas[self._rr % len(self._replicas)]
+        self._rr += 1
+        return a
+
+    def search(self, q, k: int | None = None, nprobe: int | None = None):
+        import ray
+
+        return ray.get(
+            self._next().search.remote(q, k or self._k, nprobe or self._nprobe)
+        )
+
+    def search_batch(self, qs, k: int | None = None, nprobe: int | None = None):
+        import ray
+
+        n = len(self._replicas)
+        shards = [[] for _ in range(n)]
+        for i in range(len(qs)):
+            shards[i % n].append(i)
+        futs = [
+            self._replicas[r].search_many.remote(
+                [qs[i] for i in shards[r]], k or self._k, nprobe or self._nprobe
+            )
+            for r in range(n)
+            if shards[r]
+        ]
+        out = [None] * len(qs)
+        for r, res in zip([r for r in range(n) if shards[r]], ray.get(futs)):
+            for i, item in zip(shards[r], res):
+                out[i] = item
+        return out
+
+    def replica_pids(self) -> list[int]:
+        import ray
+
+        return ray.get([a.pid.remote() for a in self._replicas])
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self._replicas:
+            ray.kill(a)
+        self._replicas = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False
