@@ -36,6 +36,7 @@ _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
 NEAR_WINDOW = 5
+SEQ_GAP = 4  # ordered-proximity chain gap for seq_topk
 PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
@@ -196,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def near(sf_dir: str):
         return corpus.near_topk(sf_dir, PHRASE_QUERY, window=NEAR_WINDOW, k=10)
+
+    def seq(sf_dir: str):
+        # ordered proximity: "hash ... join" in order within SEQ_GAP
+        return corpus.seq_topk(sf_dir, PHRASE_QUERY, gap=SEQ_GAP, k=10)
 
     def prefix(sf_dir: str):
         return corpus.prefix_topk(sf_dir, PREFIX_QUERY, k=10)
@@ -478,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
         "near_topk": near,
+        "seq_topk": seq,
         "prefix_topk": prefix,
         "fuzzy_topk": fuzzy,
         "did_you_mean": dym,
@@ -703,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
         "near_topk": _near_sql(),
+        "seq_topk": _seq_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "did_you_mean": _dym_sql(),
@@ -1142,6 +1149,61 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
     }
+
+
+def _seq_sql() -> str:
+    """Ordered-proximity oracle GENERATED for the n-token query: a
+    position self-join chain p1 < p2 <= p1+gap < ... (token positions
+    via generate_subscripts, as _near_sql), conjunctive-BM25 scoring
+    restricted to chained docs."""
+    toks = PHRASE_QUERY.split()
+    joins = []
+    for i in range(2, len(toks) + 1):
+        joins.append(
+            f"JOIN tp p{i} ON p{i}.doc_id = p1.doc_id "
+            f"AND p{i}.term = '{toks[i - 1]}' "
+            f"AND p{i}.p > p{i - 1}.p AND p{i}.p <= p{i - 1}.p + {SEQ_GAP}"
+        )
+    chain = "\n              ".join(joins)
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_PHRASE_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) - 1 AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        ),
+        chained AS (
+            SELECT DISTINCT p1.doc_id FROM tp p1
+              {chain}
+            WHERE p1.term = '{toks[0]}'
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            WHERE tf.doc_id IN (SELECT doc_id FROM chained)
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
 
 
 def _phrase_sql() -> str:

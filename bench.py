@@ -234,6 +234,10 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: near_topk(SF_DIR, "hash join", window=5, k=10))
     results["near_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import seq_topk
+
+    _, t = timed(lambda: seq_topk(SF_DIR, "hash join", gap=4))
+    results["seq_topk_sec"] = round(t, 3)
     _, t = timed(lambda: search_snippets(SF_DIR, "spark window merge stream table"))
     results["snippets_sec"] = round(t, 3)
     _, t = timed(lambda: more_like_this(SF_DIR, doc_id=0))

@@ -261,3 +261,74 @@ def test_near_brute_force_referee(phrase_sf_dir):
         for w in range(5):
             got = set(near_topk(phrase_sf_dir, q, window=w)["doc_id"])
             assert got == brute(q, w), (q, w)
+
+
+def test_seq_brute_force_referee(phrase_sf_dir):
+    """Ordered-chain proximity vs a reachability-DP referee over the
+    handcrafted corpus for gaps 1..5 — including duplicate-token
+    queries and the 3-term chain."""
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.corpus import seq_topk
+
+    def brute(query, gap):
+        toks = tokenize(query)
+        out = set()
+        for did, text in enumerate(DOCS):
+            dpos = tokenize(text)
+            reach = [i for i, x in enumerate(dpos) if x == toks[0]]
+            for t in toks[1:]:
+                cand = [i for i, x in enumerate(dpos) if x == t]
+                reach = [
+                    q for q in cand if any(q - gap <= p < q for p in reach)
+                ]
+            if reach:
+                out.add(did)
+        return out
+
+    for q in ["alpha beta", "alpha beta gamma", "gamma delta", "beta beta"]:
+        for gap in range(1, 6):
+            got = set(seq_topk(phrase_sf_dir, q, gap=gap)["doc_id"])
+            assert got == brute(q, gap), (q, gap)
+
+
+def test_seq_gap1_is_phrase(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import phrase_topk, seq_topk
+
+    for q in ["alpha beta", "gamma delta"]:
+        got = seq_topk(phrase_sf_dir, q, gap=1)
+        want = phrase_topk(phrase_sf_dir, q, k=10, positional=True)
+        assert got.equals(want), q
+
+
+def test_seq_greedy_counterexample(ray_session, tmp_path_factory):
+    """A@1 B@{2,4} C@8, gap=4: greedy-earliest (B@2) strands C; the
+    reachability sweep must still match through B@4."""
+    d = tmp_path_factory.mktemp("seq_cx")
+    text = "pad aaa bbb pad bbb pad pad pad ccc"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": pa.array([text], type=pa.string()),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["t"]),
+            "n_chars": pa.array([len(text)], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    from zensearch_ray.pipelines.corpus import seq_topk
+
+    assert list(seq_topk(str(d), "aaa bbb ccc", gap=4)["doc_id"]) == [0]
+    # and the chain genuinely needs gap 4 (B@4 → C@8)
+    assert len(seq_topk(str(d), "aaa bbb ccc", gap=3)) == 0
+
+
+def test_seq_errors(phrase_sf_dir):
+    from zensearch_ray.pipelines.corpus import index_dir_for
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    pos_engine = QueryEngine(index_dir_for(phrase_sf_dir, positions=True))
+    with pytest.raises(ValueError, match="gap"):
+        pos_engine.topk_seq("alpha beta", gap=0)
+    flat_engine = QueryEngine(index_dir_for(phrase_sf_dir))
+    with pytest.raises(ValueError, match="positions"):
+        flat_engine.topk_seq("alpha beta", gap=2)

@@ -140,6 +140,7 @@ def cmd_query(args) -> int:
                 "and": engine.topk_and,
                 "phrase": engine.topk_phrase,
                 "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
+                "seq": lambda qq, kk: engine.topk_seq(qq, args.window, kk),
                 "prefix": engine.topk_prefix,
                 "fuzzy": engine.topk_fuzzy,
                 "not": engine.topk_not,
@@ -433,7 +434,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -479,7 +480,7 @@ def main(argv=None) -> int:
     bt.add_argument("-k", type=int, default=10)
     bt.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default="pruned",
     )
     bt.add_argument("--window", type=int, default=8)
@@ -579,7 +580,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
         default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)

@@ -865,6 +865,21 @@ def near_topk(sf_dir: str, query: str, window: int, k: int = 10) -> pd.DataFrame
     )
 
 
+def seq_topk(sf_dir: str, query: str, gap: int, k: int = 10) -> pd.DataFrame:
+    """Ordered-proximity BM25 top-k (see ``QueryEngine.topk_seq``):
+    the query tokens in order, each within ``gap`` tokens of the
+    previous. Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+    kept = [(d, round6(s)) for d, s in engine.topk_seq(query, gap, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 SNIPPET_RADIUS = 5
 
 

@@ -975,6 +975,59 @@ class QueryEngine:
 
         return _chunked_verify(hits, k, verify)
 
+    def topk_seq(
+        self, query: str, gap: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Ordered proximity chain (the sloppy-phrase sibling of
+        ``topk_near``): the query tokens must occur IN ORDER, each at
+        most ``gap`` tokens after the previous one (positions p_1 <
+        p_2 < ... with p_{i+1} - p_i <= gap). ``gap=1`` degenerates to
+        the exact phrase. Scores are the conjunctive (``topk_and``)
+        scores of verified docs.
+
+        Verification is a reachability sweep, not greedy matching
+        (greedy-earliest is WRONG for bounded gaps: an earlier
+        occurrence can strand the window — e.g. A@1 B@{2,4} C@8,
+        gap=4 only chains through B@4). Each step keeps every
+        occurrence of token i+1 with SOME reachable predecessor in
+        [q-gap, q-1], via two searchsorted probes over doc-keyed
+        composite keys — the same vectorized doc-keyed range probe as
+        ``topk_near``, applied n-1 times."""
+        if not self.positional:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig(positions=True) enables proximity queries)"
+            )
+        if gap < 1:
+            raise ValueError("gap must be >= 1")
+        toks = tokenize(query)
+        if not toks:
+            return []
+        hits = self.topk_and(query, k=1 << 62)
+        if not hits:
+            return []
+        if len(toks) == 1:
+            return hits[:k]
+
+        def verify(cand: np.ndarray) -> set:
+            shift = np.int64(32)
+            g = np.int64(gap)
+            pairs = {t: self.lookup(t).positions_pairs(cand) for t in set(toks)}
+            reach: np.ndarray | None = None
+            for i, t in enumerate(toks):
+                rep, flat = pairs[t]
+                keys = (rep.astype(np.int64) << shift) + flat.astype(np.int64)
+                if i:
+                    lo = np.searchsorted(reach, keys - g)
+                    hi = np.searchsorted(reach, keys)
+                    keys = keys[hi > lo]
+                    if not len(keys):
+                        return set()
+                reach = np.sort(keys)
+            return set(cand[np.unique(reach >> shift)].tolist())
+
+        return _chunked_verify(hits, k, verify)
+
     def topk_docs(
         self, query: str, k: int = 10, mode: str = "exhaustive",
         window: int = 8,
@@ -994,6 +1047,7 @@ class QueryEngine:
             "and": self.topk_and,
             "phrase": self.topk_phrase,
             "near": lambda q, kk: self.topk_near(q, window, kk),
+            "seq": lambda q, kk: self.topk_seq(q, window, kk),
             "prefix": self.topk_prefix,
             "fuzzy": self.topk_fuzzy,
             "not": self.topk_not,
@@ -1146,6 +1200,7 @@ class QueryScorer:
             "and": e.topk_and,
             "phrase": e.topk_phrase,
             "near": lambda q, kk: e.topk_near(q, window, kk),
+            "seq": lambda q, kk: e.topk_seq(q, window, kk),
             "prefix": e.topk_prefix,
             "fuzzy": e.topk_fuzzy,
             "not": e.topk_not,

@@ -86,6 +86,7 @@ class _EngineReplica:
             "and": self.engine.topk_and,
             "phrase": self.engine.topk_phrase,
             "near": lambda q, kk: self.engine.topk_near(q, 8, kk),
+            "seq": lambda q, kk: self.engine.topk_seq(q, 8, kk),
             "prefix": self.engine.topk_prefix,
             "fuzzy": self.engine.topk_fuzzy,
             "not": self.engine.topk_not,
