@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": ann_persisted,
         # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
         "lineitem_pricing": relational.lineitem_pricing,
+        "shipping_priority": relational.shipping_priority,
         "top_orders": lambda sf: relational.top_orders(sf, 10),
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
@@ -940,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= {NEAR_DUP_THRESHOLD}
         """,
+        "shipping_priority": _q3_sql(),
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
@@ -1407,6 +1409,30 @@ def _percolate_sql(registry: dict[str, str]) -> str:
     return f"""
         WITH toks AS ({_TOKS})
 {arms}
+    """
+
+
+def _q3_sql() -> str:
+    """TPC-H Q3 oracle: same segment/date predicates, exact-cents
+    revenue (floor(x*100+0.5), the shared money convention), epoch
+    seconds for the orderdate, (revenue DESC, orderkey) top-10."""
+    from zensearch_ray.pipelines.relational import Q3_DATE, Q3_SEGMENT
+
+    cut = f"TIMESTAMP '{str(Q3_DATE)} 00:00:00'"
+    return f"""
+        SELECT l.l_orderkey,
+               sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS revenue_cents,
+               epoch(o.o_orderdate)::BIGINT AS o_orderdate_s,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < {cut}
+          AND l.l_shipdate > {cut}
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
     """
 
 

@@ -210,6 +210,10 @@ def run_bench() -> dict:
     results["dedup_urls_sec"] = round(t, 3)
     _, t = timed(lambda: relational.lineitem_pricing(SF_DIR))
     results["lineitem_pricing_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.relational import shipping_priority
+
+    _, t = timed(lambda: shipping_priority(SF_DIR))
+    results["shipping_priority_sec"] = round(t, 3)
     _, t = timed(lambda: relational.events_hourly(SF_DIR).count())
     results["events_hourly_sec"] = round(t, 3)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ray.data.aggregate import Count, Sum
 
@@ -178,4 +179,105 @@ def events_hourly(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         keys=["user_id", "hour_epoch"],
         sum_cols=["n_events", "sum_value_cents"],
+    )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = np.datetime64("1998-06-15")  # mid-corpus cut (events span 95-01)
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 (shipping priority): revenue of not-yet-shipped
+    lineitems of orders placed before the cut by customers in one
+    market segment — the canonical 3-table join + aggregate + top-N.
+
+    Distributed plan (each side reduced BEFORE anything moves):
+      1. customer: segment filter → the qualifying custkey set is a
+         broadcast small side (``ray.put`` once; the bloom-pruned
+         semi-join in ``stages/bloom.py`` is the drop-in when a 100-TB
+         segment no longer broadcasts exactly);
+      2. orders: date predicate + map-side membership probe against
+         the broadcast custkeys — only qualifying (orderkey, date,
+         priority) rows survive;
+      3. lineitem: date predicate + per-batch pre-aggregation to
+         (orderkey, revenue_cents) partials — the exchange carries at
+         most one row per (batch, orderkey), never raw lineitems;
+      4. ONE co-partitioning exchange: ``joins.hash_join`` on
+         orderkey, then a final orderkey-level sum + global top-k.
+
+    Output: (l_orderkey, revenue_cents, o_orderdate_s, o_orderpriority)
+    ordered by (revenue DESC, orderkey)."""
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", Q3_SEGMENT)],
+    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cust_ref = ray.put(np.sort(cust))
+    cut = Q3_DATE.astype("datetime64[s]").astype(np.int64)
+
+    def orders_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cust_ref)
+        ts = batch["o_orderdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(np.int64)
+        j = np.searchsorted(keys, ck)
+        hit = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == ck)
+        keep = hit & (ts < cut)
+        out = batch.loc[keep, ["o_orderkey", "o_orderpriority"]].copy()
+        out["o_orderdate_s"] = ts[keep]
+        return out
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_filter, batch_format="pandas")
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        b = batch[ts > cut]
+        if not len(b):
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype=np.int64),
+                 "revenue_cents": pd.Series(dtype=np.int64)}
+            )
+        rev = _cents((b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                          "revenue_cents": rev})
+            .groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pandas")
+
+    joined = hash_join(
+        lines, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).to_pandas()
+    if joined.empty:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype=np.int64),
+                "revenue_cents": pd.Series(dtype=np.int64),
+                "o_orderdate_s": pd.Series(dtype=np.int64),
+                "o_orderpriority": pd.Series(dtype=str),
+            }
+        )
+    out = (
+        joined.groupby(
+            ["l_orderkey", "o_orderdate_s", "o_orderpriority"], as_index=False
+        )["revenue_cents"].sum()
+        .sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["l_orderkey", "revenue_cents", "o_orderdate_s", "o_orderpriority"]].astype(
+        {"l_orderkey": np.int64, "revenue_cents": np.int64, "o_orderdate_s": np.int64}
     )
