@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
         "lineitem_pricing": relational.lineitem_pricing,
         "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
         "top_orders": lambda sf: relational.top_orders(sf, 10),
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
@@ -942,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
                                          b.embedding::DOUBLE[]) >= {NEAR_DUP_THRESHOLD}
         """,
         "shipping_priority": _q3_sql(),
+        "local_supplier_volume": _q5_sql(),
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
@@ -1433,6 +1435,32 @@ def _q3_sql() -> str:
           AND l.l_shipdate > {cut}
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
         ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
+    """
+
+
+def _q5_sql() -> str:
+    """TPC-H Q5 oracle: the 6-table star with the same-nation
+    customer/supplier constraint, exact-cents revenue, ordered
+    (revenue DESC, n_name)."""
+    from zensearch_ray.pipelines.relational import Q5_FROM, Q5_REGION, Q5_TO
+
+    lo = f"TIMESTAMP '{str(Q5_FROM)} 00:00:00'"
+    hi = f"TIMESTAMP '{str(Q5_TO)} 00:00:00'"
+    return f"""
+        SELECT n.n_name,
+               sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+                        AS BIGINT))::BIGINT AS revenue_cents
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND r.r_name = '{Q5_REGION}'
+          AND o.o_orderdate >= {lo} AND o.o_orderdate < {hi}
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, n.n_name
     """
 
 

@@ -214,6 +214,10 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: shipping_priority(SF_DIR))
     results["shipping_priority_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.relational import local_supplier_volume
+
+    _, t = timed(lambda: local_supplier_volume(SF_DIR))
+    results["local_supplier_volume_sec"] = round(t, 3)
     _, t = timed(lambda: relational.events_hourly(SF_DIR).count())
     results["events_hourly_sec"] = round(t, 3)
 

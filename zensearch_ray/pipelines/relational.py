@@ -281,3 +281,131 @@ def shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["l_orderkey", "revenue_cents", "o_orderdate_s", "o_orderpriority"]].astype(
         {"l_orderkey": np.int64, "revenue_cents": np.int64, "o_orderdate_s": np.int64}
     )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = np.datetime64("1996-01-01")
+Q5_TO = np.datetime64("1998-01-01")  # [FROM, TO)
+
+
+def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation for
+    lineitems where the CUSTOMER and the SUPPLIER share a nation
+    inside one region, over an order-date window — the canonical
+    6-table star join.
+
+    Distributed plan — three broadcast dims, one co-partition exchange:
+      * region→nation (tiny) and supplier (small) broadcast as
+        suppkey→nationkey / nationkey→name maps;
+      * customer broadcasts as a custkey→nationkey array restricted to
+        the region's nations (at 100 TB this is the side to bloom-prune
+        or co-partition — documented trade, same as Q3's custkeys);
+      * orders: date window + map-side custkey lookup → surviving
+        (orderkey, c_nationkey) rows;
+      * lineitem: map-side suppkey lookup → surviving rows pre-reduced
+        per batch to (orderkey, s_nationkey, revenue_cents) partials;
+      * ONE ``hash_join`` on orderkey, then the same-nation filter
+        (c_nationkey == s_nationkey) and a |nations|-sized final sum.
+
+    Output: (n_name, revenue_cents) ordered by revenue DESC."""
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", filters=[("r_name", "==", Q5_REGION)]
+    )
+    rkeys = set(region["r_regionkey"].to_pylist())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_name = {
+        int(k): n
+        for k, n, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if rk in rkeys
+    }
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nat = {
+        int(s): int(n)
+        for s, n in zip(supp["s_suppkey"].to_pylist(),
+                        supp["s_nationkey"].to_pylist())
+        if int(n) in nat_name
+    }
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nat = {
+        int(c): int(n)
+        for c, n in zip(cust["c_custkey"].to_pylist(),
+                        cust["c_nationkey"].to_pylist())
+        if int(n) in nat_name
+    }
+    supp_ref, cust_ref = ray.put(supp_nat), ray.put(cust_nat)
+    lo = Q5_FROM.astype("datetime64[s]").astype(np.int64)
+    hi = Q5_TO.astype("datetime64[s]").astype(np.int64)
+
+    def orders_side(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cust_ref)
+        ts = batch["o_orderdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        nat = batch["o_custkey"].map(cmap)
+        keep = (ts >= lo) & (ts < hi) & nat.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(np.int64)[keep],
+                "c_nat": nat.to_numpy()[keep].astype(np.int64),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pandas")
+
+    def line_side(batch: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(supp_ref)
+        nat = batch["l_suppkey"].map(smap)
+        keep = nat.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype=np.int64),
+                 "s_nat": pd.Series(dtype=np.int64),
+                 "revenue_cents": pd.Series(dtype=np.int64)}
+            )
+        b = batch[keep]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "s_nat": nat.to_numpy()[keep].astype(np.int64),
+                "revenue_cents": _cents(
+                    (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy()
+                ),
+            }
+        )
+        return (
+            out.groupby(["l_orderkey", "s_nat"], as_index=False)["revenue_cents"]
+            .sum().astype({"revenue_cents": np.int64})
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pandas")
+
+    joined = hash_join(
+        lines, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).to_pandas()
+    joined = joined[joined["s_nat"] == joined["c_nat"]]
+    if joined.empty:
+        return pd.DataFrame(
+            {"n_name": pd.Series(dtype=str),
+             "revenue_cents": pd.Series(dtype=np.int64)}
+        )
+    agg = joined.groupby("s_nat", as_index=False)["revenue_cents"].sum()
+    agg["n_name"] = agg["s_nat"].map(nat_name)
+    agg = agg.sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return agg[["n_name", "revenue_cents"]].astype({"revenue_cents": np.int64})
