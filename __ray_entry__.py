@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": relational.lineitem_pricing,
         "shipping_priority": relational.shipping_priority,
         "local_supplier_volume": relational.local_supplier_volume,
+        "large_volume_customers": relational.large_volume_customers,
         "top_orders": lambda sf: relational.top_orders(sf, 10),
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
@@ -944,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipping_priority": _q3_sql(),
         "local_supplier_volume": _q5_sql(),
+        "large_volume_customers": _q18_sql(),
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
@@ -1461,6 +1463,27 @@ def _q5_sql() -> str:
           AND o.o_orderdate >= {lo} AND o.o_orderdate < {hi}
         GROUP BY n.n_name
         ORDER BY revenue_cents DESC, n.n_name
+    """
+
+
+def _q18_sql() -> str:
+    """TPC-H Q18 oracle: HAVING-filtered order quantities joined back
+    to orders; exact-cents totalprice; (totalprice DESC, orderkey)
+    top-10."""
+    from zensearch_ray.pipelines.relational import Q18_MIN_QTY
+
+    return f"""
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+        )
+        SELECT o.o_custkey AS c_custkey, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)::BIGINT
+                   AS totalprice_cents,
+               big.sum_qty
+        FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        ORDER BY totalprice_cents DESC, o.o_orderkey LIMIT 10
     """
 
 

@@ -218,6 +218,10 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: local_supplier_volume(SF_DIR))
     results["local_supplier_volume_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.relational import large_volume_customers
+
+    _, t = timed(lambda: large_volume_customers(SF_DIR))
+    results["large_volume_customers_sec"] = round(t, 3)
     _, t = timed(lambda: relational.events_hourly(SF_DIR).count())
     results["events_hourly_sec"] = round(t, 3)
 

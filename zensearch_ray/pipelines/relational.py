@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ray.data.aggregate import Count, Sum
@@ -409,3 +410,100 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         ["revenue_cents", "n_name"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
     return agg[["n_name", "revenue_cents"]].astype({"revenue_cents": np.int64})
+
+
+Q18_MIN_QTY = 300
+
+
+def large_volume_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose TOTAL lineitem
+    quantity exceeds a threshold, joined back to their customer — the
+    group-HAVING-then-join shape (the aggregate's OUTPUT becomes the
+    join's small side).
+
+    Distributed plan: lineitem pre-reduces per batch to (orderkey,
+    qty) partials → one ``groupby(orderkey)`` exchange finishes the
+    sums → the HAVING filter leaves a heavy-order SLIVER that
+    broadcasts (the whole point of the shape: the aggregate shrinks a
+    fact table to a broadcastable set; same contract as the build's
+    heavy-term detection) → orders stream once, map-side probing the
+    broadcast for (custkey, totalprice) — no second wide exchange.
+
+    Output: (c_custkey, o_orderkey, totalprice_cents, sum_qty) ordered
+    (totalprice DESC, orderkey), top-k."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(np.int64),
+                "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False)["qty"].sum()
+
+    sums = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty"], Q18_MIN_QTY)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # the heavy-order sliver — output-sized by design
+    )
+    if sums.empty:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype=np.int64),
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "totalprice_cents": pd.Series(dtype=np.int64),
+                "sum_qty": pd.Series(dtype=np.int64),
+            }
+        )
+    qty_of = dict(
+        zip(sums["l_orderkey"].astype(np.int64), sums["sum_qty"].astype(np.int64))
+    )
+    ref = ray.put(qty_of)
+
+    def orders_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        heavy = ray.get(ref)
+        qty = batch["o_orderkey"].map(heavy)
+        keep = qty.notna().to_numpy()
+        b = batch[keep]
+        return pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].to_numpy(np.int64),
+                "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                "totalprice_cents": _cents(b["o_totalprice"].to_numpy()),
+                "sum_qty": qty.to_numpy()[keep].astype(np.int64),
+            }
+        )
+
+    hits = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(orders_probe, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        hits.sort_values(
+            ["totalprice_cents", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+        .astype(
+            {
+                "c_custkey": np.int64, "o_orderkey": np.int64,
+                "totalprice_cents": np.int64, "sum_qty": np.int64,
+            }
+        )
+    )
