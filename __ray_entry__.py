@@ -137,6 +137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SERP field collapse: ≤1 result per source in the top-k
         return corpus.collapsed_topk(sf_dir, BM25_QUERY, col="source", per=1, k=10)
 
+    def per_facet(sf_dir: str):
+        # per-group ranking: top-2 results within every source
+        return corpus.per_facet_topk(sf_dir, BM25_QUERY, col="source", per=2)
+
+    def lm(sf_dir: str):
+        return corpus.doc_lm_score(sf_dir)
+
     def syn(sf_dir: str):
         # query-time synonym expansion over the shared index
         return corpus.synonyms_topk(sf_dir, SYN_QUERY, k=10)
@@ -474,6 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_stop": stop,
         "bm25_topk_range": rng,
         "bm25_topk_syn": syn,
+        "per_facet_topk": per_facet,
+        "doc_lm_score": lm,
         "match_stats": mstats,
         "dump_postings": dump,
         "percolate": percolate_docs,
@@ -677,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_range": _range_sql(),
         "bm25_topk_syn": _synonyms_sql(),
+        "per_facet_topk": _per_facet_sql(),
+        "doc_lm_score": _lm_score_sql(),
         "match_stats": _match_stats_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
@@ -1601,6 +1612,43 @@ def _range_sql() -> str:
             WHERE dl.dl BETWEEN {RANGE_LO} AND {RANGE_HI}
         )
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _per_facet_sql(per: int = 2) -> str:
+    """Per-facet ranking oracle: the exhaustive-BM25 body, ROW_NUMBER
+    within each source over (score DESC, doc_id), top ``per`` per
+    group, ordered (value, rank)."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT facet_value, rank_in_group, doc_id, round(score, 6) AS score
+        FROM (
+            SELECT d.source AS facet_value,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY s.score DESC, s.doc_id
+                   )::BIGINT AS rank_in_group,
+                   s.doc_id, s.score
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        WHERE rank_in_group <= {per}
+        ORDER BY facet_value, rank_in_group
+    """
+
+
+def _lm_score_sql() -> str:
+    """Unigram-LM oracle: cf/total over the token table, per-doc mean
+    of ln p(token) with occurrence multiplicity."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+        tot AS (SELECT count(*)::DOUBLE AS t FROM toks)
+        SELECT toks.doc_id,
+               round(avg(ln(cf.c / (SELECT t FROM tot))), 6) AS lm_score
+        FROM toks JOIN cf USING (term)
+        GROUP BY toks.doc_id
     """
 
 

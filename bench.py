@@ -342,6 +342,14 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: synonyms_topk(SF_DIR, "spark stream"))
     results["synonyms_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import doc_lm_score, per_facet_topk
+
+    _, t = timed(
+        lambda: per_facet_topk(SF_DIR, "spark window merge stream table")
+    )
+    results["per_facet_topk_sec"] = round(t, 3)
+    _, t = timed(lambda: doc_lm_score(SF_DIR).count())
+    results["doc_lm_score_sec"] = round(t, 3)
     from zensearch_ray.pipelines.analytics import events_funnel
 
     _, t = timed(lambda: events_funnel(SF_DIR))

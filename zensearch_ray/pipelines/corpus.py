@@ -1182,6 +1182,76 @@ def collapsed_topk(
     )
 
 
+def per_facet_topk(
+    sf_dir: str, query: str, col: str = "source", per: int = 2
+) -> pd.DataFrame:
+    """Top-``per`` results within every value of a docmeta attribute
+    (see ``QueryEngine.topk_per_facet``). Columns: (facet_value,
+    rank_in_group, doc_id, score)."""
+    rows = QueryEngine(index_dir_for(sf_dir)).topk_per_facet(query, col, per)
+    return pd.DataFrame(
+        {
+            "facet_value": [r[0] for r in rows],
+            "rank_in_group": np.array([r[1] for r in rows], dtype=np.int64),
+            "doc_id": np.array([r[2] for r in rows], dtype=np.int64),
+            "score": np.array([round6(r[3]) for r in rows], dtype=np.float64),
+        }
+    )
+
+
+def doc_lm_score(sf_dir: str):
+    """Per-document unigram language-model score: mean over the doc's
+    token occurrences of ln(cf(term) / total_tokens) — the classic
+    cheap fluency/typicality signal of training-data pipelines (docs
+    of rare-term soup score low). Two passes: a corpus term-frequency
+    aggregate (vocab-scale; at web scale bucket the combine exactly as
+    the index build's df pass) broadcast once, then a map-only scoring
+    pass. Output: (doc_id, lm_score)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(tokenize(text))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    cf = (
+        ds.map_batches(cf_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    total = float(cf["c"].sum())
+    logp = {t: float(np.log(c / total)) for t, c in zip(cf["term"], cf["c"])}
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        ids = batch["doc_id"]
+        out = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = tokenize(text)
+            if toks:
+                out[i] = sum(lp[t] for t in toks) / len(toks)
+        return pa.table(
+            {"doc_id": ids, "lm_score": pa.array(round6(out), type=pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # query-time synonym table for the driver entry (corpus-vocab words)
 SYNONYMS_CFG = {"stream": ["window"], "spark": ["hash", "fast"]}
 

@@ -543,6 +543,48 @@ class QueryEngine:
         keep = occ < per
         return list(zip(ids[keep][:k].tolist(), sc[keep][:k].tolist()))
 
+    def topk_per_facet(
+        self, query: str, col: str, per: int = 3
+    ) -> list[tuple[str, int, int, float]]:
+        """Per-group ranking: the top ``per`` results WITHIN every
+        value of docmeta attribute ``col`` (the "results per tab" SERP
+        shape — the complement of ``topk_collapsed``, which caps groups
+        within ONE global list). Scores stay corpus-global. Returns
+        (value, rank_in_group, doc_id, score) ordered by
+        (value ASC, rank ASC); groups with no match are absent."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        m = scores > 0.0
+        ids, sc = uniq[m], scores[m]
+        if not len(ids):
+            return []
+        order = np.lexsort((ids, -sc))
+        ids, sc = ids[order], sc[order]
+        fids, codes, values = self._facet(col)
+        j = np.searchsorted(fids, ids)
+        jc = np.minimum(j, len(fids) - 1)
+        ok = (j < len(fids)) & (fids[jc] == ids)
+        gcodes = np.where(ok, codes[jc], -1).astype(np.int64)
+        pos = np.arange(len(gcodes))
+        by_group = np.lexsort((pos, gcodes))
+        sorted_g = gcodes[by_group]
+        new_group = np.empty(len(sorted_g), dtype=bool)
+        new_group[0] = True
+        new_group[1:] = sorted_g[1:] != sorted_g[:-1]
+        starts = np.flatnonzero(new_group)
+        lens = np.diff(np.r_[starts, len(sorted_g)])
+        occ = np.empty(len(gcodes), dtype=np.int64)
+        occ[by_group] = np.arange(len(sorted_g)) - np.repeat(starts, lens)
+        keep = (occ < per) & (gcodes >= 0)
+        rows = [
+            (values[gcodes[i]], int(occ[i]) + 1, int(ids[i]), float(sc[i]))
+            for i in np.flatnonzero(keep)
+        ]
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """All index terms starting with ``prefix`` (normalized), sorted.
         Scans each partition's TERM column with a parquet range filter
