@@ -128,3 +128,59 @@ def test_vector_service_matches_local(ray_session, vindex, emb):
         for q, (gi, _) in zip(probes * 2, batch):
             assert gi == vi.search(q, k=5, nprobe=4)[0].tolist()
         assert set(svc.replica_pids()) == pids  # still the same warm actors
+
+
+def test_vector_append_generation(ray_session, tmp_path, emb):
+    """Append under FROZEN centroids: full-probe search over the grown
+    index is exact over the union; generation files are additive (the
+    base partitions are untouched)."""
+    import pyarrow as pa
+
+    ids, vecs = emb
+    half = 250
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    t = pq.read_table(SRC, columns=["vec_id", "embedding"])
+    pq.write_table(t.slice(0, half), a)
+    pq.write_table(t.slice(half), b)
+    d = str(tmp_path / "vidx")
+    m0 = build_vector_index(a, d, n_lists=8, n_partitions=4)
+    base_mtimes = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    m1 = build_vector_index(b, d, n_lists=8, n_partitions=4, append=True)
+    assert m1["n_generations"] == 2
+    assert m1["n_vectors"] == len(ids)
+    for f, mt in base_mtimes.items():  # base generation untouched
+        assert os.path.getmtime(os.path.join(d, f)) == mt, f
+    vi = VectorIndex(d)
+    m = normalize_rows(vecs)
+    for probe_row in (0, 300, 77):
+        q = vecs[probe_row]
+        qn = q / np.linalg.norm(q)
+        sims = np.round(m @ qn, 6)
+        want = ids[np.lexsort((ids, -sims))[:10]].tolist()
+        got_ids, _ = vi.search(q, k=10, nprobe=8)  # full probe = exact
+        assert got_ids.tolist() == want, probe_row
+
+
+def test_vector_append_refuses_mixed_source(ray_session, tmp_path):
+    import json
+
+    t = pq.read_table(SRC, columns=["vec_id", "embedding"])
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 100), a)
+    pq.write_table(t.slice(100, 100), b)
+    d = str(tmp_path / "vidx")
+    build_vector_index(a, d, n_lists=4, n_partitions=2)
+    # simulate a crashed append from source b: spec written, no manifest bump
+    gen_dir = os.path.join(d, "gen-1")
+    os.makedirs(gen_dir)
+    with open(os.path.join(gen_dir, "_source.json"), "w") as f:
+        json.dump({"source": b}, f)
+    with pytest.raises(ValueError, match="in-progress append"):
+        build_vector_index(a, d, n_lists=4, n_partitions=2, append=True)
+    # same source resumes fine
+    m = build_vector_index(b, d, n_lists=4, n_partitions=2, append=True)
+    assert m["n_generations"] == 2

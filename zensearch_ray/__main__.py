@@ -272,7 +272,7 @@ def cmd_vbuild(args) -> int:
     manifest = build_vector_index(
         args.input, args.output,
         n_lists=args.lists, n_partitions=args.partitions,
-        id_col=args.id_col, emb_col=args.emb_col,
+        id_col=args.id_col, emb_col=args.emb_col, append=args.append,
     )
     print(json.dumps(manifest))
     return 0
@@ -555,6 +555,10 @@ def main(argv=None) -> int:
     vb.add_argument("--partitions", type=int, default=8)
     vb.add_argument("--id-col", default="vec_id")
     vb.add_argument("--emb-col", default="embedding")
+    vb.add_argument(
+        "--append", action="store_true",
+        help="add NEW vectors as a generation under the frozen centroids",
+    )
     vb.set_defaults(fn=cmd_vbuild)
 
     vq = sub.add_parser(

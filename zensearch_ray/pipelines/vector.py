@@ -50,11 +50,18 @@ def build_vector_index(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    append: bool = False,
 ) -> dict:
     """Build (or resume) the persisted IVF index. ``source``: parquet
-    path(s) or a Dataset of (id, embedding). Returns the manifest."""
+    path(s) or a Dataset of (id, embedding). Returns the manifest.
+    ``append=True`` adds NEW vectors as a new generation under the
+    FROZEN centroids (standard IVF growth — retraining would
+    invalidate every existing assignment; compact by rebuilding when
+    drift warrants it), exactly the text index's generation scheme."""
     import ray.data as rd
 
+    if append:
+        return _append_vector_index(source, out_dir, id_col, emb_col)
     mpath = os.path.join(out_dir, _MANIFEST)
     if os.path.exists(mpath):
         with open(mpath) as f:
@@ -121,6 +128,70 @@ def ds_select(ds, id_col: str, emb_col: str):
     return ds.select_columns([id_col, emb_col])
 
 
+def _append_vector_index(source, out_dir: str, id_col: str, emb_col: str) -> dict:
+    """Append ``source`` as generation g+1: assign under the frozen
+    centroids, one streaming pass, resumable partition sink inside the
+    generation dir (a crashed append reruns; a DIFFERENT source into an
+    unfinished generation is refused). Manifest update lands last."""
+    import ray
+    import ray.data as rd
+
+    mpath = os.path.join(out_dir, _MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("id_col") != id_col or manifest.get("emb_col") != emb_col:
+        raise ValueError("append column names differ from the index manifest")
+    t = pq.read_table(os.path.join(out_dir, _CENTROIDS))
+    centroids = np.array(t["centroid"].to_pylist(), dtype=np.float64)
+
+    gen = int(manifest.get("n_generations", 1))
+    gen_dir = os.path.join(out_dir, f"gen-{gen}")
+    os.makedirs(gen_dir, exist_ok=True)
+    spec_path = os.path.join(gen_dir, "_source.json")
+    spec = str(source)
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            prior = json.load(f)["source"]
+        if prior != spec:
+            raise ValueError(
+                f"generation {gen} has an in-progress append from {prior!r}; "
+                "finish it with the same source or remove the gen dir"
+            )
+    else:
+        with open(spec_path + ".tmp", "w") as f:
+            json.dump({"source": spec}, f)
+        os.replace(spec_path + ".tmp", spec_path)
+
+    ds = (
+        rd.read_parquet(source, columns=[id_col, emb_col])
+        if isinstance(source, (str, list))
+        else ds_select(source, id_col, emb_col)
+    )
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        lists = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists))
+
+    stats = write_partitioned(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        gen_dir,
+        key_col="list_id",
+        n_partitions=int(manifest["n_partitions"]),
+    )
+    manifest["n_generations"] = gen + 1
+    if manifest.get("n_vectors") is not None and not stats["skipped"]:
+        manifest["n_vectors"] = int(manifest["n_vectors"]) + int(stats["rows"])
+    else:
+        manifest["n_vectors"] = None  # a resumed append loses the exact count
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    return manifest
+
+
 class VectorIndex:
     """Query side: centroids load once (metadata-scale); each search
     reads only the partitions that can hold the probed lists."""
@@ -139,8 +210,14 @@ class VectorIndex:
             _part_of(pa.array(probe_lists, type=pa.int64()),
                      self.manifest["n_partitions"])
         )
+        dirs = [self.root] + [
+            os.path.join(self.root, f"gen-{g}")
+            for g in range(1, int(self.manifest.get("n_generations", 1)))
+        ]
         out = [
-            os.path.join(self.root, f"part-{p:05d}.parquet") for p in parts
+            os.path.join(d, f"part-{p:05d}.parquet")
+            for d in dirs
+            for p in parts
         ]
         return [p for p in out if os.path.exists(p)]
 
