@@ -55,3 +55,61 @@ def test_cli_suggest_and_query_modes(cli_index, capsys):
     excluded = {r["doc_id"] for r in nt["results"]}
     (the,) = _run(capsys, ["query", "--index", d, "--mode", "exhaustive", "the", "-k", "100000"])
     assert excluded.isdisjoint({r["doc_id"] for r in the["results"]})
+
+
+def test_cli_percolate(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.__main__ import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["spark window merge", "hash join", "merge stream"]
+                ),
+            }
+        ),
+        docs,
+    )
+    qfile = str(tmp_path / "q.json")
+    with open(qfile, "w") as f:
+        _json.dump({"a": "spark AND window", "b": "merge -spark"}, f)
+    out = str(tmp_path / "matches")
+    rc = main(["percolate", "--input", docs, "--queries", qfile, "--output", out])
+    assert rc == 0
+    got = pq.ParquetDataset(out).read().to_pandas()
+    assert set(zip(got["doc_id"], got["query_id"])) == {(0, "a"), (2, "b")}
+
+
+def test_cli_diff(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.__main__ import main
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+    from zensearch_ray.sources.pages import generate_pages_table
+
+    t = generate_pages_table(80, seed=3)
+    a_src, b_src = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 50), a_src)
+    pq.write_table(t, b_src)
+    cfg = BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en")
+    da, db = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(a_src, da, cfg)
+    build_index(b_src, db, cfg)
+    rc = main(["diff", "--a", da, "--b", db])
+    assert rc == 0
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["docs_only_a"] == 0 and d["docs_common"] > 0
+    # b holds a superset of a's docs (plus a's non-en rows are absent in both)
+    assert d["docs_only_b"] > 0
+    assert d["terms_only_a"] == 0
+    assert d["config_fp_match"] is True

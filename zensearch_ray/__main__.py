@@ -263,6 +263,60 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Batch reverse search: match a standing boolean-query registry
+    (JSON {query_id: expression}) against a document parquet; sparse
+    (doc_id, query_id) matches land as parquet — the alerting job."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.percolate import percolate
+
+    _ensure_ray()
+    with open(args.queries) as f:
+        registry = json.load(f)
+    docs = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = percolate(docs, registry)
+    out.write_parquet(args.output)
+    print(json.dumps({"queries": len(registry), "output": args.output}))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Operational index diff: document/vocabulary/posting deltas
+    between two indexes — the sanity check before swapping serving to
+    a rebuilt or compacted index. Metadata-scale only (docmeta ids +
+    term dictionaries + manifests); postings are never decoded."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from zensearch_ray.pipelines.query import QueryEngine
+    from zensearch_ray.state.manifest import IndexLayout
+
+    def doc_ids(layout):
+        t = pq_.ParquetDataset(layout.docmeta_dir).read(columns=["doc_id"])
+        return np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    a, b = IndexLayout(args.a), IndexLayout(args.b)
+    ids_a, ids_b = doc_ids(a), doc_ids(b)
+    vocab_a = set(QueryEngine(args.a)._all_terms())
+    vocab_b = set(QueryEngine(args.b)._all_terms())
+    ma, mb = a.read_manifest(), b.read_manifest()
+    print(json.dumps({
+        "docs_only_a": int(len(np.setdiff1d(ids_a, ids_b, assume_unique=True))),
+        "docs_only_b": int(len(np.setdiff1d(ids_b, ids_a, assume_unique=True))),
+        "docs_common": int(len(np.intersect1d(ids_a, ids_b, assume_unique=True))),
+        "terms_only_a": len(vocab_a - vocab_b),
+        "terms_only_b": len(vocab_b - vocab_a),
+        "terms_common": len(vocab_a & vocab_b),
+        "postings_a": ma.get("total_postings"),
+        "postings_b": mb.get("total_postings"),
+        "avgdl_a": ma.get("avgdl"),
+        "avgdl_b": mb.get("avgdl"),
+        "config_fp_match": ma.get("config_fp") == mb.get("config_fp"),
+    }))
+    return 0
+
+
 def cmd_vbuild(args) -> int:
     """Build (or resume) the persisted IVF vector index (see
     ``pipelines/vector.py``)."""
@@ -545,6 +599,24 @@ def main(argv=None) -> int:
         help="include every partition's raw metrics row",
     )
     st.set_defaults(fn=cmd_stats)
+
+    pc_ = sub.add_parser(
+        "percolate",
+        help="match a standing boolean-query registry against documents",
+    )
+    pc_.add_argument("--input", required=True)
+    pc_.add_argument("--queries", required=True, help="JSON {query_id: expr}")
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--text-col", default="text")
+    pc_.set_defaults(fn=cmd_percolate)
+
+    df_ = sub.add_parser(
+        "diff", help="document/vocabulary/posting deltas between two indexes"
+    )
+    df_.add_argument("--a", required=True)
+    df_.add_argument("--b", required=True)
+    df_.set_defaults(fn=cmd_diff)
 
     vb = sub.add_parser(
         "vbuild", help="build (or resume) the persisted IVF vector index"
