@@ -34,7 +34,9 @@ def test_features_all_rows(ray_session):
         .to_pandas()
     )
     assert len(out) == 60
-    assert list(out.columns) == ["media_id", "n_bytes", "feat_mean", "feat_std"]
+    assert list(out.columns) == ["media_id", "n_bytes", "decoder", "feat_mean", "feat_std"]
+    # real formats decode for real; only video falls back to the stub
+    assert set(out["decoder"]) == {"wav", "ppm", "stub"}
     # deterministic across runs
     out2 = (
         _media_ds()
@@ -94,3 +96,55 @@ def test_frame_sampling_counts_and_cap(ray_session):
     }
     assert truncated_ids == expect_trunc
     assert out["payload"].map(len).eq(256).all()
+
+
+def test_real_wav_roundtrip():
+    """decode_wav inverts the stdlib wave writer bit-exactly."""
+    import io
+    import wave
+
+    sr = 8000
+    samples = (np.sin(np.linspace(0, 20, 400)) * 10000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    from zensearch_ray.stages.multimodal import decode_wav
+
+    got, got_sr = decode_wav(buf.getvalue())
+    assert got_sr == sr
+    np.testing.assert_allclose(got, samples.astype(np.float64) / 32768.0)
+
+
+def test_real_ppm_roundtrip_and_comments():
+    from zensearch_ray.stages.multimodal import decode_ppm
+
+    pixels = np.arange(24, dtype=np.uint8)
+    ppm = b"P6\n# a comment\n4 2\n255\n" + pixels.tobytes()
+    img = decode_ppm(ppm)
+    assert img.shape == (2, 4, 3)
+    np.testing.assert_array_equal(img.ravel(), pixels)
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_decode_media_sniffing():
+    from zensearch_ray.stages.multimodal import (
+        _make_ppm,
+        _make_wav,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(1)
+    for payload, kind, want in (
+        (_make_wav(rng, ms=100), "audio", "wav"),
+        (_make_ppm(rng, 6, 4), "image", "ppm"),
+        (b"\x00\x01\x02", "video", "stub"),
+        (b"not-a-wav", "audio", "stub"),  # opaque audio falls back
+    ):
+        _, dec, _ = decode_media(payload, kind)
+        assert dec == want, (kind, want)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "3d-mesh")

@@ -32,6 +32,78 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV (PCM) decoder via the stdlib ``wave`` module:
+    → (mono float64 samples in [-1, 1], sample_rate). 8- and 16-bit
+    PCM; multi-channel downmixes by mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, sr
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL netpbm decoder (binary P6 RGB / P5 gray, maxval ≤ 255):
+    → uint8 array of shape (h, w, 3) or (h, w). Pure header parse +
+    ``np.frombuffer`` — no imaging library needed."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    depth = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth, offset=i)
+    return arr.reshape((h, w, 3)) if depth == 3 else arr.reshape((h, w))
+
+
+def decode_media(payload: bytes, kind: str):
+    """Format-sniffing decoder: REAL for the stdlib-decodable formats
+    (RIFF/WAVE audio, binary netpbm images), deterministic stub for
+    everything else (PIL/ffmpeg are absent from this container — the
+    swap point is exactly here). Returns (float64 feature buffer,
+    decoder_name, meta dict with sample_rate/width/height where real).
+    """
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, sr = decode_wav(payload)
+        return samples, "wav", {"sample_rate": sr}
+    if kind == "image" and payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload)
+        return (
+            img.astype(np.float64).ravel() / 255.0,
+            "ppm",
+            {"width": img.shape[1], "height": img.shape[0]},
+        )
+    return decode_stub(payload, kind), "stub", {}
+
+
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """STUB decoder. Deterministic fake: derives a small feature buffer
     from the payload bytes. A real build replaces this with
@@ -58,21 +130,23 @@ class MediaFeatureStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, n_bytes, means, stds = [], [], [], []
+        ids, n_bytes, decoders, means, stds = [], [], [], [], []
         for mid, kind, payload in zip(
             batch[self.id_col].to_pylist(),
             batch[self.kind_col].to_pylist(),
             batch[self.payload_col].to_pylist(),
         ):
-            buf = decode_stub(payload or b"", kind)
+            buf, dec, _meta = decode_media(payload or b"", kind)
             ids.append(mid)
             n_bytes.append(len(payload or b""))
+            decoders.append(dec)
             means.append(float(np.round(buf.mean(), 6)) if buf.size else 0.0)
             stds.append(float(np.round(buf.std(), 6)) if buf.size else 0.0)
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "decoder": pa.array(decoders, type=pa.string()),
                 "feat_mean": pa.array(means, type=pa.float64()),
                 "feat_std": pa.array(stds, type=pa.float64()),
             }
@@ -173,20 +247,64 @@ class FrameSampleStage:
         )
 
 
+def _make_wav(rng, sr: int = 8000, ms: int = 250) -> bytes:
+    """A REAL mono 16-bit PCM WAV payload (stdlib wave writer)."""
+    import io
+    import wave
+
+    n = sr * ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    freq = float(rng.integers(100, 2000))
+    samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _make_ppm(rng, w: int, h: int) -> bytes:
+    """A REAL binary P6 RGB payload (header + raw pixels)."""
+    pixels = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
 def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table matching MEDIA_SCHEMA (for tests —
-    no real image/audio bytes exist in this environment)."""
+    """Deterministic media table matching MEDIA_SCHEMA: REAL bytes for
+    the stdlib-decodable formats (16-bit PCM WAV audio, binary P6 PPM
+    images) and opaque fake bytes for video (no container parser in
+    this environment) — so the feature stage exercises genuine decode
+    paths AND the stub fallback in one table."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n_rows):
         kind = kinds[int(rng.integers(0, 3))]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
+        if kind == "audio":
+            ms = int(rng.integers(100, 500))
+            payload = _make_wav(rng, ms=ms)
+            w = h = -1
+            dur = ms
+            mime = "audio/wav"
+        elif kind == "image":
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            payload = _make_ppm(rng, w, h)
+            dur = -1
+            mime = "image/x-portable-pixmap"
+        else:
+            payload = rng.integers(
+                0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8
+            ).tobytes()
+            w, h = int(rng.integers(16, 4096)), int(rng.integers(16, 4096))
+            dur = int(rng.integers(100, 60000))
+            mime = "video/x-fake"
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/x-fake", "audio": "audio/x-fake", "video": "video/x-fake"}[kind])
-        rows["width"].append(int(rng.integers(16, 4096)) if kind != "audio" else -1)
-        rows["height"].append(int(rng.integers(16, 4096)) if kind != "audio" else -1)
-        rows["duration_ms"].append(int(rng.integers(100, 60000)) if kind != "image" else -1)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
