@@ -197,3 +197,19 @@ def test_refresh_is_explicit_push(ray_session, tmp_path_factory):
         assert svc.refresh() == [True]
         assert svc.search(q, k=50) == QueryEngine(idx).topk(q, 50)
         assert svc.refresh() == [False]  # nothing new → no reload
+
+
+def test_sharded_service_bool_identical_to_engine(service_index):
+    from zensearch_ray.pipelines.service import ShardedQueryService
+
+    engine = QueryEngine(service_index)
+    exprs = [
+        "search AND engine",
+        "(search OR web) AND site -engine",
+        "NOT the",
+        "search engine -zzznotaword",
+        "(search OR NOT search)",
+    ]
+    with ShardedQueryService(service_index, workers=3) as svc:
+        for q in exprs:
+            assert svc.topk_bool(q, 10) == engine.topk_bool(q, 10), q

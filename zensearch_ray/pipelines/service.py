@@ -333,6 +333,65 @@ class ShardedQueryService:
             return []
         return self._assemble(toks, self._gather(set(toks)), k, filter)
 
+    def topk_bool(self, query: str, k: int = 10) -> list:
+        """Boolean retrieval through the shard workers: one gather of
+        FULL per-term postings (ids + contributions) for every term in
+        the expression — negated terms included, membership needs them
+        — then the same posting-set algebra and filter-then-rank
+        scoring as ``QueryEngine.topk_bool``, assembled on the driver
+        (results identical; asserted in tests). NOT complements
+        against the caller-side docmeta universe (metadata-scale)."""
+        import numpy as np
+
+        from zensearch_ray.functions.boolquery import (
+            all_terms,
+            parse_bool,
+            scoring_terms,
+        )
+
+        ast = parse_bool(query)
+        term_map = self._gather(set(all_terms(ast)))
+
+        def ids_of(t: str) -> np.ndarray:
+            return (
+                term_map[t][0] if t in term_map else np.empty(0, dtype=np.int64)
+            )
+
+        def ev(node) -> np.ndarray:
+            kind = node[0]
+            if kind == "term":
+                return ids_of(node[1])
+            if kind == "and":
+                parts = sorted((ev(c) for c in node[1]), key=len)
+                cand = parts[0]
+                for ids in parts[1:]:
+                    if not len(cand):
+                        break
+                    cand = cand[np.isin(cand, ids, assume_unique=True)]
+                return cand
+            if kind == "or":
+                return np.unique(np.concatenate([ev(c) for c in node[1]]))
+            return np.setdiff1d(
+                self._meta()._universe(), ev(node[1]), assume_unique=True
+            )
+
+        cand = ev(ast)
+        if not len(cand):
+            return []
+        from zensearch_ray.functions.bm25 import topk_order
+
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in scoring_terms(ast):
+            if t not in term_map:
+                continue
+            ids, contrib = term_map[t]
+            m = np.isin(ids, cand, assume_unique=True)
+            if not m.any():
+                continue
+            scores[np.searchsorted(cand, ids[m])] += contrib[m]
+        top_ids, top_sc = topk_order(cand, scores, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def topk_docs(self, query: str, k: int = 10, filter: tuple | None = None):
         """Ranked url/title rows — docmeta resolves on the CALLER
         (metadata-sized predicate-pushdown read), scoring on the
