@@ -255,6 +255,21 @@ class QueryEngine:
             )
         return out
 
+    def _term_dict_files(self) -> list[str]:
+        """One file per committed segment carrying its sorted unique
+        ``term`` column: the term-dictionary sidecar when present
+        (metadata-only — segments never opened), else the segment
+        itself (pre-sidecar indexes; same sorted term column, just a
+        bigger file to prune through)."""
+        import os as _os
+
+        out = []
+        for part in range(self.num_shards * self.salt_subs):
+            for path in self.layout.part_posting_files(part):
+                side = self.layout.dict_path_for(path)
+                out.append(side if _os.path.exists(side) else path)
+        return out
+
     def lookup(self, term: str) -> _TermPostings | None:
         """term → merged postings across salt sub-partitions and append
         generations, or None."""
@@ -587,12 +602,12 @@ class QueryEngine:
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All index terms starting with ``prefix`` (normalized), sorted.
-        Scans each partition's TERM column with a parquet range filter
-        (term >= prefix AND term < next-prefix): terms are sorted within
-        every segment, so row-group stats prune the read to a
-        dictionary-scale scan — no postings are touched. At cluster
-        scale this is the per-shard term-dictionary read; a dedicated
-        dictionary sidecar file would make it metadata-only."""
+        Reads the per-segment term-dictionary sidecars (sorted unique
+        terms, written at commit — ``IndexLayout._write_termdict``) with
+        a parquet range filter (term >= prefix AND term < next-prefix):
+        metadata-only, the posting segments are never opened. Falls
+        back to the segment's own (equally sorted) term column for
+        pre-sidecar indexes."""
         from zensearch_ray.functions.text import normalize
 
         prefix = normalize(prefix)
@@ -600,14 +615,13 @@ class QueryEngine:
             return []
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
         terms: set[str] = set()
-        for part in range(self.num_shards * self.salt_subs):
-            for path in self.layout.part_posting_files(part):
-                t = pq.read_table(
-                    path,
-                    columns=["term"],
-                    filters=[("term", ">=", prefix), ("term", "<", hi)],
-                )
-                terms.update(t["term"].to_pylist())
+        for path in self._term_dict_files():
+            t = pq.read_table(
+                path,
+                columns=["term"],
+                filters=[("term", ">=", prefix), ("term", "<", hi)],
+            )
+            terms.update(t["term"].to_pylist())
         return sorted(terms)
 
     def topk_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
@@ -685,19 +699,19 @@ class QueryEngine:
 
     def _all_terms(self) -> list[str]:
         """The full term dictionary (sorted, deduped across partitions/
-        generations), cached per engine. Vocab-scale, postings never
-        touched — ``columns=["term"]`` prunes the read to the dictionary
-        column. At cluster scale this is the per-shard dictionary read
-        fuzzy expansion fans out; a deletion-neighborhood sidecar
-        (SymSpell-style, built once at index time) is the metadata-only
-        upgrade path if vocab-scan latency ever matters."""
+        generations), cached per engine. Vocab-scale: reads the
+        term-dictionary sidecars (metadata-only; posting segments never
+        opened), falling back to a segment's own term column when the
+        sidecar is missing (pre-sidecar indexes). A deletion-
+        neighborhood sidecar (SymSpell-style, built once at index time)
+        is the further upgrade path if vocab-scan latency ever
+        matters for fuzzy expansion."""
         if self._vocab is None:
             terms: set[str] = set()
-            for part in range(self.num_shards * self.salt_subs):
-                for path in self.layout.part_posting_files(part):
-                    terms.update(
-                        pq.read_table(path, columns=["term"])["term"].to_pylist()
-                    )
+            for path in self._term_dict_files():
+                terms.update(
+                    pq.read_table(path, columns=["term"])["term"].to_pylist()
+                )
             self._vocab = sorted(terms)
         return self._vocab
 

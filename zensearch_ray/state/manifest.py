@@ -109,6 +109,22 @@ class IndexLayout:
         for d in (self.root, self.docmeta_dir, self.postings_dir, self.part_manifest_dir):
             os.makedirs(d, exist_ok=True)
 
+    @property
+    def termdict_dir(self) -> str:
+        """Term-dictionary sidecars: for each posting segment, a tiny
+        parquet holding ONLY that segment's sorted unique ``term``
+        column. Prefix / wildcard / fuzzy / suggest expansion reads
+        these instead of scanning the segments' term columns, making
+        dictionary operations metadata-only (the segment files — the
+        bulk of the index — are never opened). Sidecars live in their
+        own directory (same ``part=K[.gG].parquet`` basenames) so no
+        postings glob can ever pick one up as a segment."""
+        return os.path.join(self.root, "termdict")
+
+    def dict_path_for(self, posting_file: str) -> str:
+        """Sidecar path for a committed segment file."""
+        return os.path.join(self.termdict_dir, os.path.basename(posting_file))
+
     def posting_path(self, part: int, gen: int = 0) -> str:
         """Segment file for (partition, generation). Generation 0 is the
         cold build; each append adds generation g > 0 segments beside
@@ -149,10 +165,35 @@ class IndexLayout:
         with open(tmp, "wb") as f:
             f.write(table_bytes)
         os.replace(tmp, final)
+        self._write_termdict(final, table_bytes)
         _atomic_write_json(
             self.part_manifest_path(part, gen),
             {"part": part, "gen": gen, "file": final, **metrics},
         )
+
+    def _write_termdict(self, posting_file: str, table_bytes: bytes) -> None:
+        """Publish the term-dictionary sidecar for one segment (sorted
+        unique ``term`` column, extracted from the in-memory payload —
+        no re-read of the committed file). Written BEFORE the lineage
+        manifest, so every manifest-committed segment has its sidecar;
+        readers still fall back to the segment's own term column when a
+        sidecar is missing (pre-sidecar indexes). No-op for payloads
+        without a ``term`` column (the commit protocol is shared)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        buf = pa.BufferReader(table_bytes)
+        if "term" not in pq.read_schema(buf).names:
+            return
+        terms = pq.read_table(buf, columns=["term"])["term"]
+        uniq = pc.unique(terms.combine_chunks())
+        uniq = uniq.take(pc.sort_indices(uniq))
+        os.makedirs(self.termdict_dir, exist_ok=True)
+        final = self.dict_path_for(posting_file)
+        tmp = final + ".tmp"
+        pq.write_table(pa.table({"term": uniq}), tmp, compression="zstd")
+        os.replace(tmp, final)
 
     def committed_parts(self, gen: int = 0) -> dict[int, dict]:
         """part → manifest for every committed partition of one generation."""
