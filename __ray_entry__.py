@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_rate": ngram_rate,
         "decontaminate": decon,
         # dedup family
+        "append_near_dedup": corpus.append_near_dedup,
         "exact_dedup": corpus.exact_dedup,
         "minhash_dup_groups": minhash_groups,
         "simhash": simhash,

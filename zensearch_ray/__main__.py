@@ -41,8 +41,18 @@ def cmd_build(args) -> int:
         attrs=tuple(args.attrs),
         title_boost=args.title_boost,
         stopwords=tuple(s for s in args.stopwords.split(",") if s),
+        sig_store=args.sigstore,
     )
-    manifest = build_index(args.input, args.output, cfg, append=args.append)
+    if args.near_dedup:
+        from zensearch_ray.pipelines.build_index import append_index_dedup
+
+        if not args.append:
+            raise SystemExit("--near-dedup requires --append")
+        manifest = append_index_dedup(
+            args.input, args.output, cfg, threshold=args.dedup_threshold
+        )
+    else:
+        manifest = build_index(args.input, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
     return 0
 
@@ -53,6 +63,13 @@ def cmd_query(args) -> int:
     engine = QueryEngine(args.index)
     mode = args.mode or "pruned"
     for q in args.query:
+        if args.explain is not None:
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--explain serves exhaustive mode only")
+            doc = int(args.explain) if args.explain != "" else None
+            rows = engine.explain(q, k=args.k, doc_id=doc)
+            print(json.dumps({"query": q, "explain": rows}))
+            continue
         if args.facets:
             counts = engine.facet_counts(q, args.facets)
             print(json.dumps({"query": q, "facet": args.facets,
@@ -480,6 +497,20 @@ def main(argv=None) -> int:
         "--append", action="store_true",
         help="add the input as a new segment generation of an existing index",
     )
+    b.add_argument(
+        "--sigstore", action="store_true",
+        help="also persist the MinHash signature store sidecar so future "
+             "appends can use --near-dedup",
+    )
+    b.add_argument(
+        "--near-dedup", action="store_true",
+        help="with --append: drop delta docs near-duplicating indexed or "
+             "delta docs (needs an index built with --sigstore)",
+    )
+    b.add_argument(
+        "--dedup-threshold", type=float, default=0.9,
+        help="est-Jaccard threshold for --near-dedup (default 0.9)",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
@@ -496,6 +527,11 @@ def main(argv=None) -> int:
         help="proximity window for --mode near (tokens)",
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
+    q.add_argument(
+        "--explain", nargs="?", const="", default=None, metavar="DOC_ID",
+        help="per-term BM25 breakdown for the top-k (or one DOC_ID); "
+             "exhaustive mode only",
+    )
     q.add_argument(
         "--filter", metavar="COL=VALUE",
         help="faceted search: restrict results to docs whose docmeta "

@@ -88,6 +88,12 @@ class BuildConfig:
     # column in the corpus; incompatible with positions=True (positions
     # index body offsets only).
     title_boost: int = 0
+    # persisted MinHash signature-store sidecar (stages/sigstore.py):
+    # built alongside the index so future appends can drop near-dups of
+    # already-indexed pages WITHOUT re-reading old text
+    # (append_index_dedup). A sidecar — postings never change — so it
+    # is deliberately NOT part of the config fingerprint.
+    sig_store: bool = False
     # analyzer config: index-time stopword removal (Lucene StopFilter
     # semantics — dropped from tf AND doc_len, so df/idf/avgdl reflect
     # the filtered stream and the query path needs NO change: a stop
@@ -96,7 +102,8 @@ class BuildConfig:
     stopwords: tuple = ()
 
 
-def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
+def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0,
+                drop_urls: frozenset | None = None) -> tuple:
     """source: Dataset | parquet path(s). Prunes columns at the read.
 
     Returns ``(ds, effective_id_col, id_ceiling)``: the column tokenize
@@ -138,6 +145,17 @@ def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0) -> tuple:
         ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
     if cfg.dedup_urls:
         ds = dedup_by_key(ds, "url", order_col="warc_ts")
+    if drop_urls:
+        # near-dedup exclusion set (append_index_dedup) — pair-sliver
+        # sized, vectorized membership (pc.is_in, not a Python loop).
+        # Dense-id sources keep their row-offset ids → holes in the id
+        # space, which the layout tolerates (ceiling is an upper bound).
+        drop_arr = pa.array(sorted(drop_urls), type=pa.string())
+
+        def drop_fn(t: pa.Table, _d=drop_arr) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["url"], value_set=_d)))
+
+        ds = ds.map_batches(drop_fn, batch_format="pyarrow")
     return ds, id_col, id_ceiling
 
 
@@ -529,7 +547,17 @@ def build_index(
         .map_groups(build_fn, batch_format="pyarrow")
         .to_pandas()
     )
-    mark("explode_shuffle_build", t)
+    t = mark("explode_shuffle_build", t)
+
+    sig_docs = None
+    if cfg.sig_store:
+        # one extra pass over corpus text (re-executed source chain) —
+        # the opt-in cost of making every future append near-dup-aware
+        from zensearch_ray.stages.sigstore import build_sig_store, store_dir_of
+
+        sig_meta = build_sig_store(corpus, store_dir_of(index_dir), gen=0)
+        sig_docs = sig_meta["n_docs"]
+        mark("sig_store", t)
 
     elapsed = time.perf_counter() - t_start
     committed = layout.committed_parts()
@@ -560,11 +588,14 @@ def build_index(
         "phase_secs": phases,
         "docs_per_sec": round(stats["n_docs"] / elapsed, 1) if elapsed > 0 else None,
     }
+    if sig_docs is not None:
+        manifest["sig_store_docs"] = sig_docs
     layout.write_manifest(manifest)
     return manifest
 
 
-def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
+def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
+                 drop_urls: frozenset | None = None) -> dict:
     """Append NEW documents to an existing index as a new segment
     generation (SURVEY.md 'grow-by-crawling' analog; VERDICT r1 missing
     item 1). Only the new source is read/tokenized; existing segments
@@ -597,7 +628,9 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
 
     gen = int(old.get("n_generations", 1))
     base_offset = int(old.get("id_ceiling") or 0)
-    corpus, id_col, id_ceiling = load_corpus(source, cfg, base_id_offset=base_offset)
+    corpus, id_col, id_ceiling = load_corpus(
+        source, cfg, base_id_offset=base_offset, drop_urls=drop_urls
+    )
     if cfg.id_col:
         id_mode = f"col:{cfg.id_col}"
     elif id_col == "doc_id":
@@ -708,4 +741,99 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict
         }
     )
     layout.write_manifest(manifest)
+    return manifest
+
+
+def append_index_dedup(
+    source,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    threshold: float = 0.9,
+) -> dict:
+    """Near-dup-aware append: drop delta docs that near-duplicate (a)
+    anything ALREADY INDEXED — checked against the persisted signature
+    store, no old text re-read — or (b) another delta doc (smaller
+    hash64(url) key wins), then append the survivors as a new
+    generation and add THEIR signatures to the store so the next
+    append dedups against them too.
+
+    Requires the index to have been built with ``sig_store=True``
+    (CLI: ``build --sigstore``) — the store needs the original text,
+    which the index alone no longer has. The
+    drop set is deterministic given (source, store), so re-running an
+    interrupted append converges exactly like plain ``append_index``.
+    Threshold is on the MinHash Jaccard ESTIMATE (std ≈ 0.04 at the
+    128-perm default — see stages/sigstore.py).
+    """
+    import ray
+    import ray.data as rd
+
+    from dataclasses import replace
+
+    from zensearch_ray.stages import sigstore as ss
+
+    cfg = cfg or BuildConfig()
+    store = ss.store_dir_of(index_dir)
+    meta = ss.read_meta(store)
+    if meta is None:
+        raise FileNotFoundError(
+            f"{store} does not exist — build the index with sig_store=True "
+            "(CLI: build --sigstore) or create it with the sigstore command "
+            "before appending with near-dedup"
+        )
+    scfg = ss.SigConfig(**meta["config"])
+
+    t0 = time.perf_counter()
+    # delta view under the SAME ingest filters the append will apply
+    # (lang, within-delta url dedup), but with no id assignment — the
+    # store keys on hash64(url), independent of the index id mode
+    dcfg = replace(cfg, id_col=None, dense_ids=False)
+    delta, _, _ = load_corpus(source, dcfg)
+    delta_sigs = delta.map_batches(
+        ss.SigStage, fn_constructor_kwargs={"scfg": scfg},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
+    )
+    delta_tbl = pa.concat_tables(
+        [ray.get(r) for r in delta_sigs.to_arrow_refs()]
+    ).combine_chunks()
+    dropped, pairs_checked = ss.near_dup_vs_store(
+        delta_tbl, store, threshold=threshold, scfg=scfg
+    )
+    t_dedup = round(time.perf_counter() - t0, 3)
+
+    drop_urls = frozenset(u for (u, _k) in dropped.values())
+    manifest = append_index(source, index_dir, cfg, drop_urls=drop_urls)
+    gen = int(manifest["n_generations"]) - 1
+
+    if dropped:
+        keep_mask = pc.invert(
+            pc.is_in(
+                delta_tbl["key"],
+                value_set=pa.array(sorted(dropped), type=pa.int64()),
+            )
+        )
+        kept_tbl = delta_tbl.filter(keep_mask)
+    else:
+        kept_tbl = delta_tbl
+    if kept_tbl.num_rows:
+        ss.append_sig_store(rd.from_arrow(kept_tbl), store, gen)
+
+    manifest["near_dedup"] = {
+        "threshold": threshold,
+        "pairs_checked": pairs_checked,
+        "dropped": len(dropped),
+        "dedup_sec": t_dedup,
+        "dropped_sample": [
+            {"url": u, "matched_key": k}
+            for (u, k) in list(dropped.values())[:20]
+        ],
+    }
+    IndexLayout(index_dir).write_manifest(manifest)
+    # full drop list rides the RETURN only (callers/reporting); the
+    # persisted manifest keeps the bounded sample — at 10^12-doc scale
+    # a day's drop list does not belong in one JSON file
+    manifest["near_dedup"] = dict(
+        manifest["near_dedup"],
+        dropped_urls=sorted(u for (u, _k) in dropped.values()),
+    )
     return manifest

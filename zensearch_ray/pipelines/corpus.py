@@ -1453,3 +1453,73 @@ def term_pagerank(
     )
     pr.insert(0, "rank", np.arange(1, len(pr) + 1, dtype=np.int64))
     return pr.rename(columns={"node": "term"})
+
+
+def append_near_dedup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Near-dup-aware append lifecycle (stages/sigstore.py) over the
+    documents corpus: build a base index over all but the last 5% of
+    docs WITH the persisted signature store, then append a delta of
+    (a) the held-out fresh docs, (b) exact copies of three base texts
+    under new urls, and (c) a within-delta twin pair — and report each
+    delta url's fate. A fresh tmp dir per call: append is a stateful
+    lifecycle, a cached index would double-append on rerun.
+
+    Rows-only entry (MinHash near-dup is not SQL-expressible); the
+    planted outcomes are additionally brute-force-oracled in
+    ``tests/test_sigstore.py``. Columns: (url, action, est_matched) —
+    deterministic given sf_dir.
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.build_index import append_index_dedup
+    from zensearch_ray.sources.pages import documents_as_pages
+
+    pages = documents_as_pages(sf_dir).drop_columns(["doc_id"])
+    n = pages.num_rows
+    n_fresh = max(10, n // 20)
+    base, fresh = pages.slice(0, n - n_fresh), pages.slice(n - n_fresh, n_fresh)
+
+    base_texts = base["text"].to_pylist()
+    twin = fresh["text"][0].as_py() + " twin payload appended words"
+    urls = [f"https://delta.example.com/planted/{i}" for i in range(5)]
+    texts = [base_texts[3], base_texts[5], base_texts[7], twin, twin]
+    ts0 = int(base["warc_ts"][-1].value) + 1_000_000
+    planted = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(
+                [ts0 + i for i in range(5)], type=pa.timestamp("us")
+            ),
+            "html": pa.array([b""] * 5, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * 5, type=pa.string()),
+        }
+    )
+    delta = pa.concat_tables([fresh.select(planted.column_names), planted])
+
+    root = tempfile.mkdtemp(prefix="zensearch_neardup_")
+    try:
+        base_p = os.path.join(root, "base.parquet")
+        delta_p = os.path.join(root, "delta.parquet")
+        pq.write_table(base, base_p)
+        pq.write_table(delta, delta_p)
+        cfg = BuildConfig(
+            num_shards=8, salt_subs=2, lang=None, sig_store=True,
+        )
+        build_index(base_p, os.path.join(root, "idx"), cfg)
+        manifest = append_index_dedup(
+            delta_p, os.path.join(root, "idx"), cfg, threshold=threshold
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    dropped = set(manifest["near_dedup"]["dropped_urls"])
+    all_urls = sorted(delta["url"].to_pylist())
+    return pd.DataFrame(
+        {
+            "url": all_urls,
+            "action": ["dropped" if u in dropped else "kept" for u in all_urls],
+        }
+    )

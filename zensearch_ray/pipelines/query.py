@@ -348,6 +348,72 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def explain(self, query: str, k: int = 10,
+                doc_id: int | None = None) -> list[dict]:
+        """Per-term BM25 breakdown for the top-k docs (or one given
+        doc) — the Lucene-Explanation analog of the reference's exposed
+        per-webpage TfRating/IdfRating/Bm25rating fields
+        (``search-engine/internal/types/types.go:3-13``, mutated in
+        ``score.go:78-81``). Each result row::
+
+            {doc_id, score, terms: [{term, df, idf, tf, dl,
+                                     tf_norm, contribution}]}
+
+        The contributions sum (up to float re-association) to the
+        ranked score; asserted exactly in tests/test_explain.py.
+        Cost: the same posting decodes ``topk`` already did (cached) +
+        an O(log n) probe per (term, doc).
+        """
+        if doc_id is not None:
+            targets = [(int(doc_id), None)]
+        else:
+            targets = [(d, s) for d, s in self.topk(query, k)]
+        if not targets:
+            return []
+        # _term_plan semantics, but keeping the term string
+        plan = []
+        for tok in tokenize(query):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((tok, p, w))
+        out = []
+        for d, score in targets:
+            terms = []
+            total = 0.0
+            for tok, p, w in plan:
+                ids, tfs, dls = p.decode_all()
+                j = int(np.searchsorted(ids, d))
+                if j >= len(ids) or ids[j] != d:
+                    continue
+                tn = float(
+                    tf_norm(tfs[j : j + 1], dls[j : j + 1], self.avgdl, self.params)[0]
+                )
+                contrib = w * tn
+                total += contrib
+                terms.append(
+                    {
+                        "term": tok,
+                        "df": int(p.df),
+                        "idf": w,
+                        "tf": int(tfs[j]),
+                        "dl": int(dls[j]),
+                        "tf_norm": tn,
+                        "contribution": contrib,
+                    }
+                )
+            out.append(
+                {
+                    "doc_id": int(d),
+                    "score": float(score) if score is not None else total,
+                    "terms": terms,
+                }
+            )
+        return out
+
     # -- facets (docmeta attribute columns, BuildConfig.attrs) -------------
     def _facet(self, col: str):
         """doc_id → attribute lookup: (sorted doc_ids, int32 codes,
