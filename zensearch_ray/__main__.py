@@ -376,6 +376,20 @@ def cmd_vquery(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Integrity check (pipelines/fsck.py); exit 1 on any error."""
+    from zensearch_ray.pipelines.fsck import fsck_index
+
+    if not args.fast:
+        _ensure_ray()
+    report = fsck_index(args.index, deep=not args.fast)
+    n_err = len(report["errors"])
+    report["errors"] = report["errors"][: args.max_errors]
+    report["n_errors"] = n_err
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_stats(args) -> int:
     """Index introspection: the global manifest plus the per-partition
     lineage metrics the build emitted (postings, bytes, build/sort/
@@ -635,6 +649,22 @@ def main(argv=None) -> int:
         help="include every partition's raw metrics row",
     )
     st.set_defaults(fn=cmd_stats)
+
+    fs = sub.add_parser(
+        "fsck",
+        help="verify index integrity (manifests, codec round-trip, "
+             "block-max pruning safety, sidecars)",
+    )
+    fs.add_argument("--index", required=True)
+    fs.add_argument(
+        "--fast", action="store_true",
+        help="metadata cross-checks only (skip the per-segment decode pass)",
+    )
+    fs.add_argument(
+        "--max-errors", type=int, default=50,
+        help="truncate the printed error list (report stays complete in rc)",
+    )
+    fs.set_defaults(fn=cmd_fsck)
 
     pc_ = sub.add_parser(
         "percolate",
