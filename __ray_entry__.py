@@ -42,6 +42,7 @@ FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
 BOOL_QUERY = "(spark OR hash) AND window -merge"  # full boolean grammar
 WILDCARD_QUERY = "s*a*"  # glob: expands to {scan, small, spark, stream}
+REGEX_QUERY = "s(c|p)a(n|rk)"  # regex: expands to {scan, spark}
 # standing percolator registry (boolean grammar, incl. NOT + parens)
 RANGE_LO, RANGE_HI = 30, 70  # doc_len window for the range-filter entry
 SYN_QUERY = "spark stream"  # expands via corpus.SYNONYMS_CFG
@@ -132,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def wildcard(sf_dir: str):
         return corpus.wildcard_topk(sf_dir, WILDCARD_QUERY, k=10)
+
+    def regexq(sf_dir: str):
+        return corpus.regex_topk(sf_dir, REGEX_QUERY, k=10)
 
     def collapsed(sf_dir: str):
         # SERP field collapse: ≤1 result per source in the top-k
@@ -477,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": bm25f,
         "bool_topk": boolq,
         "wildcard_topk": wildcard,
+        "regex_topk": regexq,
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
         "bm25_topk_range": rng,
@@ -683,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
+        "regex_topk": _regex_sql(REGEX_QUERY),
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_range": _range_sql(),
@@ -1820,6 +1826,16 @@ def _wildcard_sql(pattern: str) -> str:
                doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """
+
+
+def _regex_sql(pattern: str) -> str:
+    """Regex-search oracle: the _wildcard_sql body with qterms = the
+    DISTINCT corpus terms full-matching the pattern via DuckDB's
+    regexp_full_match — exactly the engine's dictionary expansion."""
+    return _wildcard_sql("__QTERMS_PLACEHOLDER__").replace(
+        "term LIKE '__QTERMS_PLACEHOLDER__'",
+        f"regexp_full_match(term, '{pattern}')",
+    )
 
 
 def _fuzzy_sql() -> str:

@@ -304,3 +304,48 @@ def test_topk_synonyms_equals_expanded_query(built_index):
     assert engine.topk_synonyms("search engine", {}, 10) == engine.topk(
         "search engine", 10
     )
+
+
+def test_regex_expansion_and_scoring(built_index, oracle):
+    """expand_regex == re.fullmatch vocab scan; topk_regex == topk of
+    the expansion treated as an OR-query — the general form of glob."""
+    import re
+
+    from zensearch_ray.functions.bm25 import idf
+    from zensearch_ray.functions.text import tokenize as tk
+
+    index_dir, _, pages_path = built_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    vocab = set()
+    for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        if lg == "en":
+            vocab.update(tk(tx))
+    for pat in [r".*er", r"c.*l", r"th.*", r"wi(n|d).*", r"[0-9]+", r"s(c|p)a.*"]:
+        rx = re.compile(pat)
+        want_terms = sorted(v for v in vocab if rx.fullmatch(v))
+        got_terms = engine.expand_regex(pat)
+        assert got_terms == want_terms, pat
+        want = engine._score_plan(
+            [
+                (engine.lookup(term), idf(engine.n_docs, engine.df(term)))
+                for term in want_terms
+                if engine.df(term) not in (0, engine.n_docs)
+            ],
+            10,
+        )
+        assert engine.topk_regex(pat, 10) == want, pat
+
+
+def test_regex_edges(built_index):
+    import re
+
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    # a fully-literal pattern degenerates to the exact term
+    assert engine.topk_regex("the", 10) == engine.topk("the", 10)
+    assert engine.topk_regex("zzqqxx.*", 10) == []
+    with pytest.raises(re.error):
+        engine.expand_regex("a(b")  # malformed pattern fails loudly
+    with pytest.raises(ValueError):
+        engine.expand_regex(".*", max_terms=3)  # expansion-size guard

@@ -163,6 +163,7 @@ def cmd_query(args) -> int:
                 "not": engine.topk_not,
                 "bool": engine.topk_bool,
                 "wildcard": engine.topk_wildcard,
+                "regex": engine.topk_regex,
             }[mode]
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
@@ -533,7 +534,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -584,7 +585,7 @@ def main(argv=None) -> int:
     bt.add_argument("-k", type=int, default=10)
     bt.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
         default="pruned",
     )
     bt.add_argument("--window", type=int, default=8)
@@ -722,7 +723,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
         default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)

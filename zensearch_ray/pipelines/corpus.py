@@ -1523,3 +1523,19 @@ def append_near_dedup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             "action": ["dropped" if u in dropped else "kept" for u in all_urls],
         }
     )
+
+
+def regex_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
+    """Regex BM25 top-k: the pattern is expanded against the index term
+    dictionary (full-match; metadata-only — ``QueryEngine.expand_regex``)
+    and scored as an OR-query. Columns: (rank, doc_id, score); SQL
+    oracle: qterms = DISTINCT corpus terms with regexp_full_match."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk_regex(pattern, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )

@@ -763,6 +763,58 @@ class QueryEngine:
             plan.append((p, w))
         return self._score_plan(plan, k)
 
+    def expand_regex(self, pattern: str, max_terms: int = 1000) -> list[str]:
+        """Dictionary terms FULLY matching a regular expression — the
+        general form of glob expansion (Lucene RegexpQuery analog; the
+        reference has no term dictionary at all, so every term-shape
+        query there is a full corpus re-scan). Matching runs against
+        the NORMALIZED vocabulary (the pinned tokenizer alphabet), so
+        write patterns in lowercase token characters. A literal prefix
+        of the pattern (chars before the first regex metacharacter)
+        narrows the scan to a sorted-vocab bisect window, exactly like
+        ``expand_wildcard``; a pattern with no literal prefix scans the
+        dictionary (vocab-scale, metadata-only — posting segments are
+        never opened). Raises when the expansion exceeds ``max_terms``
+        (query-cost guard) or the pattern does not compile."""
+        import re as _re
+        from bisect import bisect_left
+
+        rx = _re.compile(pattern)  # propagate re.error to the caller
+        _META = set(".^$*+?{}[]\\|()")
+        lit = []
+        for ch in pattern:
+            if ch in _META:
+                break
+            lit.append(ch)
+        prefix = "".join(lit)
+        vocab = self._all_terms()
+        lo, hi = 0, len(vocab)
+        if prefix:
+            lo = bisect_left(vocab, prefix)
+            stop = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            hi = bisect_left(vocab, stop, lo)
+        out = [t for t in vocab[lo:hi] if rx.fullmatch(t)]
+        if len(out) > max_terms:
+            raise ValueError(
+                f"regex {pattern!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
+    def topk_regex(self, pattern: str, k: int = 10) -> list[tuple[int, float]]:
+        """Regex search: dictionary expansion (``expand_regex``) scored
+        as an OR-query exactly like ``topk_wildcard`` (SQL oracle:
+        qterms = DISTINCT terms matching regexp_full_match)."""
+        plan = []
+        for t in self.expand_regex(pattern):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        return self._score_plan(plan, k)
+
     def _all_terms(self) -> list[str]:
         """The full term dictionary (sorted, deduped across partitions/
         generations), cached per engine. Vocab-scale: reads the
@@ -1175,6 +1227,7 @@ class QueryEngine:
             "not": self.topk_not,
             "bool": self.topk_bool,
             "wildcard": self.topk_wildcard,
+            "regex": self.topk_regex,
         }[mode]
         return resolve_docs(self.layout, fn(query, k))
 
@@ -1328,6 +1381,7 @@ class QueryScorer:
             "not": e.topk_not,
             "bool": e.topk_bool,
             "wildcard": e.topk_wildcard,
+            "regex": e.topk_regex,
         }[mode]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -92,6 +92,7 @@ class _EngineReplica:
             "not": self.engine.topk_not,
             "bool": self.engine.topk_bool,
             "wildcard": self.engine.topk_wildcard,
+            "regex": self.engine.topk_regex,
         }[mode]
         return fn(query, k)
 
