@@ -440,6 +440,67 @@ def run_bench() -> dict:
     )
     results["dup_components_sec"] = round(t, 3)
 
+    # -- r2 session-10 operators: fsck / sigstore / near-dedup ------------
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    from zensearch_ray.pipelines.fsck import fsck_index
+    from zensearch_ray.sources.pages import generate_pages_table
+    from zensearch_ray.stages.sigstore import (
+        SigConfig,
+        SigStage,
+        build_sig_store,
+        near_dup_vs_store,
+    )
+
+    # deep integrity check of the pristine bench index (codec round-trip
+    # of every posting + block-max safety, one Ray task per segment)
+    rep, t = timed(lambda: fsck_index(index_dir, deep=True))
+    assert rep["ok"], rep["errors"][:3]
+    results["fsck_deep_sec"] = round(t, 3)
+
+    # signature store over the bench corpus (what build --sigstore adds)
+    store_dir = f"/tmp/zensearch_bench_sigstore_{NUM_CPUS}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+    corpus_en = rd.read_parquet(PAGES_DIR, columns=["url", "text", "lang"]).map_batches(
+        lambda tb: tb.filter(pc_.equal(tb["lang"], "en")), batch_format="pyarrow"
+    )
+    sig_meta, t = timed(build_sig_store, corpus_en, store_dir)
+    results["sigstore_build_sec"] = round(t, 3)
+
+    # near-dedup check of a 2k-page crawl delta (10% planted copies of
+    # indexed pages) against the store — the append --near-dedup cost
+    # EXCLUDING the plain append itself
+    first_file = sorted(
+        f for f in os.listdir(PAGES_DIR) if f.endswith(".parquet")
+    )[0]
+    old_texts = pq.read_table(
+        os.path.join(PAGES_DIR, first_file), columns=["text"]
+    ).slice(0, 200)["text"]
+    fresh = generate_pages_table(1800, seed=78, row_offset=N_PAGES + 10_000)
+    n_old = len(old_texts)
+    planted = pa.table(
+        {
+            "url": pa.array([f"https://delta.bench/{i}" for i in range(n_old)]),
+            "text": old_texts,
+        }
+    )
+    delta = pa.concat_tables([fresh.select(["url", "text"]), planted])
+
+    def near_check():
+        sig = rd.from_arrow(delta).map_batches(
+            SigStage, fn_constructor_kwargs={"scfg": SigConfig()},
+            batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
+        )
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in sig.to_arrow_refs()]
+        ).combine_chunks()
+        return near_dup_vs_store(tbl, store_dir, threshold=0.5)
+
+    (nd_dropped, _), t = timed(near_check)
+    results["near_dedup_check_sec"] = round(t, 3)
+    results["near_dedup_dropped"] = len(nd_dropped)
+
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
     from zensearch_ray.pipelines.compact import compact_index

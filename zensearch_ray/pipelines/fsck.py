@@ -134,6 +134,10 @@ def _check_segment_file(path: str, dict_path: str | None, params: BM25Params,
                 )
     if dict_path is not None:
         if not os.path.exists(dict_path):
+            # readers fall back to the segment's own term column when a
+            # sidecar is missing (state/manifest.py: pre-sidecar
+            # indexes); fsck_index only passes dict_path for indexes
+            # that HAVE a termdict dir, so a hole there is a real error
             errors.append(f"{path}: termdict sidecar missing ({dict_path})")
         else:
             seg_terms = sorted({r["term"] for r in rows})
@@ -251,8 +255,13 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
             errors.append(f"{tag}: segment file missing ({path})")
             continue
         total_postings += int(m["n_postings"])
+        # pre-sidecar indexes have no termdict dir at all — readers fall
+        # back to segment term columns, so that is legal; a PARTIAL
+        # sidecar set (dir exists, file missing) is not
+        has_termdict = os.path.isdir(layout.termdict_dir)
         files.append(
-            {"path": path, "dict_path": layout.dict_path_for(path),
+            {"path": path,
+             "dict_path": layout.dict_path_for(path) if has_termdict else None,
              "manifest_postings": int(m["n_postings"]), "tag": tag}
         )
     if total_postings != int(manifest.get("total_postings", total_postings)):
@@ -284,6 +293,8 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
             out = {"path": [], "n_terms": [], "n_postings": [],
                    "max_doc_id": [], "errors": []}
             for path, dict_path in zip(batch["path"], batch["dict_path"]):
+                if not isinstance(dict_path, str):
+                    dict_path = None  # batch conversion turns None → nan
                 r = _check_segment_file(path, dict_path, p, id_ceiling)
                 for k in out:
                     v = r[k]
