@@ -288,6 +288,10 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: wildcard_topk(SF_DIR, "s*a*", k=10))
     results["wildcard_topk_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import regex_topk
+
+    _, t = timed(lambda: regex_topk(SF_DIR, "s(c|p)a(n|rk)", k=10))
+    results["regex_topk_sec"] = round(t, 3)
     from zensearch_ray.pipelines.corpus import index_dir_for
     from zensearch_ray.pipelines.export import dump_postings
 
