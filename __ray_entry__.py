@@ -101,6 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
 
+    def tfidf(sf_dir: str):
+        # pluggable similarity over the SAME segments (SMART ltn)
+        return corpus.sim_topk(sf_dir, BM25_QUERY, "tfidf", k=10)
+
+    def lmd(sf_dir: str):
+        # LM Dirichlet (mu=2000), matched-terms-only Lucene shape
+        return corpus.sim_topk(sf_dir, BM25_QUERY, "lmd", k=10)
+
     def bm25_deleted(sf_dir: str):
         # tombstoned docs (doc_id % 17 == 3) excluded from results;
         # stats still count them (Lucene stats-at-merge semantics)
@@ -475,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25,
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
+        "tfidf_topk": tfidf,
+        "lmd_topk": lmd,
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_purged": bm25_purged,
         "bm25_topk_filtered": bm25_filtered,
@@ -685,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
+        "tfidf_topk": _tfidf_sql(),
+        "lmd_topk": _lmd_sql(),
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
@@ -2416,6 +2428,74 @@ def _bm25f_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _tfidf_sql() -> str:
+    """SMART-ltn TF-IDF oracle: contribution (1 + ln tf)·ln(N/df) per
+    matched distinct query term, score>0 filter, top-10 by (score DESC,
+    doc_id ASC) — mirrors ``QueryEngine.topk_sim(similarity='tfidf')``
+    expression-for-expression (round6 on both sides)."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) * (1.0 + ln(tf.tf)) AS c
+            FROM tf JOIN df USING (term)
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _lmd_sql() -> str:
+    """LM-Dirichlet (mu=2000) oracle, matched-terms-only Lucene shape:
+    per matched (term, doc) contribution
+    ln(1 + tf·T/(mu·ctf)) + ln(mu/(dl+mu)) with T = avgdl·N and ctf the
+    collection term frequency; NO zero-score filter (contributions can
+    be negative) — every doc matching >=1 query term ranks. Expression
+    grouping mirrors ``topk_sim(similarity='lmd')`` exactly."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        ctf AS (
+            SELECT term, count(*)::DOUBLE AS ctf
+            FROM toks JOIN qterms USING (term) GROUP BY term
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + tf.tf *
+                      ((SELECT avgdl FROM stats) * (SELECT n FROM stats))
+                      / (2000.0 * ctf.ctf))
+                   + ln(2000.0 / (dl.dl + 2000.0)) AS c
+            FROM tf
+            JOIN ctf USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
         ORDER BY score DESC, doc_id LIMIT 10
     """
 

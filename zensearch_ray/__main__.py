@@ -62,6 +62,26 @@ def cmd_query(args) -> int:
 
     engine = QueryEngine(args.index)
     mode = args.mode or "pruned"
+    if args.similarity and args.similarity != "bm25":
+        # the ranking function swaps without re-indexing; exhaustive
+        # only (block-max bounds are BM25-specific, so pruned/and
+        # would silently serve a different strategy)
+        if args.mode not in (None, "exhaustive"):
+            raise SystemExit("--similarity serves exhaustive mode only")
+        for q in args.query:
+            hits = engine.topk_sim(q, args.k, similarity=args.similarity)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps(
+                {"query": q, "similarity": args.similarity, "results": rows}
+            ))
+        return 0
     for q in args.query:
         if args.explain is not None:
             if args.mode not in (None, "exhaustive"):
@@ -540,6 +560,14 @@ def main(argv=None) -> int:
     q.add_argument(
         "--window", type=int, default=8,
         help="proximity window for --mode near (tokens)",
+    )
+    q.add_argument(
+        "--similarity",
+        choices=["bm25", "tfidf", "lmd"],
+        default=None,
+        help="ranking function over the same index (Lucene Similarity "
+             "plug): bm25 (default), tfidf (SMART ltn), lmd "
+             "(LM Dirichlet mu=2000); exhaustive evaluation",
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.add_argument(

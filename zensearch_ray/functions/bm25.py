@@ -30,6 +30,11 @@ import numpy as np
 from zensearch_ray.functions.text import term_frequencies, tokenize
 
 
+# LM-Dirichlet smoothing parameter (Zhai & Lafferty 2004's recommended
+# range is 500–10000; Lucene's LMDirichletSimilarity defaults to 2000)
+LMD_MU = 2000.0
+
+
 @dataclass(frozen=True)
 class BM25Params:
     k1: float = 1.2

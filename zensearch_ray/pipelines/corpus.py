@@ -780,6 +780,26 @@ def bm25_topk(
     )
 
 
+def sim_topk(
+    sf_dir: str, query: str, similarity: str, k: int = 10
+) -> pd.DataFrame:
+    """Top-k under a pluggable similarity (``tfidf`` SMART ltn /
+    ``lmd`` LM-Dirichlet μ=2000) over the SAME cached index segments
+    as ``bm25_topk`` — the ranking function swaps without re-indexing
+    (Lucene Similarity semantics). Columns: (rank, doc_id, score),
+    score rounded to 6 decimals like every scored oracle entry."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_sim(
+        query, k, similarity=similarity
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 def phrase_topk(
     sf_dir: str, phrase: str, k: int = 10, positional: bool = False
 ) -> pd.DataFrame:

@@ -34,7 +34,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from zensearch_ray.functions.bm25 import BM25Params, idf, tf_norm, topk_order
+from zensearch_ray.functions.bm25 import (
+    LMD_MU,
+    BM25Params,
+    idf,
+    tf_norm,
+    topk_order,
+)
 from zensearch_ray.functions.codec import (
     decode_positions,
     decode_posting,
@@ -346,6 +352,74 @@ class QueryEngine:
         uniq, scores = self._accumulate_plan(plan)
         mask = scores > 0.0
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_sim(
+        self,
+        query: str,
+        k: int = 10,
+        similarity: str = "bm25",
+        mu: float = LMD_MU,
+    ) -> list[tuple[int, float]]:
+        """Pluggable similarity over the same postings — the Lucene
+        ``Similarity`` plug-point (the reference hard-codes BM25,
+        ``search-engine/internal/bm25/score.go:129-131``; real engines
+        let the ranking function swap without re-indexing, and so does
+        this: all modes read identical segments).
+
+        - ``bm25``: the checked default path (``topk``).
+        - ``tfidf``: SMART ltn — contribution (1 + ln tf)·ln(N/df) per
+          matched DISTINCT query term; zero-score docs filtered (idf=0
+          terms contribute nothing, as in the BM25 path).
+        - ``lmd``: LM Dirichlet (Zhai & Lafferty 2004, the Lucene
+          ``LMDirichletSimilarity`` shape, matched terms only)::
+
+            ln(1 + tf·T/(μ·ctf)) + ln(μ/(dl+μ))   per matched term
+
+          with T = total corpus tokens (avgdl·N from the manifest) and
+          ctf = collection frequency of the term summed from the LIVE
+          postings (post-tombstone). Contributions can be negative, so
+          no zero-score filter: every doc matching ≥1 query term is a
+          candidate, ranked by (score DESC, doc_id ASC).
+        """
+        if similarity == "bm25":
+            return self.topk(query, k)
+        if similarity not in ("tfidf", "lmd"):
+            raise ValueError(f"unknown similarity: {similarity!r}")
+        total = self.avgdl * self.n_docs
+        all_ids, all_contrib = [], []
+        for tok in dict.fromkeys(tokenize(query)):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            ids, tfs, dls = p.decode_all()
+            if len(ids) == 0:
+                continue
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            if similarity == "tfidf":
+                w = idf(self.n_docs, p.df)
+                if w == 0.0:
+                    continue
+                contrib = w * (1.0 + np.log(tfs))
+            else:  # lmd — expression shape mirrors the SQL oracle
+                ctf = float(tfs.sum())
+                contrib = np.log(1.0 + tfs * total / (mu * ctf)) + np.log(
+                    mu / (dls + mu)
+                )
+            all_ids.append(ids)
+            all_contrib.append(contrib)
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        if similarity == "tfidf":
+            keep = scores > 0.0
+            uniq, scores = uniq[keep], scores[keep]
+        top_ids, top_sc = topk_order(uniq, scores, k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
     def explain(self, query: str, k: int = 10,
