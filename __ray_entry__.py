@@ -329,6 +329,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "rank", range(1, len(out) + 1))
         return out
 
+    def gopher_filter(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import gopher_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(gopher_batch, batch_format="pyarrow")
+
     def token_quality(sf_dir: str):
         import ray.data as rd
 
@@ -531,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balanced_sample": corpus.lang_balanced_sample,
         "bpe_token_counts": corpus.bpe_token_counts,
         "token_quality": token_quality,
+        "gopher_filter": gopher_filter,
         "doc_fingerprint": fingerprint,
         "lang_id": lang_id,
         "scrub_text": scrub,
@@ -886,6 +895,33 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": _docs_split_sql(),
         "docs_sample": _docs_sample_sql(),
         "source_cap": _source_cap_sql(),
+        "gopher_filter": f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS c
+                FROM toks GROUP BY doc_id, term
+            ),
+            m AS (
+                SELECT doc_id,
+                       sum(c)::BIGINT AS n_words,
+                       sum(c * length(term))::DOUBLE / sum(c) AS mwl_raw,
+                       sum(CASE WHEN list_contains({_STOPLIST_SQL}, term)
+                                THEN c ELSE 0 END)::BIGINT AS stopword_count,
+                       max(c)::DOUBLE / sum(c) AS top_frac_raw
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   n_words,
+                   round(mwl_raw, 6) AS mean_word_len,
+                   stopword_count,
+                   round(top_frac_raw, 6) AS top_word_frac,
+                   (CASE WHEN n_words BETWEEN 30 AND 50000
+                          AND mwl_raw >= 3.0 AND mwl_raw <= 10.0
+                          AND stopword_count >= 2
+                          AND top_frac_raw <= 0.125
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM m
+        """,
         "token_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents)
             SELECT doc_id,

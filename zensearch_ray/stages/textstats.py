@@ -69,6 +69,65 @@ def token_quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "
     )
 
 
+# Gopher-style quality rules (Rae et al. 2021, MassiveText A1.1),
+# adapted to a whitespace corpus with no line structure: word-count
+# bounds, mean-word-length window, minimum stopword evidence, and a
+# repetition guard (fraction of the doc taken by its single most
+# frequent word — the word-level analog of MassiveText's duplicate
+# line / most-common-n-gram fractions). Thresholds are pinned here so
+# the SQL oracle and the engine share one spec.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 50_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_FRAC = 0.125
+
+
+def gopher_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc Gopher-rule metrics + the keep/drop verdict.
+
+    keep = min_words <= n <= max_words AND mwl in [3,10] AND
+    stopword_count >= 2 AND top_word_frac <= 0.125 — every comparison
+    runs on the RAW float (rounding only decorates the emitted metric
+    columns), and each division has one canonical operand order so the
+    DuckDB oracle reproduces the verdict bit-for-bit."""
+    from collections import Counter
+
+    n_rows = batch.num_rows
+    n_words = np.zeros(n_rows, dtype=np.int64)
+    mwl = np.zeros(n_rows, dtype=np.float64)
+    stop_count = np.zeros(n_rows, dtype=np.int64)
+    top_frac = np.zeros(n_rows, dtype=np.float64)
+    keep = np.zeros(n_rows, dtype=np.int64)
+    for i, text in enumerate(batch[text_col].to_pylist()):
+        toks = tokenize(text)
+        n = len(toks)
+        n_words[i] = n
+        if n == 0:
+            continue
+        c = Counter(toks)
+        mwl[i] = sum(map(len, toks)) / n
+        stop_count[i] = sum(c.get(s, 0) for s in STOPWORDS)
+        top_frac[i] = max(c.values()) / n
+        keep[i] = int(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MWL_MIN <= mwl[i] <= GOPHER_MWL_MAX
+            and stop_count[i] >= GOPHER_MIN_STOPWORDS
+            and top_frac[i] <= GOPHER_MAX_TOP_FRAC
+        )
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(round6(mwl)),
+            "stopword_count": pa.array(stop_count),
+            "top_word_frac": pa.array(round6(top_frac)),
+            "keep": pa.array(keep),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Document fingerprint = md5 hex of the canonical token stream
     (tokens joined by single spaces) — a content-normalized exact-dup
