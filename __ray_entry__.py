@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_prepared": corpus.docs_prepared,
         "docs_chunked": corpus.docs_chunked,
+        "pack_sequences": corpus.pack_sequences,
         "lang_balanced_sample": corpus.lang_balanced_sample,
         "bpe_token_counts": corpus.bpe_token_counts,
         "token_quality": token_quality,
@@ -963,6 +964,29 @@ def oracle_sql() -> dict[str, str]:
                    ) AS chunk_text,
                    (least((i+1)*50, n) - i*50)::BIGINT AS n_tokens
             FROM x
+        """,
+        "pack_sequences": f"""
+            WITH dl AS (
+                SELECT doc_id, len({_TOKLIST})::BIGINT AS dl FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, dl,
+                       (sum(dl) OVER (ORDER BY doc_id) - dl)::BIGINT AS start
+                FROM dl WHERE dl > 0
+            ),
+            spans AS (
+                SELECT doc_id, dl, start,
+                       unnest(range(start // 64, (start + dl - 1) // 64 + 1))
+                           AS seq_id
+                FROM pos
+            )
+            SELECT seq_id::BIGINT AS seq_id,
+                   doc_id,
+                   (greatest(start, seq_id * 64) - start)::BIGINT AS doc_off,
+                   (greatest(start, seq_id * 64) - seq_id * 64)::BIGINT AS seq_off,
+                   (least(start + dl, (seq_id + 1) * 64)
+                    - greatest(start, seq_id * 64))::BIGINT AS n_tokens
+            FROM spans
         """,
         "lang_balanced_sample": """
             SELECT lang, doc_id FROM (

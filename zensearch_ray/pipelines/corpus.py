@@ -14,6 +14,7 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ray.data.aggregate import Sum
 
@@ -232,6 +233,106 @@ def lang_balanced_sample(sf_dir: str, per_lang: int = 20):
         .groupby("__one")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+PACK_SEQ_LEN = 64
+PACK_BUCKETS = 32
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = PACK_SEQ_LEN, n_buckets: int = PACK_BUCKETS
+):
+    """GPT-style sequence packing layout: docs in doc_id order form one
+    token stream; training sequence ``s`` covers stream positions
+    [s·L, (s+1)·L). Emits one row per (sequence, document) span —
+    ``(seq_id, doc_id, doc_off, seq_off, n_tokens)`` — the exact copy
+    plan a training-data writer executes (empty docs excluded).
+
+    The global stream offset is an ORDERED prefix sum, done in three
+    scale-safe steps (nothing but (doc_id, dl) ever moves):
+
+    1. map-only token counting → (doc_id, dl), 16 bytes/doc;
+    2. bucket = doc_id // W for a fixed width W from the parquet
+       footer's max-doc_id stats (metadata-only — no data pass), then
+       a tiny ``groupby(bucket).sum`` whose NB partial sums come to
+       the driver for an exclusive scan → per-bucket base offsets
+       (NB numbers, broadcast back in the closure);
+    3. one shuffle of the (doc_id, dl) pairs co-locates each bucket;
+       per-group sort + cumsum + base yields every doc's stream start,
+       and the span explode to (seq, doc) rows is pure numpy.
+
+    At 10^12 docs the shuffle moves ~16 TB of ids+lengths — the
+    theoretical minimum for an order-dependent layout — while the
+    corpus text never leaves the map side."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    max_id = 0
+    for rg in range(meta.num_row_groups):
+        col = meta.row_group(rg).column(0)  # doc_id is column 0
+        assert col.path_in_schema == "doc_id"
+        max_id = max(max_id, col.statistics.max)
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dl = np.fromiter(
+            (len(tokenize(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = dl > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "dl": pa.array(dl[keep]),
+                "bucket": pa.array((ids[keep] // width).astype(np.int32)),
+            }
+        )
+
+    dl_ds = ds.map_batches(doc_lens, batch_format="pyarrow")
+    sums = dl_ds.groupby("bucket").sum("dl").to_pandas()
+    sums = sums.sort_values("bucket")
+    base = np.zeros(n_buckets + 1, dtype=np.int64)
+    bucket_ids = sums["bucket"].to_numpy()
+    totals = sums["sum(dl)"].to_numpy(np.int64)
+    acc = 0
+    for b, t in zip(bucket_ids, totals):
+        base[b] = acc
+        acc += t
+
+    def explode_spans(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        dl = g["dl"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        b = int(g["bucket"].iloc[0])
+        start = base[b] + np.concatenate(([0], np.cumsum(dl[:-1])))
+        first_seq = start // seq_len
+        last_seq = (start + dl - 1) // seq_len
+        nspan = last_seq - first_seq + 1
+        doc_idx = np.repeat(np.arange(len(g)), nspan)
+        span_base = np.cumsum(nspan) - nspan
+        seq_id = first_seq[doc_idx] + (
+            np.arange(len(doc_idx)) - span_base[doc_idx]
+        )
+        seg_start = np.maximum(start[doc_idx], seq_id * seq_len)
+        seg_end = np.minimum(
+            start[doc_idx] + dl[doc_idx], (seq_id + 1) * seq_len
+        )
+        return pd.DataFrame(
+            {
+                "seq_id": seq_id,
+                "doc_id": ids[doc_idx],
+                "doc_off": seg_start - start[doc_idx],
+                "seq_off": seg_start - seq_id * seq_len,
+                "n_tokens": seg_end - seg_start,
+            }
+        )
+
+    return dl_ds.groupby("bucket").map_groups(explode_spans, batch_format="pandas")
 
 
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
