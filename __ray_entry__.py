@@ -255,6 +255,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_ngram_rate(ds, n=8)
 
+    def span_dedup_docs(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.dedup import span_dedup
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return span_dedup(ds, w=8, n_buckets=32)
+
     def decon(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -525,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
         "dup_ngram_rate": ngram_rate,
+        "span_dedup": span_dedup_docs,
         "decontaminate": decon,
         # dedup family
         "append_near_dedup": corpus.append_near_dedup,
@@ -785,6 +796,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_ngrams, n_dup,
                    round(n_dup::DOUBLE / n_ngrams, 6) AS dup_rate
             FROM d
+        """,
+        "span_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKLIST} AS toks FROM documents
+            ),
+            x AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, (CAST(len(toks) AS BIGINT) - 1) // 8 + 1))
+                           AS i
+                FROM t WHERE len(toks) > 0
+            ),
+            sp AS (
+                SELECT doc_id, i::BIGINT AS span_idx,
+                       array_to_string(
+                           toks[CAST(i*8+1 AS BIGINT):CAST((i+1)*8 AS BIGINT)],
+                           ' '
+                       ) AS span
+                FROM x
+            ),
+            m AS (
+                SELECT doc_id, span_idx, span,
+                       count(*) OVER (PARTITION BY span) AS cnt,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, span_idx) AS rn
+                FROM sp
+            ),
+            keep AS (
+                SELECT doc_id, span_idx, span FROM m WHERE cnt = 1 OR rn = 1
+            ),
+            stats AS (
+                SELECT doc_id,
+                       (CASE WHEN len(toks) = 0 THEN 0
+                             ELSE (CAST(len(toks) AS BIGINT) - 1) // 8 + 1
+                        END)::BIGINT AS n_spans
+                FROM t
+            ),
+            ka AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY span_idx) AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM keep GROUP BY doc_id
+            )
+            SELECT s.doc_id, coalesce(k.text, '') AS text, s.n_spans,
+                   (s.n_spans - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM stats s LEFT JOIN ka k USING (doc_id)
         """,
         "decontaminate": f"""
             WITH dt AS (

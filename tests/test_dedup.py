@@ -58,3 +58,92 @@ def test_simhash_near_pairs_exact_recall(ray_session):
     got_df = simhash_near_pairs(ds, max_hamming=6, n_bands=7)
     got = set(zip(got_df["a"].tolist(), got_df["b"].tolist()))
     assert got == want
+
+
+def _span_dedup_referee(docs, w):
+    """Brute-force span dedup: dict of span-string -> first (doc_id,
+    span_idx); rebuild each doc keeping winners only."""
+    from zensearch_ray.functions.text import tokenize
+
+    first = {}
+    counts = {}
+    spans_of = {}
+    for did, text in sorted(docs):
+        toks = tokenize(text)
+        spans = [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+        spans_of[did] = (toks, spans)
+        for idx, s in enumerate(spans):
+            counts[s] = counts.get(s, 0) + 1
+            first.setdefault(s, (did, idx))
+    out = {}
+    for did, (toks, spans) in spans_of.items():
+        kept = [
+            s
+            for idx, s in enumerate(spans)
+            if counts[s] == 1 or first[s] == (did, idx)
+        ]
+        nrm = len(spans) - len(kept)
+        out[did] = (" ".join(kept), len(spans), nrm)
+    return out
+
+
+def test_span_dedup_matches_referee_both_vias(ray_session):
+    import pyarrow as pa
+
+    from zensearch_ray.stages.dedup import span_dedup
+
+    w = 3
+    base = "aa bb cc dd ee ff"          # two full spans at w=3
+    docs = [
+        (0, base + " gg hh"),           # winner of both spans + tail
+        (1, base),                      # loses both spans -> empty text
+        (2, "dd ee ff xx yy zz aa bb cc"),  # loses span0 ('dd ee ff') and span2
+        (3, "aa bb cc aa bb cc"),       # within-doc repeat: 2nd loses
+        (4, ""),                        # empty doc
+        (5, "gg hh"),                   # short tail span, equals doc0's
+                                        # TAIL? no - doc0 tail is 'gg hh'
+                                        # (len 2) -> duplicate short span
+        (6, "unique words only here"),
+    ]
+    exp = _span_dedup_referee(docs, w)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([x for _, x in docs], type=pa.string()),
+        }
+    )
+    for via in ("broadcast", "shuffle"):
+        got = (
+            span_dedup(rd.from_arrow(t), w=w, n_buckets=4, via=via)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(got) == len(docs), via
+        for _, r in got.iterrows():
+            e_text, e_ns, e_nrm = exp[r["doc_id"]]
+            assert r["text"] == e_text, (via, r["doc_id"])
+            assert r["n_spans"] == e_ns, (via, r["doc_id"])
+            assert r["n_removed"] == e_nrm, (via, r["doc_id"])
+
+
+def test_span_dedup_no_duplicates_is_identity(ray_session):
+    import pyarrow as pa
+
+    from zensearch_ray.stages.dedup import span_dedup
+
+    docs = [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(20)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([x for _, x in docs], type=pa.string()),
+        }
+    )
+    got = (
+        span_dedup(rd.from_arrow(t), w=2, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (got["n_removed"] == 0).all()
+    assert list(got["text"]) == [x for _, x in docs]

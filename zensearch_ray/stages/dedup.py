@@ -374,3 +374,228 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
         )
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def _span_rows(batch: pa.Table, w: int, hasher) -> pa.Table:
+    """(h, doc_id, span_idx) for every non-overlapping ``w``-token span
+    in the batch — one vectorized pass over the batch-concatenated
+    token-hash stream (shared idiom with ``_window_hash_stream``). The
+    span hash is a positional polynomial over the span's token hashes
+    plus a length salt, so a short tail span never collides with a full
+    span's prefix. Docs with zero tokens emit nothing."""
+    from zensearch_ray.functions.text import tokenize
+
+    tok_arrays, doc_rep = [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        toks = tokenize(text)
+        if toks:
+            tok_arrays.append(hasher(toks))
+            doc_rep.append((did, len(toks)))
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "span_idx": pa.array([], type=pa.int64()),
+        }
+    )
+    if not tok_arrays:
+        return empty
+    th = np.concatenate(tok_arrays)
+    lens = np.array([l for _, l in doc_rep], dtype=np.int64)
+    dids = np.array([d for d, _ in doc_rep], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    span_pos = pos % w
+    cpow = np.empty(w, dtype=np.uint64)
+    cpow[0] = 1
+    with np.errstate(over="ignore"):
+        for j in range(1, w):
+            cpow[j] = cpow[j - 1] * _NGRAM_C
+        weighted = th * cpow[span_pos]
+        span_starts = np.flatnonzero(span_pos == 0)
+        acc = np.add.reduceat(weighted, span_starts)
+        span_len = np.diff(np.append(span_starts, len(pos))).astype(np.uint64)
+        h = acc * _NGRAM_C + span_len
+    n_spans = (lens + w - 1) // w
+    return pa.table(
+        {
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": pa.array(np.repeat(dids, n_spans)),
+            "span_idx": pa.array(pos[span_starts] // w),
+        }
+    )
+
+
+def _rebuild_doc(toks, loser_idxs, w: int):
+    """Drop the loser spans from one doc's token list; returns
+    (clean_text, n_spans, n_removed)."""
+    ns = (len(toks) + w - 1) // w
+    if len(loser_idxs) == 0:
+        return " ".join(toks), ns, 0
+    keep = ~np.isin(np.arange(len(toks)) // w, loser_idxs)
+    kept = [t for t, k in zip(toks, keep) if k]
+    return " ".join(kept), ns, int(len(loser_idxs))
+
+
+def span_dedup(ds, w: int = 8, n_buckets: int = 64, via: str = "broadcast"):
+    """C4/RefinedWeb-style duplicate-SPAN removal. Each doc's tokens
+    split into consecutive non-overlapping ``w``-token spans (short
+    tail kept); a span whose exact token sequence occurs more than once
+    in the corpus keeps ONLY its globally-first occurrence (min
+    ``(doc_id, span_idx)``) — every other occurrence is cut from its
+    doc. Output ``(doc_id, text, n_spans, n_removed)`` for every input
+    doc; ``text`` is the kept spans' tokens re-joined with single
+    spaces (possibly ``''``).
+
+    100-TB shape — the corpus text NEVER rides the duplicate-detection
+    exchange (C4's own implementation shuffles the full text twice):
+
+    1. map: (span_hash, doc_id, span_idx) rows, 24 B/span — the
+       vectorized polynomial hash above;
+    2. ONE bucket exchange on the span hash; inside a bucket each
+       duplicated hash's occurrences (global by construction) are
+       ordered and every non-winner emits a LOSER row (doc_id,
+       span_idx) — the duplicated sliver only;
+    3. join losers back to docs:
+       - ``via="broadcast"`` (default): the sliver is ``ray.put`` once
+         as two sorted arrays and a second streaming map pass rebuilds
+         each doc — zero text movement (the ``dedup_by_key`` winner-map
+         pattern; right while losers ≪ corpus, the common case);
+       - ``via="shuffle"``: docs and losers co-bucket on
+         ``doc_id % n_buckets`` — text moves through exactly ONE
+         exchange, unbounded loser sets; pick this when the measured
+         dup rate makes the sliver too big to broadcast.
+
+    Hash note: 64-bit span-hash collisions would merge two distinct
+    spans; expected collisions ~0 at realistic span counts (same
+    stance as ``dup_ngram_rate``). Cost note: the rebuild re-tokenizes
+    (two tokenize passes total) — carrying tokens instead would move
+    the full text.
+    """
+    import ray
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.stages.minhash import _TokenHasher
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hasher = _HASHERS.setdefault("h", _TokenHasher())
+        return _span_rows(batch, w, hasher)
+
+    spans = ds.map_batches(partials, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def bucket_losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id", "span_idx"])
+        dup = g.groupby("h")["h"].transform("size") > 1
+        first = ~g["h"].duplicated(keep="first")
+        losers = g[dup & ~first]
+        return losers[["doc_id", "span_idx"]]
+
+    losers = (
+        spans.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_losers, batch_format="pandas")
+    )
+
+    if via == "broadcast":
+        # the duplicated sliver comes to the driver ONCE, sorted, and is
+        # broadcast via the object store (zero-copy reads per actor)
+        ldf = losers.to_pandas()
+        if len(ldf):
+            ldf = ldf.sort_values(["doc_id", "span_idx"])
+            ld = np.ascontiguousarray(ldf["doc_id"].to_numpy(np.int64))
+            li = np.ascontiguousarray(ldf["span_idx"].to_numpy(np.int64))
+        else:
+            ld = np.empty(0, dtype=np.int64)
+            li = np.empty(0, dtype=np.int64)
+        loser_ref = ray.put((ld, li))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            ld, li = ray.get(loser_ref)
+            texts, nsp, nrm = [], [], []
+            dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            for did, text in zip(dids, batch["text"].to_pylist()):
+                toks = tokenize(text)
+                lo = np.searchsorted(ld, did, "left")
+                hi = np.searchsorted(ld, did, "right")
+                t, ns, nr = _rebuild_doc(toks, li[lo:hi], w)
+                texts.append(t)
+                nsp.append(ns)
+                nrm.append(nr)
+            return pa.table(
+                {
+                    "doc_id": pa.array(dids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "n_spans": pa.array(nsp, type=pa.int64()),
+                    "n_removed": pa.array(nrm, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    if via != "shuffle":
+        raise ValueError(f"unknown via={via!r} (broadcast|shuffle)")
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "span_idx": pa.array(
+                    np.full(len(dids), -1, dtype=np.int64)
+                ),
+                "text": batch["text"].cast(pa.string()),
+                "__bucket": pa.array(
+                    (dids % n_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def loser_side(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "span_idx": batch["span_idx"].cast(pa.int64()),
+                "text": pa.nulls(len(dids), type=pa.string()),
+                "__bucket": pa.array(
+                    (dids % n_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        losers.map_batches(loser_side, batch_format="pyarrow")
+    )
+
+    def rebuild_group(group: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = group[group["span_idx"] < 0]
+        loser_rows = group[group["span_idx"] >= 0]
+        by_doc = {
+            did: sub["span_idx"].to_numpy(np.int64)
+            for did, sub in loser_rows.groupby("doc_id")
+        }
+        out = {"doc_id": [], "text": [], "n_spans": [], "n_removed": []}
+        empty = np.empty(0, dtype=np.int64)
+        for did, text in zip(doc_rows["doc_id"], doc_rows["text"]):
+            t, ns, nr = _rebuild_doc(
+                tokenize(text), by_doc.get(did, empty), w
+            )
+            out["doc_id"].append(did)
+            out["text"].append(t)
+            out["n_spans"].append(ns)
+            out["n_removed"].append(nr)
+        return pd.DataFrame(out).astype(
+            {"doc_id": np.int64, "n_spans": np.int64, "n_removed": np.int64}
+        )
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(rebuild_group, batch_format="pandas")
+    )
