@@ -31,6 +31,9 @@ _TOKS = (
 )
 _TOKLIST = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QLIST_SQL = "[" + ",".join(str(q) for q in QUANTILE_QS) + "]"
+
 BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 PHRASE_QUERY = "hash join"
@@ -264,6 +267,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return span_dedup(ds, w=8, n_buckets=32)
+
+    def price_quantiles(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.quantiles import exact_quantiles
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        )
+        return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS)
+
+    def price_quantiles_by_flag(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.quantiles import exact_quantiles
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice"],
+        )
+        return exact_quantiles(
+            ds, "l_extendedprice", QUANTILE_QS, by="l_returnflag"
+        )
 
     def decon(sf_dir: str):
         import pyarrow.parquet as pq
@@ -537,6 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_rate": ngram_rate,
         "span_dedup": span_dedup_docs,
         "decontaminate": decon,
+        # exact distributed quantiles (no-sort selection)
+        "price_quantiles": price_quantiles,
+        "price_quantiles_by_flag": price_quantiles_by_flag,
+        "quality_percentile_filter": corpus.quality_percentile_filter,
         # dedup family
         "append_near_dedup": corpus.append_near_dedup,
         "exact_dedup": corpus.exact_dedup,
@@ -841,6 +871,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, coalesce(k.text, '') AS text, s.n_spans,
                    (s.n_spans - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM stats s LEFT JOIN ka k USING (doc_id)
+        """,
+        "price_quantiles": f"""
+            SELECT unnest({_QLIST_SQL}) AS q,
+                   unnest(quantile_disc(l_extendedprice, {_QLIST_SQL})) AS value
+            FROM lineitem
+        """,
+        "price_quantiles_by_flag": f"""
+            SELECT l_returnflag,
+                   unnest({_QLIST_SQL}) AS q,
+                   unnest(quantile_disc(l_extendedprice, {_QLIST_SQL})) AS value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "quality_percentile_filter": f"""
+            WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents),
+            s AS (
+                SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       round(len(list_filter(toks, x ->
+                                 list_contains({_STOPLIST_SQL}, x)))::DOUBLE
+                             / len(toks), 6) AS stop_ratio
+                FROM t
+            ),
+            thr AS (SELECT quantile_disc(stop_ratio, 0.75) AS v FROM s)
+            SELECT doc_id, n_tokens, stop_ratio FROM s, thr
+            WHERE stop_ratio <= v
         """,
         "decontaminate": f"""
             WITH dt AS (

@@ -1,0 +1,92 @@
+"""exact_quantiles: percentile_disc identity vs a numpy referee across
+shapes the bracket/sliver machinery must survive — heavy duplicate
+skew (ranks landing inside a pivot's mass), forced refinement rounds
+(max_sliver smaller than the data), grouped input, nulls, q edges."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zensearch_ray.stages.quantiles import exact_quantiles
+
+
+def _disc(sorted_vals: np.ndarray, q: float) -> float:
+    return float(sorted_vals[max(math.ceil(q * len(sorted_vals)), 1) - 1])
+
+
+QS = [0.0, 0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+
+def _check(ds, vals, qs=QS, **kw):
+    got = exact_quantiles(ds, "x", qs, **kw)
+    ref = np.sort(vals)
+    want = [_disc(ref, q) for q in qs]
+    assert list(got["q"]) == [float(q) for q in qs]
+    assert list(got["value"]) == want
+
+
+def test_uniform_and_edges(ray_session):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=20_000)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+    _check(ds, vals)
+
+
+def test_heavy_duplicates_resolve_on_pivot(ray_session):
+    # 95% of mass is one value: the median/p90 ranks land inside the
+    # duplicated pivot's mass and must resolve with NO sliver fetch
+    vals = np.concatenate([np.full(19_000, 3.25), np.arange(1_000) * 1.0])
+    rng = np.random.default_rng(0)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+    _check(ds, vals, pivot_target=32)
+
+
+def test_forced_refinement_rounds(ray_session):
+    # pivot_target=4 and max_sliver=50 over 20k distinct values: the
+    # first bracket pass cannot isolate any rank, so the interval
+    # refinement loop must converge
+    vals = np.random.default_rng(3).permutation(20_000).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+    _check(ds, vals, pivot_target=4, max_sliver=50)
+
+
+def test_grouped_matches_referee(ray_session):
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c"], size=9_000)
+    vals = rng.exponential(size=9_000) + (g == "b") * 10.0
+    ds = rd.from_arrow(pa.table({"g": g, "x": vals})).repartition(6)
+    got = exact_quantiles(ds, "x", QS, by="g")
+    for grp in ["a", "b", "c"]:
+        ref = np.sort(vals[g == grp])
+        sub = got[got["g"] == grp]
+        assert list(sub["value"]) == [_disc(ref, q) for q in QS], grp
+
+
+def test_nulls_dropped(ray_session):
+    vals = np.arange(100, dtype=np.float64)
+    col = pa.array(
+        [v if i % 3 else None for i, v in enumerate(vals)], pa.float64()
+    )
+    ds = rd.from_arrow(pa.table({"x": col}))
+    kept = vals[np.arange(100) % 3 != 0]
+    got = exact_quantiles(ds, "x", [0.5])
+    assert got["value"].iloc[0] == _disc(np.sort(kept), 0.5)
+
+
+def test_empty_input(ray_session):
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    got = exact_quantiles(ds, "x", [0.5])
+    assert len(got) == 0
+
+
+def test_single_row(ray_session):
+    ds = rd.from_arrow(pa.table({"x": pa.array([5.0])}))
+    got = exact_quantiles(ds, "x", QS)
+    assert set(got["value"]) == {5.0}

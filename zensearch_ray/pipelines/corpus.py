@@ -163,6 +163,45 @@ def docs_prepared(sf_dir: str):
     return en.map_batches(qual, batch_format="pyarrow")
 
 
+QUALITY_PCT = 0.75
+
+
+def quality_percentile_filter(sf_dir: str, q: float = QUALITY_PCT):
+    """FineWeb-style percentile thresholding: keep every document whose
+    quality score is <= the corpus's EXACT q-th percentile of that
+    score (percentile_disc semantics) — the cut adapts to the corpus
+    instead of a hand-picked constant. Score here is ``stop_ratio``
+    (already round6-pinned), so the oracle reproduces both the score
+    and the threshold bit-for-bit.
+
+    Scale shape: one scoring pass materializes only the 24 B/doc
+    (doc_id, n_tokens, stop_ratio) projection (spillable; at extreme
+    corpus sizes write it to parquet instead); the threshold comes from
+    ``exact_quantiles`` (sample + bracket-count passes, no sort); the
+    filter is one broadcast-scalar map over the scored projection. The
+    text is read exactly once."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from zensearch_ray.stages.quantiles import exact_quantiles
+    from zensearch_ray.stages.textstats import token_quality_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scores = ds.map_batches(
+        lambda b: token_quality_batch(b).select(
+            ["doc_id", "n_tokens", "stop_ratio"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    thr = float(exact_quantiles(scores, "stop_ratio", [q])["value"].iloc[0])
+    return scores.map_batches(
+        lambda b: b.filter(pc.less_equal(b["stop_ratio"], thr)),
+        batch_format="pyarrow",
+    )
+
+
 CHUNK_TOKENS = 50
 
 

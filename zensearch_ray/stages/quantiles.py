@@ -1,0 +1,344 @@
+"""Exact distributed quantiles without sorting the dataset.
+
+The naive exact plan (`ds.sort(col)` then index by row position) moves
+the ENTIRE column through an all-to-all exchange — at 100 TB the sort
+IS the job. This operator computes percentile_disc-exact quantiles with
+four cheap streaming passes whose exchanges are all vocabulary-sized:
+
+  1. count     — rows per group (map-side-combined groupby sum);
+  2. sample    — deterministic hash-sample of values (rate chosen from
+                 pass 1 so ~``pivot_target`` candidates per group reach
+                 the driver), merged into sorted pivot arrays;
+  3. bracket   — per batch, ``np.searchsorted`` of the column against
+                 the broadcast pivots gives #(< pivot) and #(<= pivot)
+                 histograms; a tiny keyed sum merges them;
+  4. sliver    — a target rank falling INSIDE a pivot's own mass
+                 (LT[i] <= r < LE[i]) resolves exactly to that pivot
+                 with no data movement — this also absorbs arbitrarily
+                 heavy duplicate skew; only ranks strictly between
+                 pivots fetch the (pivot_i, pivot_{i+1}) open-interval
+                 sliver, whose size is known from pass 3 BEFORE
+                 fetching. If the bound exceeds ``max_sliver`` the
+                 pivots are refined inside the offending intervals
+                 (restricted re-sample at a boosted rate) and pass 3
+                 repeats — each round shrinks intervals by ~the
+                 oversample factor, so convergence is geometric.
+
+Selection semantics are SQL ``percentile_disc`` / DuckDB
+``quantile_disc``: 0-based rank ``max(ceil(q*N), 1) - 1`` over the
+null-dropped, ascending column — the result is always an actual data
+value, so oracle comparison is exact float equality, no rounding.
+
+Determinism: sampling hashes the VALUE BITS (splitmix64), so reruns and
+partitionings produce identical pivots; ties inside a sliver are between
+equal values and cannot affect a disc quantile.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from zensearch_ray.stages.sketch import _splitmix64
+
+_NOGROUP = "__all"
+
+
+def _rank_of(q: float, n: int) -> int:
+    """0-based percentile_disc rank of quantile ``q`` among ``n`` rows."""
+    return max(math.ceil(q * n), 1) - 1
+
+
+def _hash_rate_mask(vals: np.ndarray, rate: float) -> np.ndarray:
+    """Deterministic Bernoulli(rate) over value bits (rerun-stable)."""
+    if rate >= 1.0:
+        return np.ones(len(vals), dtype=bool)
+    bits = _splitmix64(vals.astype(np.float64).view(np.uint64))
+    return bits < np.uint64(int(rate * 2**64))
+
+
+def _resolve(pivots, lt, le, ranks, n):
+    """Resolve each target rank against pivot cumulative counts.
+
+    Returns (values, intervals): ``values[j]`` is the answer when rank j
+    landed on a pivot's mass, else None and ``intervals[j]`` is the open
+    interval ``(lo, hi, offset, width)`` the rank falls in — ``offset``
+    is the rank's position within the interval's ascending values and
+    ``width`` its known row count (the pre-fetch size bound).
+    """
+    values: list[float | None] = []
+    intervals: list[tuple[float, float, int, int] | None] = []
+    for r in ranks:
+        i = int(np.searchsorted(lt, r, side="right")) - 1
+        if i >= 0 and r < le[i]:
+            values.append(float(pivots[i]))
+            intervals.append(None)
+            continue
+        lo = float(pivots[i]) if i >= 0 else -np.inf
+        hi = float(pivots[i + 1]) if i + 1 < len(pivots) else np.inf
+        base = int(le[i]) if i >= 0 else 0
+        upper = int(lt[i + 1]) if i + 1 < len(pivots) else n
+        values.append(None)
+        intervals.append((lo, hi, r - base, upper - base))
+    return values, intervals
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs,
+    by: str | None = None,
+    pivot_target: int = 4096,
+    max_sliver: int = 2_000_000,
+    max_rounds: int = 6,
+):
+    """percentile_disc-exact quantiles of ``ds[col]`` (optionally per
+    ``by`` group) as a pandas frame ``(by?, q, value)`` sorted by
+    (group, q). Nulls are dropped (SQL aggregate semantics). Empty
+    input (or an all-null group) yields no rows for it.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    qs = [float(q) for q in qs]
+    cols = [col] if by is None else [by, col]
+    src = ds.select_columns(cols)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return batch.drop_null()
+
+    src = src.map_batches(clean, batch_format="pyarrow")
+
+    # -- pass 1: rows per group -------------------------------------
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if by is None:
+            return pa.table({"g": pa.array([_NOGROUP]),
+                             "n": pa.array([batch.num_rows], pa.int64())})
+        d = batch.group_by(by).aggregate([(col, "count")])
+        return pa.table({"g": d[by].cast(pa.string()),
+                         "n": d[f"{col}_count"].cast(pa.int64())})
+
+    counts = (
+        src.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("g").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    if len(counts) == 0:  # empty .to_pandas() loses columns
+        counts = pd.DataFrame({"g": [], "n": []})
+    counts = counts[counts["n"] > 0]
+    n_of = dict(zip(counts["g"], counts["n"].astype(np.int64)))
+    if not n_of:
+        out = pd.DataFrame({"q": [], "value": []})
+        if by is not None:
+            out.insert(0, by, [])
+        return out
+
+    ranks_of = {g: [_rank_of(q, n) for q in qs] for g, n in n_of.items()}
+
+    def groups_of(batch: pa.Table):
+        """(group_key, float64 values) slices of one batch."""
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if by is None:
+            yield _NOGROUP, vals
+            return
+        # group keys coerce to str (matches the pass-1 string cast)
+        keys = [str(k) for k in batch[by].to_pylist()]
+        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+        svals = vals[order]
+        skeys = [keys[i] for i in order]
+        start = 0
+        for i in range(1, len(skeys) + 1):
+            if i == len(skeys) or skeys[i] != skeys[start]:
+                yield skeys[start], svals[start:i]
+                start = i
+
+    # -- pass 2: hash-sampled pivot candidates ----------------------
+    def sample_pass(rate_of_ref, windows_ref):
+        """windows_ref: optional {g: (lo[], hi[])} open intervals to
+        restrict the sample to (refinement rounds)."""
+        def partial(batch: pa.Table) -> pa.Table:
+            rate_of = ray.get(rate_of_ref)
+            windows = ray.get(windows_ref)
+            gs, vs = [], []
+            for g, vals in groups_of(batch):
+                if g not in rate_of:
+                    continue
+                if windows is not None:
+                    lo, hi = windows[g]
+                    idx = np.searchsorted(lo, vals, side="right") - 1
+                    ok = idx >= 0
+                    ok[ok] &= vals[ok] < hi[idx[ok]]
+                    vals = vals[ok]
+                sel = vals[_hash_rate_mask(vals, rate_of[g])]
+                if len(sel):
+                    gs.extend([g] * len(sel))
+                    vs.append(sel)
+            if not vs:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.float64())})
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "v": pa.array(np.concatenate(vs))})
+
+        samp = src.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out: dict[str, np.ndarray] = {}
+        if len(samp) == 0:
+            return out
+        for g, sub in samp.groupby("g"):
+            out[g] = np.unique(sub["v"].to_numpy())
+        return out
+
+    rate_of = {g: min(1.0, pivot_target / max(int(n), 1)) for g, n in n_of.items()}
+    pivots = sample_pass(ray.put(rate_of), ray.put(None))
+    for g in n_of:
+        pivots.setdefault(g, np.array([], dtype=np.float64))
+
+    results: dict[str, list[float | None]] = {g: [None] * len(qs) for g in n_of}
+
+    for _round in range(max_rounds + 1):
+        # -- pass 3: bracket counts vs broadcast pivots --------------
+        piv_ref = ray.put(pivots)
+        n_piv = {g: len(p) for g, p in pivots.items()}
+        base = {}
+        acc = 0
+        for g in sorted(n_piv):
+            base[g] = acc
+            acc += n_piv[g]
+
+        def bracket_partial(batch: pa.Table) -> pa.Table:
+            """Additive bucket counts per pivot. With sorted pivots p,
+            ``searchsorted(p, v, 'right') == b`` means exactly b pivots
+            are <= v, so #(v < p[i]) = sum of buckets 0..i; the 'left'
+            variant gives #(v <= p[i]) the same way. Buckets are
+            additive across batches — cumsum happens after the sum."""
+            pv = ray.get(piv_ref)
+            ks, ltb, leb = [], [], []
+            for g, vals in groups_of(batch):
+                p = pv.get(g)
+                if p is None or not len(p):
+                    continue
+                m = len(p)
+                br = np.bincount(
+                    np.searchsorted(p, vals, side="right"), minlength=m + 1
+                )[:m]
+                bl = np.bincount(
+                    np.searchsorted(p, vals, side="left"), minlength=m + 1
+                )[:m]
+                ks.append(base[g] + np.arange(m, dtype=np.int64))
+                ltb.append(br)
+                leb.append(bl)
+            if not ks:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "lt": pa.array([], pa.int64()),
+                                 "le": pa.array([], pa.int64())})
+            return pa.table({
+                "k": pa.array(np.concatenate(ks)),
+                "lt": pa.array(np.concatenate(ltb).astype(np.int64)),
+                "le": pa.array(np.concatenate(leb).astype(np.int64)),
+            })
+
+        agg = (
+            src.map_batches(bracket_partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("lt", alias_name="lt"), Sum("le", alias_name="le"))
+            .to_pandas()
+        )
+        if len(agg) == 0:  # every group sampled zero pivots
+            agg = pd.DataFrame({"k": [], "lt": [], "le": []})
+        agg = agg.sort_values("k")
+        kk = agg["k"].to_numpy(np.int64)
+        need_refine: dict[str, tuple[list, list]] = {}
+        fetch: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        plan: dict[str, list[tuple[int, tuple]]] = {}
+        for g in sorted(n_of):
+            m = n_piv[g]
+            sel = (kk >= base[g]) & (kk < base[g] + m)
+            lt_b = np.zeros(m, dtype=np.int64)
+            le_b = np.zeros(m, dtype=np.int64)
+            lt_b[kk[sel] - base[g]] = agg["lt"].to_numpy(np.int64)[sel]
+            le_b[kk[sel] - base[g]] = agg["le"].to_numpy(np.int64)[sel]
+            LT = np.cumsum(lt_b)  # LT[i] = #(x < pivots[i])
+            LE = np.cumsum(le_b)  # LE[i] = #(x <= pivots[i])
+            vals, ivals = _resolve(pivots[g], LT, LE, ranks_of[g], int(n_of[g]))
+            todo = []
+            for j, (v, iv) in enumerate(zip(vals, ivals)):
+                if results[g][j] is not None:
+                    continue
+                if v is not None:
+                    results[g][j] = v
+                else:
+                    todo.append((j, iv))
+            if not todo:
+                continue
+            total = sum(iv[3] for _, iv in todo)
+            if total <= max_sliver or _round == max_rounds:
+                los = np.array(sorted({iv[0] for _, iv in todo}))
+                his = np.array([
+                    min(iv[1] for _, iv in todo if iv[0] == lo) for lo in los
+                ])
+                fetch[g] = (los, his)
+                plan[g] = todo
+            else:
+                los = sorted({iv[0] for _, iv in todo})
+                his = [min(iv[1] for _, iv in todo if iv[0] == lo) for lo in los]
+                need_refine[g] = (los, his)
+                # boost rate so ~pivot_target new pivots land inside
+                rate_of[g] = min(1.0, pivot_target / max(total, 1))
+                plan[g] = todo
+
+        if fetch:
+            fref = ray.put(fetch)
+
+            def sliver_partial(batch: pa.Table) -> pa.Table:
+                fw = ray.get(fref)
+                gs, vs = [], []
+                for g, vals in groups_of(batch):
+                    w = fw.get(g)
+                    if w is None:
+                        continue
+                    lo, hi = w
+                    idx = np.searchsorted(lo, vals, side="right") - 1
+                    ok = idx >= 0
+                    ok[ok] &= vals[ok] < hi[idx[ok]]
+                    ok[ok] &= vals[ok] > lo[idx[ok]]
+                    sel = vals[ok]
+                    if len(sel):
+                        gs.extend([g] * len(sel))
+                        vs.append(sel)
+                if not vs:
+                    return pa.table({"g": pa.array([], pa.string()),
+                                     "v": pa.array([], pa.float64())})
+                return pa.table({"g": pa.array(gs, pa.string()),
+                                 "v": pa.array(np.concatenate(vs))})
+
+            sl = src.map_batches(sliver_partial, batch_format="pyarrow").to_pandas()
+            for g, todo in plan.items():
+                if g not in fetch:
+                    continue
+                gv = np.sort(sl[sl["g"] == g]["v"].to_numpy()) if len(sl) else np.array([])
+                for j, (lo, hi, off, _w) in todo:
+                    seg = gv[(gv > lo) & (gv < hi)]
+                    results[g][j] = float(seg[off])
+
+        if not need_refine:
+            break
+        extra = sample_pass(
+            ray.put({g: rate_of[g] for g in need_refine}),
+            ray.put({g: (np.array(lo), np.array(hi))
+                     for g, (lo, hi) in need_refine.items()}),
+        )
+        for g, newp in extra.items():
+            pivots[g] = np.unique(np.concatenate([pivots[g], newp]))
+
+    rows = []
+    for g in sorted(n_of):
+        for q, v in zip(qs, results[g]):
+            rows.append((g, q, v))
+    out = pd.DataFrame(rows, columns=["g", "q", "value"])
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.float64)
+    if by is None:
+        return out[["q", "value"]].reset_index(drop=True)
+    return out.rename(columns={"g": by}).reset_index(drop=True)
