@@ -268,6 +268,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return span_dedup(ds, w=8, n_buckets=32)
 
+    def bpe_merges(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.bpe import bpe_train
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return bpe_train(ds, n_merges=40)
+
+    def bpe_pieces(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.bpe import bpe_encode_counts, bpe_train
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        m = bpe_train(ds, n_merges=40)
+        merges = list(zip(m["left"], m["right"]))
+        return bpe_encode_counts(ds, merges)
+
     def price_quantiles(sf_dir: str):
         import ray.data as rd
 
@@ -580,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": corpus.pack_sequences,
         "lang_balanced_sample": corpus.lang_balanced_sample,
         "bpe_token_counts": corpus.bpe_token_counts,
+        "bpe_merges": bpe_merges,
+        "bpe_pieces": bpe_pieces,
         "token_quality": token_quality,
         "gopher_filter": gopher_filter,
         "doc_fingerprint": fingerprint,
