@@ -288,16 +288,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = list(zip(m["left"], m["right"]))
         return bpe_encode_counts(ds, merges)
 
-    def price_quantiles(sf_dir: str):
-        import ray.data as rd
-
-        from zensearch_ray.stages.quantiles import exact_quantiles
-
-        ds = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
-        )
-        return exact_quantiles(ds, "l_extendedprice", QUANTILE_QS)
-
     def price_quantiles_by_flag(sf_dir: str):
         import ray.data as rd
 
@@ -583,8 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_rate": ngram_rate,
         "span_dedup": span_dedup_docs,
         "decontaminate": decon,
-        # exact distributed quantiles (no-sort selection)
-        "price_quantiles": price_quantiles,
+        # exact distributed quantiles (no-sort selection; scalar form
+        # is the pre-existing lineitem_quantiles entry)
         "price_quantiles_by_flag": price_quantiles_by_flag,
         "quality_percentile_filter": corpus.quality_percentile_filter,
         # dedup family
@@ -893,11 +883,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, coalesce(k.text, '') AS text, s.n_spans,
                    (s.n_spans - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM stats s LEFT JOIN ka k USING (doc_id)
-        """,
-        "price_quantiles": f"""
-            SELECT unnest({_QLIST_SQL}) AS q,
-                   unnest(quantile_disc(l_extendedprice, {_QLIST_SQL})) AS value
-            FROM lineitem
         """,
         "price_quantiles_by_flag": f"""
             SELECT l_returnflag,

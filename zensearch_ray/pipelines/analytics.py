@@ -249,76 +249,20 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
     sample_per_block: int = 256,
 ):
-    """EXACT distributed quantiles by two-scan bracketed selection —
-    never sorts or materializes the column globally.
+    """EXACT distributed quantiles — thin wrapper over the canonical
+    implementation in ``zensearch_ray.stages.quantiles`` (r2s12), which
+    superseded this module's original two-scan bracketed selection:
+    same disc rank convention and (q, value) output, plus grouped
+    quantiles, exact resolution of ranks inside a duplicated value's
+    mass (skew immunity), and a pre-bounded sliver fetch instead of an
+    unbounded margin-widening rescan. ``sample_per_block`` maps onto
+    the pivot budget for signature compatibility."""
+    from zensearch_ray.stages.quantiles import exact_quantiles as _eq
 
-    Scan A streams per-block partials: row count + a stride sample
-    (≤ ``sample_per_block`` values/block). The sample brackets each
-    target rank with a safety margin; scan B counts rows strictly below
-    each bracket and collects only in-bracket values (a small slice of
-    the data), from which the exact k-th order statistic is read off.
-    If a bracket misses (sample skew), the margin widens ×4 and scan B
-    reruns — guaranteed to terminate at the full-range bracket.
-
-    Rank convention matches DuckDB ``quantile_disc``: 0-based index
-    ``max(ceil(q·n) - 1, 0)`` into the ascending sort.
-    Returns a pandas DataFrame (q, value), output-sized.
-    """
-
-    def part_a(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False)
-        step = max(1, math.ceil(len(v) / sample_per_block))
-        return pa.table(
-            {"n": pa.array([len(v)], type=pa.int64()),
-             "sample": pa.array([v[::step].astype(np.float64)])}
-        )
-
-    parts = ds.map_batches(part_a, batch_format="pyarrow").to_pandas()
-    n = int(parts["n"].sum())
-    if n == 0:
+    out = _eq(ds, col, list(qs), pivot_target=max(8, int(sample_per_block) * 16))
+    if len(out) == 0:
         return pd.DataFrame({"q": list(qs), "value": [np.nan] * len(qs)})
-    sample = np.sort(np.concatenate([np.asarray(s) for s in parts["sample"]]))
-    m = len(sample)
-    ks = np.array([max(math.ceil(q * n) - 1, 0) for q in qs], dtype=np.int64)
-
-    margin = max(8, int(4 * math.sqrt(m)))
-    while True:
-        pos = (ks * m) // max(n, 1)
-        lo_i = np.maximum(pos - margin, 0)
-        hi_i = np.minimum(pos + margin, m - 1)
-        lo = sample[lo_i].copy()
-        hi = sample[hi_i].copy()
-        if margin >= m:  # full-range bracket — cannot miss
-            lo[:] = -np.inf
-            hi[:] = np.inf
-        def part_b(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            below = np.array([(v < l).sum() for l in lo], dtype=np.int64)
-            inbr = [v[(v >= l) & (v <= h)] for l, h in zip(lo, hi)]
-            return pa.table(
-                {
-                    "qi": pa.array(np.arange(len(lo), dtype=np.int64)),
-                    "below": pa.array(below),
-                    "inbr": pa.array(list(inbr), type=pa.list_(pa.float64())),
-                }
-            )
-
-        agg = ds.map_batches(part_b, batch_format="pyarrow").to_pandas()
-        values, ok = [], True
-        for qi, k in enumerate(ks):
-            rows = agg[agg["qi"] == qi]
-            n_below = int(rows["below"].sum())
-            inbr = np.sort(np.concatenate([np.asarray(x) for x in rows["inbr"]])) \
-                if len(rows) else np.empty(0)
-            idx = int(k) - n_below
-            if 0 <= idx < len(inbr):
-                values.append(float(inbr[idx]))
-            else:
-                ok = False
-                break
-        if ok:
-            return pd.DataFrame({"q": list(qs), "value": values})
-        margin *= 4
+    return out
 
 
 def lineitem_quantiles(sf_dir: str):
