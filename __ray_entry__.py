@@ -615,7 +615,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
         "events_hourly": relational.events_hourly,
+        "pricing_rollup": relational.pricing_rollup,
+        "customer_order_histogram": relational.customer_order_histogram,
         # windowed / ordered custom operators (pipelines/windows.py)
+        "events_hopping": windows.events_hopping,
+        "events_value_ranks": windows.events_value_ranks,
         "events_sessionize": windows.events_sessionize,
         "events_asof_orders": windows.events_asof_orders,
         "top_event_per_user": windows.top_event_per_user,
@@ -1195,6 +1199,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customer_order_histogram": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ),
+            x AS (
+                SELECT (ts_s // 900 - unnest(range(0, 4))) * 900
+                           AS window_start,
+                       cents
+                FROM e
+            )
+            SELECT window_start::BIGINT AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(cents)::BIGINT AS sum_value_cents
+            FROM x GROUP BY window_start
+        """,
+        "events_value_ranks": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn,
+                   rank() OVER (PARTITION BY user_id
+                                ORDER BY value DESC) AS rnk,
+                   dense_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC) AS drnk
+            FROM events
         """,
         "events_hourly": """
             SELECT user_id,

@@ -55,3 +55,10 @@ def test_top_event_per_user(ray_session, con):
 
 def test_props_agg(ray_session, con):
     _compare(windows.events_props_agg(SF), con, "events_props_agg")
+
+
+def test_events_hopping_requires_divisible_hop(ray_session):
+    from zensearch_ray.pipelines.windows import events_hopping
+
+    with pytest.raises(ValueError):
+        events_hopping("/root/testdata/sf0.001", window_sec=3600, hop_sec=700)

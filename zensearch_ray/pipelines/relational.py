@@ -517,3 +517,73 @@ def large_volume_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
     )
+
+
+def pricing_rollup(sf_dir: str):
+    """ROLLUP over the Q1 pricing aggregate: (flag, status) detail rows
+    plus per-flag subtotals plus a grand total, NULL-marked like SQL
+    ``GROUP BY ROLLUP``.
+
+    Scale shape: the corpus is aggregated ONCE at the finest grain (the
+    existing map-side-partial + tiny keyed groupby); every coarser
+    level is re-aggregated from that group-cardinality table on the
+    driver — rollup costs zero extra passes and zero extra exchange."""
+    fine = lineitem_pricing(sf_dir)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "n_rows"]
+    ]
+    metrics = ["sum_qty", "revenue_cents", "n_rows"]
+    lvl1 = fine.groupby("l_returnflag", as_index=False)[metrics].sum()
+    lvl1.insert(1, "l_linestatus", None)
+    lvl0 = fine[metrics].sum().to_frame().T
+    lvl0.insert(0, "l_returnflag", None)
+    lvl0.insert(1, "l_linestatus", None)
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    return out.astype({m: np.int64 for m in metrics})
+
+
+def customer_order_histogram(sf_dir: str):
+    """TPC-H Q13-shaped count-of-counts: how many customers placed
+    exactly k orders, INCLUDING the zero-order customers.
+
+    Scale shape: orders aggregate to per-customer counts (map-side
+    partials, one keyed exchange); the histogram re-aggregates that
+    customer-cardinality table with ``np.bincount`` partials into a
+    count-cardinality table (tiny). The zero bucket needs NO join at
+    all — it is |customer| minus the number of distinct ordering
+    customers, both already known (parquet metadata + the histogram's
+    own mass)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def per_cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(n=1)
+        return b.groupby("o_custkey", as_index=False)["n"].sum()
+
+    per_cust = (
+        orders.map_batches(per_cust_partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c_count"].to_numpy(np.int64)
+        bc = np.bincount(c)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"c_count": nz.astype(np.int64),
+                             "custdist": bc[nz].astype(np.int64)})
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_customers = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_zero = n_customers - int(hist["custdist"].sum())
+    if n_zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    return hist.astype({"c_count": np.int64, "custdist": np.int64})

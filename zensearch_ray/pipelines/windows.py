@@ -227,3 +227,71 @@ def events_props_agg(sf_dir: str):
             Sum("k", alias_name="sum_k"),
         )
     )
+
+
+def events_hopping(sf_dir: str, window_sec: int = 3600, hop_sec: int = 900):
+    """Hopping (sliding) window aggregate: count and value-cents sum
+    per [window_start, window_start + window_sec) window sliding every
+    ``hop_sec``. Each event lands in exactly ``window_sec // hop_sec``
+    windows — a map-only explode with PER-BATCH pre-aggregation, so the
+    keyed exchange carries window-cardinality rows, not event×k rows.
+    ``window_sec`` must be a multiple of ``hop_sec``."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    k = window_sec // hop_sec
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_s = _epoch_seconds(batch["ts"])
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        base = ts_s // hop_sec
+        ws = ((np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64),
+                                            len(base))) * hop_sec)
+        b = pd.DataFrame({
+            "window_start": ws,
+            "n_events": 1,
+            "sum_value_cents": np.repeat(cents, k),
+        })
+        return b.groupby("window_start", as_index=False).sum()
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("window_start")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def events_value_ranks(sf_dir: str):
+    """Per-user ranking window functions over event value: row_number
+    (value DESC, event_id tiebreak), rank and dense_rank (value DESC,
+    ties share). Bucket-by-user-hash co-group + vectorized pandas rank
+    kernels per bucket — the one exchange is the bucket groupby, no
+    global sort."""
+    import ray.data as rd
+
+    def ranks(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        by = g.groupby("user_id", sort=False)
+        g = g.assign(
+            rn=(by.cumcount() + 1).astype(np.int64),
+            rnk=by["value"].rank(method="min", ascending=False).astype(np.int64),
+            drnk=by["value"].rank(method="dense", ascending=False).astype(np.int64),
+        )
+        return g[["user_id", "event_id", "rn", "rnk", "drnk"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(ranks, batch_format="pandas")
+    )
