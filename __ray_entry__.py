@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "pricing_rollup": relational.pricing_rollup,
         "customer_order_histogram": relational.customer_order_histogram,
+        "late_shipment_priority": relational.late_shipment_priority,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
@@ -1216,6 +1217,15 @@ def oracle_sql() -> dict[str, str]:
                   ON c.c_custkey = o.o_custkey
                 GROUP BY c.c_custkey
             ) GROUP BY c_count
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_late
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+            )
+            GROUP BY o_orderpriority
         """,
         "events_hopping": """
             WITH e AS (

@@ -292,6 +292,41 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: regex_topk(SF_DIR, "s(c|p)a(n|rk)", k=10))
     results["regex_topk_sec"] = round(t, 3)
+    # -- r2 session-12 operators ------------------------------------
+    from zensearch_ray.stages.dedup import span_dedup
+
+    _docs_sd = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    _, t = timed(lambda: span_dedup(_docs_sd, w=8, n_buckets=32).count())
+    results["span_dedup_sec"] = round(t, 3)
+    from zensearch_ray.stages.quantiles import exact_quantiles as _eq
+
+    _, t = timed(
+        lambda: _eq(
+            rd.read_parquet(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_returnflag", "l_extendedprice"],
+            ),
+            "l_extendedprice",
+            [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+            by="l_returnflag",
+        )
+    )
+    results["grouped_quantiles_sec"] = round(t, 3)
+    from zensearch_ray.stages.bpe import bpe_train
+
+    _, t = timed(
+        lambda: bpe_train(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]),
+            n_merges=40,
+        )
+    )
+    results["bpe_train_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.windows import events_value_ranks
+
+    _, t = timed(lambda: events_value_ranks(SF_DIR).count())
+    results["events_value_ranks_sec"] = round(t, 3)
     from zensearch_ray.pipelines.corpus import index_dir_for
     from zensearch_ray.pipelines.export import dump_postings
 

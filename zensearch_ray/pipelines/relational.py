@@ -587,3 +587,89 @@ def customer_order_histogram(sf_dir: str):
             ignore_index=True,
         )
     return hist.astype({"c_count": np.int64, "custdist": np.int64})
+
+
+def late_shipment_priority(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check: per priority class, how
+    many orders have at least one lineitem shipped AFTER the order
+    date (``EXISTS`` semi-join with a cross-table predicate).
+
+    Distributed plan: the EXISTS collapses to ``max(l_shipdate) >
+    o_orderdate``, so lineitem pre-reduces per batch to (orderkey,
+    max_ship) partials — but the probe side (orders) is itself
+    fact-sized, so neither side broadcasts. Both sides ride ONE
+    co-partitioning exchange: tagged rows bucket by the same orderkey
+    hash, each bucket resolves max-vs-date with two vectorized pandas
+    ops, and the output is a |priorities|-sized partial per bucket.
+    Timestamps travel as int64 epoch-us (exact comparison, no float)."""
+    import ray.data as rd
+
+    B = np.uint64(64)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship": batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        m = df.groupby("key", as_index=False)["ship"].max()
+        return pa.table(
+            {
+                "key": pa.array(m["key"].to_numpy(np.int64)),
+                "ship": pa.array(m["ship"].to_numpy(np.int64)),
+                "odate": pa.nulls(len(m), pa.int64()),
+                "prio": pa.nulls(len(m), pa.string()),
+            }
+        )
+
+    def orders_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["o_orderkey"].cast(pa.int64()),
+                "ship": pa.nulls(batch.num_rows, pa.int64()),
+                "odate": batch["o_orderdate"].cast(pa.int64()),
+                "prio": batch["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((v * np.uint64(2654435761)) % B).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["odate"].isna()]
+        od = df[df["odate"].notna()]
+        if od.empty:
+            return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                                 "n_late": pd.Series(dtype=np.int64)})
+        max_ship = li.groupby("key")["ship"].max()
+        ship = od["key"].map(max_ship)
+        late = od[ship.notna().to_numpy() & (ship > od["odate"]).to_numpy()]
+        out = late.groupby("prio", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["prio"].astype(object),
+                "n_late": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_rows, batch_format="pyarrow")
+
+    return (
+        li.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )

@@ -163,8 +163,15 @@ class BPEEncoder:
 
 
 def bpe_encode_counts(ds, merges: list[tuple[str, str]],
-                      concurrency: int = 4, batch_size: int = 256):
-    """Per-doc learned-BPE piece counts, as an actor-pool map stage."""
+                      concurrency: int | tuple[int, int] = (1, 4),
+                      batch_size: int = 256):
+    """Per-doc learned-BPE piece counts, as an actor-pool map stage.
+
+    ``concurrency`` defaults to an AUTOSCALING pool (1, 4): a fixed
+    pool of 4 would reserve 4 CPUs up front and starve the upstream
+    read tasks on a small cluster (observed livelock at num_cpus=4 —
+    the test fixture size); the autoscaling pool starts at 1 actor and
+    grows only when CPUs are actually free."""
     return ds.map_batches(
         BPEEncoder,
         fn_constructor_args=(merges,),
