@@ -618,6 +618,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": relational.pricing_rollup,
         "customer_order_histogram": relational.customer_order_histogram,
         "late_shipment_priority": relational.late_shipment_priority,
+        "promo_revenue": relational.promo_revenue,
+        "discounted_revenue": relational.discounted_revenue,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "sales_opportunity": relational.sales_opportunity,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
@@ -1226,6 +1230,78 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
             )
             GROUP BY o_orderpriority
+        """,
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT) AS rev,
+                       (p_type = 'PROMO') AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+            )
+            SELECT sum(CASE WHEN is_promo THEN rev ELSE 0 END)::BIGINT
+                       AS promo_cents,
+                   sum(rev)::BIGINT AS total_cents,
+                   100.0 * sum(CASE WHEN is_promo THEN rev ELSE 0 END)::BIGINT
+                         / sum(rev)::BIGINT AS promo_pct
+            FROM j
+        """,
+        "discounted_revenue": """
+            SELECT sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15
+                   AND l_quantity BETWEEN 1  AND 20)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 25 AND 45)
+        """,
+        "returned_item_revenue": """
+            SELECT c.c_custkey, c.c_name,
+                   r.revenue_cents,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS acctbal_cents,
+                   n.n_name
+            FROM (
+                SELECT o_custkey,
+                       sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                      * 100 + 0.5) AS BIGINT))::BIGINT
+                           AS revenue_cents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-04-01'
+                GROUP BY o_custkey
+                ORDER BY revenue_cents DESC, o_custkey
+                LIMIT 20
+            ) r
+            JOIN customer c ON r.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "sales_opportunity": """
+            WITH pos AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+                FROM customer
+                WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE')
+            ),
+            stats AS (
+                SELECT sum(bal)::BIGINT AS s, count(*)::BIGINT AS n
+                FROM pos WHERE bal > 0
+            )
+            SELECT c_mktsegment,
+                   count(*)::BIGINT AS numcust,
+                   sum(bal)::BIGINT AS totacctbal_cents
+            FROM pos, stats
+            WHERE bal * n > s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = pos.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+            GROUP BY c_mktsegment
         """,
         "events_hopping": """
             WITH e AS (

@@ -640,20 +640,22 @@ def late_shipment_priority(sf_dir: str):
         b = ((v * np.uint64(2654435761)) % B).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+    def resolve(df: pd.DataFrame) -> pa.Table:
         li = df[df["odate"].isna()]
         od = df[df["odate"].notna()]
         if od.empty:
-            return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
-                                 "n_late": pd.Series(dtype=np.int64)})
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_late": pa.array([], pa.int64())})
         max_ship = li.groupby("key")["ship"].max()
         ship = od["key"].map(max_ship)
         late = od[ship.notna().to_numpy() & (ship > od["odate"]).to_numpy()]
         out = late.groupby("prio", as_index=False).size()
-        return pd.DataFrame(
+        # Arrow output with explicit types: empty object-dtype pandas
+        # frames trip Ray's block-size estimator (log spam per bucket).
+        return pa.table(
             {
-                "o_orderpriority": out["prio"].astype(object),
-                "n_late": out["size"].to_numpy(np.int64),
+                "o_orderpriority": pa.array(out["prio"].tolist(), pa.string()),
+                "n_late": pa.array(out["size"].to_numpy(np.int64)),
             }
         )
 
@@ -672,4 +674,363 @@ def late_shipment_priority(sf_dir: str):
         .map_groups(resolve, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+Q14_FROM = np.datetime64("1997-03-01")
+Q14_TO = np.datetime64("1997-04-01")  # [FROM, TO)
+
+
+def promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 (promotion effect): the fraction of one month's
+    lineitem revenue attributable to PROMO-type parts — a fact-to-fact
+    join whose output is a single scalar ratio.
+
+    Distributed plan: lineitem pre-reduces per batch to (partkey,
+    revenue_cents) partials — the month filter happens at the read, so
+    at most one row per (batch, partkey) moves. The part side ships
+    only (p_partkey, is_promo). Both ride ``joins.hash_join``'s ONE
+    co-partitioning exchange; each joined block reduces to a 1-row
+    (promo_cents, total_cents) partial, and the driver sums a
+    block-count-sized frame. The percentage divides two exact integer
+    cent sums, so Ray and SQL agree bit-for-bit."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    lo = Q14_FROM.astype("datetime64[s]").astype(np.int64)
+    hi = Q14_TO.astype("datetime64[s]").astype(np.int64)
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        b = batch[(ts >= lo) & (ts < hi)]
+        if not len(b):
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "revenue_cents": pd.Series(dtype=np.int64)})
+        rev = _cents((b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(np.int64),
+                          "revenue_cents": rev})
+            .groupby("l_partkey", as_index=False)["revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    def part_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": batch["p_partkey"].to_numpy(np.int64),
+                "is_promo": (batch["p_type"].to_numpy(object) == "PROMO"),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pandas")
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_flag, batch_format="pandas")
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["revenue_cents"].to_numpy(np.int64)
+        promo = rev[batch["is_promo"].to_numpy(bool)]
+        return pd.DataFrame(
+            {"promo_cents": [int(promo.sum())], "total_cents": [int(rev.sum())]}
+        )
+
+    parts_sums = (
+        hash_join(li, parts, on="l_partkey", right_on="p_partkey", how="inner")
+        .map_batches(block_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    promo = np.int64(parts_sums["promo_cents"].sum())
+    total = np.int64(parts_sums["total_cents"].sum())
+    pct = 100.0 * float(promo) / float(total) if total else 0.0
+    return pd.DataFrame(
+        {"promo_cents": [promo], "total_cents": [total], "promo_pct": [pct]}
+    ).astype({"promo_cents": np.int64, "total_cents": np.int64,
+              "promo_pct": np.float64})
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — all bounds inclusive,
+# mirroring Q19's OR-of-ANDs bracket structure with this schema's cols.
+Q19_BRANCHES = (
+    ("Brand#4", 1, 15, 1, 20),
+    ("Brand#19", 10, 30, 10, 30),
+    ("Brand#17", 20, 50, 25, 45),
+)
+
+
+def discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue of lineitems whose part
+    satisfies any of three (brand, size-range, quantity-range)
+    conjunctions — the canonical OR-of-ANDs cross-table predicate.
+
+    Distributed plan: the predicate couples l_quantity with part
+    attributes, so lineitem pre-reduces per batch to (partkey,
+    quantity, revenue_cents) partials — quantity is integral 1..50, so
+    the partial key space stays tiny per partkey and the exchange
+    still carries far fewer rows than raw lineitems. One
+    ``hash_join`` exchange joins part's (partkey, brand, size); each
+    joined block evaluates all three branches as vectorized masks and
+    reduces to a 1-row cents partial."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents((batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_partkey": batch["l_partkey"].to_numpy(np.int64),
+                          "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+                          "revenue_cents": rev})
+            .groupby(["l_partkey", "qty"], as_index=False)["revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        brand = batch["p_brand"].to_numpy(object)
+        size = batch["p_size"].to_numpy(np.int64)
+        qty = batch["qty"].to_numpy(np.int64)
+        keep = np.zeros(len(batch), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_BRANCHES:
+            keep |= (
+                (brand == b)
+                & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        rev = batch["revenue_cents"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({"revenue_cents": [int(rev.sum())]})
+
+    sums = (
+        hash_join(li, parts, on="l_partkey", right_on="p_partkey", how="inner")
+        .map_batches(block_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"revenue_cents": [np.int64(sums["revenue_cents"].sum())]}
+    ).astype({"revenue_cents": np.int64})
+
+
+Q10_FROM = np.datetime64("1997-01-01")
+Q10_TO = np.datetime64("1997-04-01")  # [FROM, TO)
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 (returned item reporting): the k customers who lost
+    the most revenue to returned items in one quarter, with name,
+    balance and nation attached.
+
+    Distributed plan — join first, DECORATE AFTER THE TOP-K:
+      * lineitem: returnflag filter at the read + per-batch
+        pre-aggregation to (orderkey, revenue_cents);
+      * orders: date window at the read → (orderkey, custkey);
+      * ONE ``hash_join`` exchange on orderkey, per-block reduce to
+        (custkey, cents) partials, then a customer-cardinality keyed
+        sum and a global top-k — all before any customer column moves;
+      * only the k winners' custkeys hit customer.parquet (row-group
+        predicate pushdown) and the tiny nation table — at 100 TB the
+        name/balance/nation columns never ride an exchange at all.
+
+    Output: (c_custkey, c_name, revenue_cents, acctbal_cents, n_name)
+    ordered by (revenue DESC, custkey)."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    lo = Q10_FROM.astype("datetime64[s]").astype(np.int64)
+    hi = Q10_TO.astype("datetime64[s]").astype(np.int64)
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents((batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_orderkey": batch["l_orderkey"].to_numpy(np.int64),
+                          "revenue_cents": rev})
+            .groupby("l_orderkey", as_index=False)["revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    def orders_window(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["o_orderdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        b = batch[(ts >= lo) & (ts < hi)]
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                             "o_custkey": b["o_custkey"].to_numpy(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).map_batches(li_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_window, batch_format="pandas")
+
+    def cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("o_custkey", as_index=False)["revenue_cents"].sum()
+        return out.astype({"revenue_cents": np.int64})
+
+    per_cust = (
+        hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+        .map_batches(cust_partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    # global top-k: per-block partial top-k partials, final cut on driver
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        per_cust.map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue_cents", "o_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    if top.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64),
+             "c_name": pd.Series(dtype=object),
+             "revenue_cents": pd.Series(dtype=np.int64),
+             "acctbal_cents": pd.Series(dtype=np.int64),
+             "n_name": pd.Series(dtype=object)}
+        )
+
+    winners = [int(x) for x in top["o_custkey"]]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", winners)],
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(cust, on="c_custkey")
+    out["acctbal_cents"] = _cents(out["c_acctbal"].to_numpy())
+    return out[["c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]].astype(
+        {"c_custkey": np.int64, "revenue_cents": np.int64, "acctbal_cents": np.int64}
+    )
+
+
+Q22_SEGMENTS = ("AUTOMOBILE", "HOUSEHOLD", "FURNITURE")
+Q22_SINCE = np.datetime64("2000-01-01")  # "no orders since" window
+
+
+def sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to this schema:
+    per market segment, how many customers hold an above-average
+    positive balance yet placed NO order inside the recency window
+    (Q22's "no orders in N years") — an aggregate-derived scalar
+    predicate plus an anti-semi-join where BOTH sides are fact-sized.
+
+    Distributed plan:
+      1. one aggregate pass over customer computes (sum_cents, n) of
+         positive balances in the chosen segments → two driver scalars
+         (the avg threshold is compared as ``cents * n > sum`` — exact
+         integers, no float division anywhere);
+      2. the anti-join broadcasts NOTHING: customer survivor rows and
+         per-batch-deduped order custkeys are tagged and ride ONE
+         co-partitioning exchange on custkey hash; each bucket drops
+         customers seen on the orders side with a vectorized ``isin``
+         and emits |segments|-sized partials.
+    Output: (c_mktsegment, numcust, totacctbal_cents)."""
+    import ray.data as rd
+
+    segs = list(Q22_SEGMENTS)
+    B = np.uint64(64)
+
+    def cust_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c_mktsegment"].isin(segs)]
+        cents = _cents(b["c_acctbal"].to_numpy())
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    stats = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+        .map_batches(cust_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    s_total, n_total = int(stats["s"].sum()), int(stats["n"].sum())
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["c_mktsegment"].isin(segs)]
+        cents = _cents(df["c_acctbal"].to_numpy())
+        keep = cents * np.int64(n_total) > np.int64(s_total)
+        df, cents = df[keep], cents[keep]
+        return pa.table(
+            {
+                "key": pa.array(df["c_custkey"].to_numpy(np.int64)),
+                "seg": pa.array(df["c_mktsegment"].to_numpy(object), pa.string()),
+                "bal": pa.array(cents),
+            }
+        )
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(keys.astype(np.int64)),
+                "seg": pa.nulls(len(keys), pa.string()),
+                "bal": pa.nulls(len(keys), pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((v * np.uint64(2654435761)) % B).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        cust = df[df["seg"].notna()]
+        ordered = df.loc[df["seg"].isna(), "key"].unique()
+        hit = cust[~cust["key"].isin(ordered)]
+        out = hit.groupby("seg", as_index=False).agg(
+            numcust=("key", "size"), totacctbal_cents=("bal", "sum")
+        )
+        # Arrow output with explicit types: empty object-dtype pandas
+        # frames trip Ray's block-size estimator (log spam per bucket).
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out["seg"].tolist(), pa.string()),
+                "numcust": pa.array(out["numcust"].to_numpy(np.int64)),
+                "totacctbal_cents": pa.array(
+                    out["totacctbal_cents"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=cust_cols
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    since = pd.Timestamp(str(Q22_SINCE))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= since),
+    ).map_batches(order_keys, batch_format="pyarrow")
+
+    return (
+        cust.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
     )
