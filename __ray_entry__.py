@@ -93,6 +93,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from zensearch_ray.pipelines import analytics, corpus, joins, relational, windows
+    from zensearch_ray.pipelines import sort as sort_pipeline
     from zensearch_ray.stages import bloom, sketch
 
     def bm25(sf_dir: str):
@@ -622,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": relational.discounted_revenue,
         "returned_item_revenue": relational.returned_item_revenue,
         "sales_opportunity": relational.sales_opportunity,
+        "lineitem_range_sorted": sort_pipeline.lineitem_range_sorted,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
@@ -1279,6 +1281,30 @@ def oracle_sql() -> dict[str, str]:
             ) r
             JOIN customer c ON r.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "lineitem_range_sorted": """
+            WITH t AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM lineitem
+            ),
+            p AS (
+                SELECT quantile_disc(cents,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS piv
+                FROM t
+            )
+            SELECT part_id,
+                   count(*)::BIGINT AS n_rows,
+                   min(cents)::BIGINT AS min_cents,
+                   max(cents)::BIGINT AS max_cents
+            FROM (
+                SELECT cents,
+                       CAST(len(list_filter((SELECT piv FROM p),
+                                            y -> y < cents)) AS BIGINT)
+                           AS part_id
+                FROM t
+            )
+            GROUP BY part_id
         """,
         "sales_opportunity": """
             WITH pos AS (

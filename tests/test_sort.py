@@ -1,0 +1,98 @@
+"""Range-partitioned distributed sort: global order across partition
+files, multiset preservation, exact balance, boundary-tie handling
+(deterministic left-assignment vs spread), and nulls-last."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from zensearch_ray.pipelines.sort import (
+    range_sorted_stats,
+    sorted_export,
+)
+
+
+def _read_concat(out_dir: str, col: str) -> np.ndarray:
+    files = sorted(glob.glob(f"{out_dir}/part_*.parquet"))
+    assert files, "no partition files written"
+    parts = [pq.read_table(f)[col].to_numpy(zero_copy_only=False) for f in files]
+    return np.concatenate(parts)
+
+
+def _assert_sorted_and_same_multiset(out_dir, col, vals):
+    got = _read_concat(out_dir, col)
+    nn = got[~pd.isna(got)]
+    assert (np.diff(nn) >= 0).all(), "concatenated stream not globally sorted"
+    np.testing.assert_array_equal(
+        np.sort(got[~pd.isna(got)]), np.sort(vals[~pd.isna(vals)])
+    )
+    assert pd.isna(got).sum() == pd.isna(vals).sum()
+
+
+def test_uniform_export_sorted_and_balanced(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1_000_000, size=20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+    out = str(tmp_path / "sorted")
+    manifest = sorted_export(ds, "x", out, n_parts=8)
+    assert list(manifest["part_id"]) == list(range(8))
+    _assert_sorted_and_same_multiset(out, "x", vals)
+    # exact-quantile pivots: every partition within one tie-run of N/P
+    assert manifest["n_rows"].max() - manifest["n_rows"].min() <= 16
+
+
+def test_stats_match_export(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 5_000, size=6_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(4)
+    stats = range_sorted_stats(ds, "x", n_parts=4)
+    assert int(stats["n_rows"].sum()) == len(vals)
+    # partition key ranges must chain: max of part i <= min of part i+1
+    assert (
+        stats["max_v"].to_numpy()[:-1] <= stats["min_v"].to_numpy()[1:]
+    ).all()
+
+
+def test_heavy_ties_left_assignment_concentrates(ray_session, tmp_path):
+    # one value = 60% of rows: deterministic assignment puts the run in
+    # one partition (documented); spread_ties splits it
+    vals = np.concatenate(
+        [np.full(12_000, 42, dtype=np.int64),
+         np.arange(8_000, dtype=np.int64) + 100]
+    )
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+    out = str(tmp_path / "tied")
+    manifest = sorted_export(ds, "x", out, n_parts=4, spread_ties=True)
+    _assert_sorted_and_same_multiset(out, "x", vals)
+    # the 12k-row tie mass must NOT sit in a single partition
+    assert manifest["n_rows"].max() < 12_000
+
+
+def test_nulls_last(ray_session, tmp_path):
+    vals = np.array([5.0, np.nan, 1.0, 3.0, np.nan, 2.0, 4.0])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    out = str(tmp_path / "nulls")
+    sorted_export(ds, "x", out, n_parts=2)
+    got = _read_concat(out, "x")
+    # all nulls at the very end of the concatenated stream
+    n_null = int(pd.isna(got).sum())
+    assert n_null == 2
+    assert pd.isna(got[-n_null:]).all()
+    assert (np.diff(got[:-n_null]) >= 0).all()
+
+
+def test_single_partition(ray_session, tmp_path):
+    vals = np.array([3, 1, 2], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals}))
+    out = str(tmp_path / "one")
+    manifest = sorted_export(ds, "x", out, n_parts=1)
+    assert len(manifest) == 1
+    _assert_sorted_and_same_multiset(out, "x", vals)
