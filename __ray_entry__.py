@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_syn": syn,
         "per_facet_topk": per_facet,
         "doc_lm_score": lm,
+        "doc_bigram_lm": corpus.doc_bigram_lm,
         "match_stats": mstats,
         "dump_postings": dump,
         "percolate": percolate_docs,
@@ -781,6 +782,36 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_syn": _synonyms_sql(),
         "per_facet_topk": _per_facet_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "doc_bigram_lm": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                           AS toks
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks
+                    GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+            pairs AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM docs, unnest(range(1, len(toks))) AS r(i)
+            ),
+            big AS (
+                SELECT w1, w2, count(*)::DOUBLE AS c12
+                FROM pairs GROUP BY w1, w2 HAVING count(*) >= 2
+            )
+            SELECT p.doc_id,
+                   round(avg(
+                       CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12 / u1.c)
+                            ELSE ln(0.4 * u2.c / (SELECT t FROM tot)) END
+                   ), 6) AS bigram_lm
+            FROM pairs p
+            LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN uni u1 ON p.w1 = u1.term
+            JOIN uni u2 ON p.w2 = u2.term
+            GROUP BY p.doc_id
+        """,
         "match_stats": _match_stats_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),

@@ -1699,3 +1699,92 @@ def regex_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
             "score": np.array([s for _, s in kept], dtype=np.float64),
         }
     )
+
+
+def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
+    """Per-document bigram language-model score with stupid backoff —
+    the CCNet-style fluency filter one order up from ``doc_lm_score``:
+    mean over a doc's adjacent token pairs of ln(S(w2|w1)), where
+    S = c(w1,w2)/c(w1) when the corpus bigram count clears
+    ``min_count``, else ``alpha``·c(w2)/total (Brants et al. 2007).
+
+    Distributed plan: unigram and bigram counts ride ONE tagged
+    vocabulary-scale exchange (per-batch Counter partials, marker-
+    prefixed keys, keyed Sum). The pruned bigram table is the broadcast
+    model artifact — pruning is what bounds it (CCNet ships a trained
+    KenLM binary the same way); at web scale shard the model by
+    w1-hash and co-partition scoring instead of broadcasting. Scoring
+    is a map-only pass. Docs with fewer than two tokens emit no row
+    (no pairs — mirrors the SQL oracle's lateral unnest).
+    Output: (doc_id, bigram_lm)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    SEP = "\x1f"
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = tokenize(text)
+            c.update("1" + SEP + t for t in toks)
+            c.update("2" + SEP + a + SEP + b for a, b in zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for key, c in zip(counts["key"], counts["c"]):
+        kind, rest = key.split(SEP, 1)
+        if kind == "1":
+            uni[rest] = int(c)
+        elif int(c) >= min_count:
+            w1, w2 = rest.split(SEP, 1)
+            big[(w1, w2)] = int(c)
+    total = float(sum(uni.values()))
+    bi_logp = {
+        (w1, w2): float(np.log(c12 / uni[w1])) for (w1, w2), c12 in big.items()
+    }
+    backoff = {t: float(np.log(alpha * c / total)) for t, c in uni.items()}
+    model_ref = ray.put((bi_logp, backoff))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bi, bo = ray.get(model_ref)
+        ids, scores = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            if len(toks) < 2:
+                continue
+            s = sum(
+                bi.get((a, b)) if (a, b) in bi else bo[b]
+                for a, b in zip(toks, toks[1:])
+            )
+            ids.append(doc_id)
+            scores.append(s / (len(toks) - 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bigram_lm": pa.array(
+                    round6(np.asarray(scores, dtype=np.float64)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
