@@ -341,6 +341,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "rank", range(1, len(out) + 1))
         return out
 
+    def embedding_kmeans(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import kmeans_assign, kmeans_fit
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        centroids = kmeans_fit(ds, k=8, iters=5, seed=42)
+        sizes = (
+            kmeans_assign(ds, centroids)
+            .groupby("cluster")
+            .count()
+            .to_pandas()
+            .rename(columns={"count()": "n_points"})
+            .sort_values("cluster", ignore_index=True)
+        )
+        import numpy as np
+        return sizes.astype({"cluster": np.int64, "n_points": np.int64})
+
     def embedding_near_dup(sf_dir: str):
         import ray.data as rd
 
@@ -605,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
+        "embedding_kmeans": embedding_kmeans,
         "embedding_near_dup": embedding_near_dup,
         "ann_ivf_topk": ann_ivf,
         "ann_ivf_persisted": ann_persisted,

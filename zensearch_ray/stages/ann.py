@@ -328,3 +328,124 @@ def dup_components(ds, threshold: float, id_col: str = "vec_id",
         )
 
     return ds.select_columns([id_col]).map_batches(attach, batch_format="pyarrow")
+
+
+def kmeans_init(m0: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
+    """Deterministic farthest-first (k-center greedy) init over a
+    sample: seeded first pick, then each next centroid is the sample
+    point maximizing its distance to the nearest chosen one — immune
+    to the two-picks-in-one-blob local optimum of random init."""
+    if len(m0) < k:
+        raise ValueError(f"need >= k={k} rows to init, got {len(m0)}")
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(len(m0)))]
+    d2 = ((m0 - m0[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((m0 - m0[nxt]) ** 2).sum(axis=1))
+    return m0[chosen].copy()
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    emb_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Distributed full-corpus Lloyd's k-means (Euclidean): the
+    iterative-refinement pattern ``IvfIndex`` (sample-only training)
+    deliberately skips.
+
+    Per iteration: centroids broadcast once (``ray.put``); every batch
+    assigns rows with one matmul and emits the SUFFICIENT STATISTICS
+    (k per-cluster sums + counts — O(k·d) per batch, independent of
+    batch size); the driver streams the partials and updates in O(k·d)
+    memory (the parameter-server-on-driver shape — nothing about the
+    corpus is ever materialized). Deterministic: farthest-first init
+    (``kmeans_init``) from the first ``init_sample`` rows, ties in
+    assignment break to the lowest cluster id (numpy argmax on the
+    dot form), empty clusters keep their previous centroid. Returns
+    the (k, d) centroid matrix."""
+    import ray
+
+    head = ds.limit(init_sample).to_pandas()
+    m0 = _matrix(pa.array(head[emb_col].tolist()))
+    centroids = kmeans_init(m0, k, seed)
+    d = centroids.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix(batch[emb_col])
+            # argmin ||x-c||² == argmax (x·c - ||c||²/2); one matmul
+            dots = m @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+            assign = np.argmax(dots, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel()]),
+                    "counts": pa.array([counts]),
+                }
+            )
+
+        tot_sums = np.zeros((k, d), dtype=np.float64)
+        tot_counts = np.zeros(k, dtype=np.int64)
+        stats = ds.map_batches(partial, batch_format="pyarrow")
+        for b in stats.iter_batches(batch_format="pyarrow"):
+            for s, c in zip(b["sums"].to_pylist(), b["counts"].to_pylist()):
+                tot_sums += np.asarray(s, dtype=np.float64).reshape(k, d)
+                tot_counts += np.asarray(c, dtype=np.int64)
+        nonempty = tot_counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = tot_sums[nonempty] / tot_counts[nonempty, None]
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """Map-only cluster assignment against broadcast centroids.
+    Output: (id_col, cluster int64)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        dots = m @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(np.argmax(dots, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_inertia(ds, centroids: np.ndarray, emb_col: str = "embedding") -> float:
+    """Total within-cluster squared distance (the Lloyd objective),
+    streamed — one scalar partial per batch."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table({"inertia": pa.array([float(d2.min(axis=1).sum())])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return float(parts["inertia"].sum())
