@@ -78,3 +78,40 @@ def test_string_keys_partition_stably(ray_session, tmp_path):
     f1 = sorted(os.path.basename(f) for f in glob.glob(out1 + "/part-*.parquet"))
     f2 = sorted(os.path.basename(f) for f in glob.glob(out2 + "/part-*.parquet"))
     assert f1 == f2  # same keys land in the same partitions every run
+
+
+def test_jsonl_format_roundtrip_and_resume(ray_session, tmp_path):
+    import json
+
+    out = str(tmp_path / "jsonl_sink")
+    stats = write_partitioned(
+        _events(), out, "user_id", n_partitions=N_PARTS, format="jsonl"
+    )
+    assert stats["rows"] == 1000
+    files = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert files and not glob.glob(os.path.join(out, "*.tmp"))
+    rows = [json.loads(l) for f in files for l in open(f)]
+    assert len(rows) == 1000
+    assert sorted(r["event_id"] for r in rows) == list(range(1000)) or len(
+        {r["event_id"] for r in rows}
+    ) == 1000
+    # resume: drop one partition's data+marker, rerun rewrites only it
+    victim = files[0]
+    part = int(os.path.basename(victim).split("-")[1].split(".")[0])
+    os.remove(victim)
+    os.remove(os.path.join(out, "_partitions", f"part-{part:05d}.json"))
+    stats2 = write_partitioned(
+        _events(), out, "user_id", n_partitions=N_PARTS, format="jsonl"
+    )
+    assert stats2["written"] == 1
+    rows2 = [
+        json.loads(l)
+        for f in sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+        for l in open(f)
+    ]
+    assert {r["event_id"] for r in rows2} == {r["event_id"] for r in rows}
+
+
+def test_bad_format_rejected(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        write_partitioned(_events(), str(tmp_path / "x"), "user_id", format="csv")

@@ -65,10 +65,16 @@ def write_partitioned(
     key_col: str,
     n_partitions: int = 64,
     skip_existing: bool = True,
+    format: str = "parquet",
 ) -> dict:
-    """Write ``ds`` as ``out_dir/part-NNNNN.parquet`` hash-partitioned
-    by ``key_col``. Returns {written, skipped, rows} counts. Rerun to
-    resume — completed partitions are dropped before the shuffle."""
+    """Write ``ds`` as ``out_dir/part-NNNNN.parquet`` (or ``.jsonl``
+    with ``format="jsonl"`` — the interchange format training-data
+    consumers expect) hash-partitioned by ``key_col``. Returns
+    {written, skipped, rows} counts. Rerun to resume — completed
+    partitions are dropped before the shuffle; the commit protocol
+    (tmp + rename data first, marker last) is format-independent."""
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
     os.makedirs(os.path.join(out_dir, _MARKER_DIR), exist_ok=True)
     done = completed_partitions(out_dir) if skip_existing else set()
     done_arr = np.zeros(n_partitions, dtype=bool)
@@ -83,12 +89,19 @@ def write_partitioned(
             out = out.filter(pa.array(~done_arr[parts]))
         return out
 
+    ext = "parquet" if format == "parquet" else "jsonl"
+
     def write_one(group: pa.Table) -> pa.Table:
         part = int(group["__part"][0].as_py())
         body = group.drop_columns(["__part"])
-        final = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        final = os.path.join(out_dir, f"part-{part:05d}.{ext}")
         tmp = final + ".tmp"
-        pq.write_table(body, tmp, compression="zstd")
+        if format == "parquet":
+            pq.write_table(body, tmp, compression="zstd")
+        else:
+            body.to_pandas().to_json(
+                tmp, orient="records", lines=True, force_ascii=False
+            )
         os.replace(tmp, final)  # data first, marker last (commit point)
         marker = _marker_path(out_dir, part)
         with open(marker + ".tmp", "w") as f:
