@@ -327,6 +327,34 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: events_value_ranks(SF_DIR).count())
     results["events_value_ranks_sec"] = round(t, 3)
+    # -- r2 session-13 operators ------------------------------------
+    from zensearch_ray.pipelines.sort import lineitem_range_sorted
+
+    _, t = timed(lambda: lineitem_range_sorted(SF_DIR, n_parts=32))
+    results["range_sort_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import doc_bigram_lm
+
+    _, t = timed(lambda: doc_bigram_lm(SF_DIR).count())
+    results["bigram_lm_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.relational import (
+        late_shipment_priority,
+        sales_opportunity,
+    )
+
+    _, t = timed(lambda: late_shipment_priority(SF_DIR).count())
+    results["q4_late_shipment_sec"] = round(t, 3)
+    _, t = timed(lambda: sales_opportunity(SF_DIR).count())
+    results["q22_sales_opportunity_sec"] = round(t, 3)
+    from zensearch_ray.stages.ann import kmeans_assign as _km_assign
+    from zensearch_ray.stages.ann import kmeans_fit as _km_fit
+
+    _emb = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _, t = timed(
+        lambda: _km_assign(_emb, _km_fit(_emb, k=8, iters=5)).count()
+    )
+    results["kmeans_fit_assign_sec"] = round(t, 3)
     from zensearch_ray.pipelines.corpus import index_dir_for
     from zensearch_ray.pipelines.export import dump_postings
 
