@@ -9,9 +9,13 @@ four cheap streaming passes whose exchanges are all vocabulary-sized:
   2. sample    — deterministic hash-sample of values (rate chosen from
                  pass 1 so ~``pivot_target`` candidates per group reach
                  the driver), merged into sorted pivot arrays;
-  3. bracket   — per batch, ``np.searchsorted`` of the column against
+  3. bracket   — per block, ``np.searchsorted`` of the column against
                  the broadcast pivots gives #(< pivot) and #(<= pivot)
-                 histograms; a tiny keyed sum merges them;
+                 histograms emitted as ONE count-vector row per
+                 (block, group); the driver streams and sums them in
+                 O(groups × pivots) memory (sufficient statistics — a
+                 per-pivot keyed aggregate would push blocks × pivots
+                 tiny rows through an all-to-all; measured 13× slower);
   4. sliver    — a target rank falling INSIDE a pivot's own mass
                  (LT[i] <= r < LE[i]) resolves exactly to that pivot
                  with no data movement — this also absorbs arbitrarily
@@ -102,7 +106,6 @@ def exact_quantiles(
     """
     import ray
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     qs = [float(q) for q in qs]
     cols = [col] if by is None else [by, col]
@@ -122,12 +125,15 @@ def exact_quantiles(
         return pa.table({"g": d[by].cast(pa.string()),
                          "n": d[f"{col}_count"].cast(pa.int64())})
 
-    counts = (
-        src.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("g").aggregate(Sum("n", alias_name="n")).to_pandas()
-    )
+    counts = src.map_batches(
+        count_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     if len(counts) == 0:  # empty .to_pandas() loses columns
         counts = pd.DataFrame({"g": [], "n": []})
+    else:
+        # block-count × |groups| rows — combine on the driver; a keyed
+        # Dataset aggregate here costs a full exchange for tiny data
+        counts = counts.groupby("g", as_index=False)["n"].sum()
     counts = counts[counts["n"] > 0]
     n_of = dict(zip(counts["g"], counts["n"].astype(np.int64)))
     if not n_of:
@@ -139,21 +145,29 @@ def exact_quantiles(
     ranks_of = {g: [_rank_of(q, n) for q in qs] for g, n in n_of.items()}
 
     def groups_of(batch: pa.Table):
-        """(group_key, float64 values) slices of one batch."""
+        """(group_key, float64 values) slices of one batch —
+        vectorized: arrow string-cast + dictionary-encode (the SAME
+        key coercion as pass 1), int-code argsort, boundary split. No
+        per-row Python; this runs once per batch in EVERY pass, so it
+        is the grouped path's hot loop."""
         vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
         if by is None:
             yield _NOGROUP, vals
             return
-        # group keys coerce to str (matches the pass-1 string cast)
-        keys = [str(k) for k in batch[by].to_pylist()]
-        order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+        if not len(vals):
+            return
+        keys = batch[by].cast(pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        scodes = codes[order]
         svals = vals[order]
-        skeys = [keys[i] for i in order]
-        start = 0
-        for i in range(1, len(skeys) + 1):
-            if i == len(skeys) or skeys[i] != skeys[start]:
-                yield skeys[start], svals[start:i]
-                start = i
+        bounds = np.flatnonzero(np.r_[True, scodes[1:] != scodes[:-1], True])
+        dict_vals = enc.dictionary.to_pylist()
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            yield dict_vals[scodes[a]], svals[a:b]
 
     # -- pass 2: hash-sampled pivot candidates ----------------------
     def sample_pass(rate_of_ref, windows_ref):
@@ -182,7 +196,9 @@ def exact_quantiles(
             return pa.table({"g": pa.array(gs, pa.string()),
                              "v": pa.array(np.concatenate(vs))})
 
-        samp = src.map_batches(partial, batch_format="pyarrow").to_pandas()
+        samp = src.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
         out: dict[str, np.ndarray] = {}
         if len(samp) == 0:
             return out
@@ -201,20 +217,21 @@ def exact_quantiles(
         # -- pass 3: bracket counts vs broadcast pivots --------------
         piv_ref = ray.put(pivots)
         n_piv = {g: len(p) for g, p in pivots.items()}
-        base = {}
-        acc = 0
-        for g in sorted(n_piv):
-            base[g] = acc
-            acc += n_piv[g]
 
         def bracket_partial(batch: pa.Table) -> pa.Table:
             """Additive bucket counts per pivot. With sorted pivots p,
             ``searchsorted(p, v, 'right') == b`` means exactly b pivots
             are <= v, so #(v < p[i]) = sum of buckets 0..i; the 'left'
-            variant gives #(v <= p[i]) the same way. Buckets are
-            additive across batches — cumsum happens after the sum."""
+            variant gives #(v <= p[i]) the same way. ONE row per
+            (block, group) carrying the whole count VECTOR — the
+            sufficient-statistics shape: the driver sums in
+            O(groups × pivots) memory and no keyed exchange runs (a
+            per-pivot-key groupby here costs blocks × pivots tiny rows
+            through an all-to-all — measured 9.4 s vs 0.7 s on 600k
+            rows × 12k pivots). At extreme block counts insert a
+            repartition+combine stage before the driver."""
             pv = ray.get(piv_ref)
-            ks, ltb, leb = [], [], []
+            gs, ltb, leb = [], [], []
             for g, vals in groups_of(batch):
                 p = pv.get(g)
                 if p is None or not len(p):
@@ -226,41 +243,35 @@ def exact_quantiles(
                 bl = np.bincount(
                     np.searchsorted(p, vals, side="left"), minlength=m + 1
                 )[:m]
-                ks.append(base[g] + np.arange(m, dtype=np.int64))
-                ltb.append(br)
-                leb.append(bl)
-            if not ks:
-                return pa.table({"k": pa.array([], pa.int64()),
-                                 "lt": pa.array([], pa.int64()),
-                                 "le": pa.array([], pa.int64())})
-            return pa.table({
-                "k": pa.array(np.concatenate(ks)),
-                "lt": pa.array(np.concatenate(ltb).astype(np.int64)),
-                "le": pa.array(np.concatenate(leb).astype(np.int64)),
-            })
+                gs.append(g)
+                ltb.append(br.astype(np.int64))
+                leb.append(bl.astype(np.int64))
+            if not gs:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "lt": pa.array([], pa.list_(pa.int64())),
+                                 "le": pa.array([], pa.list_(pa.int64()))})
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "lt": pa.array(ltb),
+                             "le": pa.array(leb)})
 
-        agg = (
-            src.map_batches(bracket_partial, batch_format="pyarrow")
-            .groupby("k")
-            .aggregate(Sum("lt", alias_name="lt"), Sum("le", alias_name="le"))
-            .to_pandas()
+        acc_lt = {g: np.zeros(m, dtype=np.int64) for g, m in n_piv.items()}
+        acc_le = {g: np.zeros(m, dtype=np.int64) for g, m in n_piv.items()}
+        stats = src.map_batches(
+            bracket_partial, batch_format="pyarrow", batch_size=None
         )
-        if len(agg) == 0:  # every group sampled zero pivots
-            agg = pd.DataFrame({"k": [], "lt": [], "le": []})
-        agg = agg.sort_values("k")
-        kk = agg["k"].to_numpy(np.int64)
+        for b in stats.iter_batches(batch_format="pyarrow"):
+            for g, lt_l, le_l in zip(
+                b["g"].to_pylist(), b["lt"].to_pylist(), b["le"].to_pylist()
+            ):
+                acc_lt[g] += np.asarray(lt_l, dtype=np.int64)
+                acc_le[g] += np.asarray(le_l, dtype=np.int64)
+
         need_refine: dict[str, tuple[list, list]] = {}
         fetch: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         plan: dict[str, list[tuple[int, tuple]]] = {}
         for g in sorted(n_of):
-            m = n_piv[g]
-            sel = (kk >= base[g]) & (kk < base[g] + m)
-            lt_b = np.zeros(m, dtype=np.int64)
-            le_b = np.zeros(m, dtype=np.int64)
-            lt_b[kk[sel] - base[g]] = agg["lt"].to_numpy(np.int64)[sel]
-            le_b[kk[sel] - base[g]] = agg["le"].to_numpy(np.int64)[sel]
-            LT = np.cumsum(lt_b)  # LT[i] = #(x < pivots[i])
-            LE = np.cumsum(le_b)  # LE[i] = #(x <= pivots[i])
+            LT = np.cumsum(acc_lt[g])  # LT[i] = #(x < pivots[i])
+            LE = np.cumsum(acc_le[g])  # LE[i] = #(x <= pivots[i])
             vals, ivals = _resolve(pivots[g], LT, LE, ranks_of[g], int(n_of[g]))
             todo = []
             for j, (v, iv) in enumerate(zip(vals, ivals)):
@@ -313,7 +324,9 @@ def exact_quantiles(
                 return pa.table({"g": pa.array(gs, pa.string()),
                                  "v": pa.array(np.concatenate(vs))})
 
-            sl = src.map_batches(sliver_partial, batch_format="pyarrow").to_pandas()
+            sl = src.map_batches(
+                sliver_partial, batch_format="pyarrow", batch_size=None
+            ).to_pandas()
             for g, todo in plan.items():
                 if g not in fetch:
                     continue
