@@ -667,14 +667,15 @@ def late_shipment_priority(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(orders_rows, batch_format="pyarrow")
 
-    return (
+    partials = (
         li.union(orders)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_late", alias_name="n_late"))
-    )
+        .to_pandas()  # |buckets| × |priorities| rows — combine on the
+    )  # driver; a keyed Dataset aggregate costs a 2nd exchange here
+    out = partials.groupby("o_orderpriority", as_index=False)["n_late"].sum()
+    return out.astype({"n_late": np.int64})
 
 
 Q14_FROM = np.datetime64("1997-03-01")
@@ -1023,14 +1024,15 @@ def sales_opportunity(sf_dir: str) -> pd.DataFrame:
         filter=(pc.field("o_orderdate") >= since),
     ).map_batches(order_keys, batch_format="pyarrow")
 
-    return (
+    partials = (
         cust.union(orders)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("numcust", alias_name="numcust"),
-            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
-        )
+        .to_pandas()  # |buckets| × |segments| rows — combine on the
+    )  # driver; a keyed Dataset aggregate costs a 2nd exchange here
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        numcust=("numcust", "sum"),
+        totacctbal_cents=("totacctbal_cents", "sum"),
     )
+    return out.astype({"numcust": np.int64, "totacctbal_cents": np.int64})
