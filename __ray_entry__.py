@@ -646,6 +646,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "sales_opportunity": relational.sales_opportunity,
         "lineitem_range_sorted": sort_pipeline.lineitem_range_sorted,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "volume_shipping": relational.volume_shipping,
+        "top_supplier": relational.top_supplier,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
@@ -1333,6 +1337,65 @@ def oracle_sql() -> dict[str, str]:
             ) r
             JOIN customer c ON r.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "forecast_revenue_change": """
+            SELECT sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                      * 100 + 0.5) AS BIGINT))::BIGINT
+                           AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_cents
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM r)
+        """,
+        "small_quantity_revenue": """
+            WITH sel AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#4' AND p_size <= 10
+            ),
+            t AS (
+                SELECT l_partkey,
+                       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                       count(*)::BIGINT AS cnt
+                FROM sel GROUP BY l_partkey
+            )
+            SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT))::BIGINT AS revenue_cents,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT))::BIGINT / 700.0 AS avg_yearly
+            FROM sel JOIN t USING (l_partkey)
+            WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
         """,
         "lineitem_range_sorted": """
             WITH t AS (

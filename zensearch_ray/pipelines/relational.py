@@ -1036,3 +1036,299 @@ def sales_opportunity(sf_dir: str) -> pd.DataFrame:
         totacctbal_cents=("totacctbal_cents", "sum"),
     )
     return out.astype({"numcust": np.int64, "totacctbal_cents": np.int64})
+
+
+Q6_FROM = np.datetime64("1997-01-01")
+Q6_TO = np.datetime64("1998-01-01")  # [FROM, TO)
+
+
+def forecast_revenue_change(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue gained if
+    discounts in a band were eliminated over one year — the pure
+    filter+scalar-aggregate baseline (no join, no exchange at all:
+    per-block 1-row partials, driver sum).
+
+    Output: (revenue_cents,) single row."""
+    import ray.data as rd
+
+    lo = Q6_FROM.astype("datetime64[s]").astype(np.int64)
+    hi = Q6_TO.astype("datetime64[s]").astype(np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        disc = batch["l_discount"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        keep = (
+            (ts >= lo) & (ts < hi)
+            & (disc >= 0.05) & (disc <= 0.07)
+            & (qty < 24)
+        )
+        b = batch[keep]
+        rev = _cents((b["l_extendedprice"] * b["l_discount"]).to_numpy())
+        return pd.DataFrame({"revenue_cents": [int(rev.sum())]})
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"revenue_cents": [np.int64(parts["revenue_cents"].sum())]}
+    ).astype({"revenue_cents": np.int64})
+
+
+Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 (volume shipping): revenue shipped between two nations
+    per year, split by direction — supplier nation on the lineitem
+    side, customer nation on the orders side, so the cross-table
+    predicate (supp_nation ≠ cust_nation, both in the pair) resolves
+    only after a fact×fact join.
+
+    Distributed plan: nation and supplier broadcast as tiny lookup
+    maps; customer broadcasts as a custkey→nation map restricted to
+    the pair (bloom-prune or co-partition at 100 TB — Q5's documented
+    trade); lineitem pre-reduces per batch to (orderkey, supp_nation,
+    year, cents) partials; ONE ``hash_join`` exchange on orderkey
+    against the filtered orders side; the direction filter and the
+    |2×2×years| final sum happen on join blocks, combined driver-side.
+    Output: (supp_nation, cust_nation, l_year, revenue_cents)."""
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    pair_keys = {k for k, v in name_of.items() if v in Q7_NATIONS}
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(pair_keys)]
+    supp_nat_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype(np.int64),
+                 (name_of[k] for k in sup["s_nationkey"])))
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(pair_keys)]
+    cust_nat_ref = ray.put(
+        dict(zip(cust["c_custkey"].astype(np.int64),
+                 (name_of[k] for k in cust["c_nationkey"])))
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        snat = ray.get(supp_nat_ref)
+        s = batch["l_suppkey"].map(snat)
+        b = batch[s.notna()]
+        if not len(b):
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                                 "supp_nation": pd.Series(dtype=object),
+                                 "l_year": pd.Series(dtype=np.int64),
+                                 "revenue_cents": pd.Series(dtype=np.int64)})
+        yr = (
+            b["l_shipdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        rev = _cents((b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                          "supp_nation": s[s.notna()].to_numpy(object),
+                          "l_year": yr, "revenue_cents": rev})
+            .groupby(["l_orderkey", "supp_nation", "l_year"], as_index=False)[
+                "revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    def orders_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        cnat = ray.get(cust_nat_ref)
+        c = batch["o_custkey"].map(cnat)
+        b = batch[c.notna()]
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                             "cust_nation": c[c.notna()].to_numpy(object)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_rows, batch_format="pandas")
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["supp_nation"] != batch["cust_nation"]]
+        out = b.groupby(["supp_nation", "cust_nation", "l_year"],
+                        as_index=False)["revenue_cents"].sum()
+        return out.astype({"revenue_cents": np.int64})
+
+    partials = (
+        hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", how="inner")
+        .map_batches(block_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.groupby(["supp_nation", "cust_nation", "l_year"],
+                           as_index=False)["revenue_cents"].sum()
+    return out.astype({"l_year": np.int64, "revenue_cents": np.int64})
+
+
+Q15_FROM = np.datetime64("1997-07-01")
+Q15_TO = np.datetime64("1997-10-01")  # [FROM, TO)
+
+
+def top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    over one quarter — a keyed aggregate whose answer is an argmax WITH
+    TIES (the view+subquery construction of the spec).
+
+    Distributed plan: lineitem pre-reduces per batch to (suppkey,
+    cents); one supplier-cardinality keyed sum; the max + tie filter
+    run on that dimension-sized aggregate (supplier is the small table
+    of the schema — at larger scale take per-block maxima first); the
+    winners' names come from a predicate-pushdown read of supplier.
+    Output: (s_suppkey, s_name, total_revenue_cents)."""
+    import ray.data as rd
+
+    lo = Q15_FROM.astype("datetime64[s]").astype(np.int64)
+    hi = Q15_TO.astype("datetime64[s]").astype(np.int64)
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        b = batch[(ts >= lo) & (ts < hi)]
+        if not len(b):
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "total_revenue_cents": pd.Series(dtype=np.int64)})
+        rev = _cents((b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                          "total_revenue_cents": rev})
+            .groupby("l_suppkey", as_index=False)["total_revenue_cents"].sum()
+        )
+        return out.astype({"total_revenue_cents": np.int64})
+
+    per_supp = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+        .to_pandas()
+    )
+    if per_supp.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object),
+                             "total_revenue_cents": pd.Series(dtype=np.int64)})
+    best = int(per_supp["total_revenue_cents"].max())
+    win = per_supp[per_supp["total_revenue_cents"] == best]
+    keys = [int(x) for x in win["l_suppkey"]]
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys)],
+    ).to_pandas()
+    out = win.rename(columns={"l_suppkey": "s_suppkey"}).merge(names, on="s_suppkey")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_cents"]]
+        .sort_values("s_suppkey", ignore_index=True)
+        .astype({"s_suppkey": np.int64, "total_revenue_cents": np.int64})
+    )
+
+
+Q17_BRAND = "Brand#4"
+Q17_MAX_SIZE = 10
+
+
+def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17-shaped (small-quantity-order revenue): yearly revenue
+    lost if orders of less than 20% of a part's average quantity were
+    no longer taken, over one brand's small parts — a per-group-average
+    threshold applied back to the group's own rows (container column
+    absent from this schema; the size bound stands in).
+
+    Distributed plan: the brand's partkeys broadcast as a sorted array
+    (map-side semi join); pass 1 reduces the surviving lineitems to
+    per-partkey (sum_qty, cnt) — part-cardinality, combined
+    driver-side; pass 2 re-filters map-side with the broadcast
+    thresholds using the EXACT integer form ``5·qty·cnt < sum_qty``
+    (no float division, so SQL reproduces it bit-for-bit).
+    Output: (revenue_cents, avg_yearly) single row."""
+    import ray
+    import ray.data as rd
+
+    parts = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_brand", "==", Q17_BRAND), ("p_size", "<=", Q17_MAX_SIZE)],
+    )["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk_ref = ray.put(np.sort(parts))
+
+    def member_mask(keys_sorted: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        j = np.searchsorted(keys_sorted, vals)
+        return (j < len(keys_sorted)) & (
+            keys_sorted[np.minimum(j, len(keys_sorted) - 1)] == vals
+        )
+
+    def qty_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(pk_ref)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        b = batch[member_mask(keys, pk)]
+        if not len(b):
+            return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                                 "sum_qty": pd.Series(dtype=np.int64),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        out = (
+            pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(np.int64),
+                          "sum_qty": b["l_quantity"].to_numpy().astype(np.int64),
+                          "cnt": 1})
+            .groupby("l_partkey", as_index=False)[["sum_qty", "cnt"]].sum()
+        )
+        return out.astype({"sum_qty": np.int64, "cnt": np.int64})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    agg = (
+        li.map_batches(qty_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("l_partkey", as_index=False)[["sum_qty", "cnt"]].sum()
+    )
+    thr_ref = ray.put(
+        (
+            agg["l_partkey"].to_numpy(np.int64),
+            agg["sum_qty"].to_numpy(np.int64),
+            agg["cnt"].to_numpy(np.int64),
+        )
+    )
+
+    def rev_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, sums, cnts = ray.get(thr_ref)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        j = np.searchsorted(keys, pk)
+        hit = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == pk)
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        jj = np.minimum(j, len(keys) - 1)
+        keep = hit & (5 * qty * cnts[jj] < sums[jj])
+        rev = _cents(batch["l_extendedprice"].to_numpy()[keep])
+        return pd.DataFrame({"revenue_cents": [int(rev.sum())]})
+
+    parts_sums = (
+        li.map_batches(rev_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    total = np.int64(parts_sums["revenue_cents"].sum())
+    return pd.DataFrame(
+        {"revenue_cents": [total],
+         "avg_yearly": [float(total) / 700.0]}
+    ).astype({"revenue_cents": np.int64, "avg_yearly": np.float64})
