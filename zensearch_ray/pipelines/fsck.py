@@ -51,7 +51,8 @@ _POSTING_BASE_COLS = [
 
 
 def _check_segment_file(path: str, dict_path: str | None, params: BM25Params,
-                        id_ceiling: int | None) -> dict:
+                        id_ceiling: int | None,
+                        tri_path: str | None = None) -> dict:
     """Deep-check one segment file. Returns
     {path, n_terms, n_postings, max_doc_id, errors: [str]}."""
     errors: list[str] = []
@@ -146,6 +147,28 @@ def _check_segment_file(path: str, dict_path: str | None, params: BM25Params,
                 errors.append(
                     f"{path}: termdict sidecar disagrees with segment terms "
                     f"({len(dict_terms)} vs {len(seg_terms)})"
+                )
+    if tri_path is not None:
+        # same presence rule as termdict: fsck_index only passes
+        # tri_path for indexes that HAVE a trigram dir
+        if not os.path.exists(tri_path):
+            errors.append(f"{path}: trigram sidecar missing ({tri_path})")
+        else:
+            tri_tbl = pq.read_table(tri_path)
+            tris = tri_tbl["tri"].to_pylist()
+            tri_terms = tri_tbl["term"].to_pylist()
+            seg_terms = sorted({r["term"] for r in rows})
+            want = sorted(t for t in seg_terms if len(t) >= 3)
+            if sorted(set(tri_terms)) != want:
+                errors.append(
+                    f"{path}: trigram sidecar term set disagrees with "
+                    f"segment terms (>=3 chars)"
+                )
+            bad = sum(1 for g, t in zip(tris, tri_terms)
+                      if len(g) != 3 or g not in t)
+            if bad:
+                errors.append(
+                    f"{path}: {bad} trigram rows not substrings of their term"
                 )
     return {
         "path": path,
@@ -259,9 +282,11 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
         # back to segment term columns, so that is legal; a PARTIAL
         # sidecar set (dir exists, file missing) is not
         has_termdict = os.path.isdir(layout.termdict_dir)
+        has_trigram = os.path.isdir(layout.trigram_dir)
         files.append(
             {"path": path,
              "dict_path": layout.dict_path_for(path) if has_termdict else None,
+             "tri_path": layout.trigram_path_for(path) if has_trigram else None,
              "manifest_postings": int(m["n_postings"]), "tag": tag}
         )
     if total_postings != int(manifest.get("total_postings", total_postings)):
@@ -292,10 +317,15 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
             p = ray.get(params_ref)
             out = {"path": [], "n_terms": [], "n_postings": [],
                    "max_doc_id": [], "errors": []}
-            for path, dict_path in zip(batch["path"], batch["dict_path"]):
+            for path, dict_path, tri_path in zip(
+                batch["path"], batch["dict_path"], batch["tri_path"]
+            ):
                 if not isinstance(dict_path, str):
                     dict_path = None  # batch conversion turns None → nan
-                r = _check_segment_file(path, dict_path, p, id_ceiling)
+                if not isinstance(tri_path, str):
+                    tri_path = None
+                r = _check_segment_file(path, dict_path, p, id_ceiling,
+                                        tri_path=tri_path)
                 for k in out:
                     v = r[k]
                     out[k].append(json.dumps(v) if k == "errors" else v)

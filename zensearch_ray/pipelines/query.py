@@ -276,6 +276,61 @@ class QueryEngine:
                 out.append(side if _os.path.exists(side) else path)
         return out
 
+    def _trigram_files(self) -> list[str] | None:
+        """Per-segment character-trigram sidecars
+        (``IndexLayout.trigram_dir``), or None when any committed
+        segment lacks one (pre-trigram index) — callers fall back to
+        the vocabulary scan. No in-segment fallback exists: trigram
+        rows are derived, not stored in segments."""
+        import os as _os
+
+        out = []
+        for part in range(self.num_shards * self.salt_subs):
+            for path in self.layout.part_posting_files(part):
+                side = self.layout.trigram_path_for(path)
+                if not _os.path.exists(side):
+                    return None
+                out.append(side)
+        return out
+
+    def expand_infix(self, substr: str, max_terms: int = 1000) -> list[str]:
+        """Dictionary terms CONTAINING ``substr`` (normalized), sorted —
+        the sublinear path behind leading-'*' wildcards. Reads only the
+        query's trigram lists from the per-segment trigram sidecars
+        (parquet ``tri IN (...)`` pushdown): a term qualifies as a
+        candidate when it carries ALL of the query's trigrams in one
+        segment (its sidecar holds the full term string, so no
+        cross-segment assembly), then the substring test removes
+        out-of-order false positives. Substrings under 3 chars, or a
+        pre-trigram index, fall back to filtering the cached vocab.
+        Raises over ``max_terms`` like the other expanders."""
+        from zensearch_ray.functions.text import normalize
+
+        substr = normalize(substr)
+        if not substr:
+            return []
+        files = self._trigram_files() if len(substr) >= 3 else None
+        if files is None:
+            out = [t for t in self._all_terms() if substr in t]
+        else:
+            tris = sorted({substr[i : i + 3] for i in range(len(substr) - 2)})
+            cands: set[str] = set()
+            for path in files:
+                t = pq.read_table(
+                    path, columns=["tri", "term"],
+                    filters=[("tri", "in", tris)],
+                ).to_pandas()
+                if not len(t):
+                    continue
+                hits = t.groupby("term")["tri"].nunique()
+                cands.update(hits[hits == len(tris)].index)
+            out = sorted(t for t in cands if substr in t)
+        if len(out) > max_terms:
+            raise ValueError(
+                f"infix {substr!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
     def lookup(self, term: str) -> _TermPostings | None:
         """term → merged postings across salt sub-partitions and append
         generations, or None."""
@@ -808,13 +863,27 @@ class QueryEngine:
             out = self.expand_prefix(segs[0])  # pure prefix: pushdown path
         else:
             rx = _re.compile(".*".join(_re.escape(s) for s in segs) + r"\Z")
-            vocab = self._all_terms()
-            lo, hi = 0, len(vocab)
-            if segs[0]:  # sorted vocab → literal-prefix window
-                lo = bisect_left(vocab, segs[0])
-                stop = segs[0][:-1] + chr(ord(segs[0][-1]) + 1)
-                hi = bisect_left(vocab, stop, lo)
-            out = [t for t in vocab[lo:hi] if rx.match(t)]
+            out = None
+            seed = max((s for s in segs if s), key=len, default="")
+            if not segs[0] and len(seed) >= 3:
+                # leading '*' has no prefix window — the trigram
+                # sidecar turns the vocab scan into a candidate-list
+                # read (see expand_infix); an over-broad seed falls
+                # back to the scan instead of failing the query
+                try:
+                    cands = self.expand_infix(seed, max_terms=max_terms * 10)
+                except ValueError:
+                    cands = None
+                if cands is not None:
+                    out = [t for t in cands if rx.match(t)]
+            if out is None:
+                vocab = self._all_terms()
+                lo, hi = 0, len(vocab)
+                if segs[0]:  # sorted vocab → literal-prefix window
+                    lo = bisect_left(vocab, segs[0])
+                    stop = segs[0][:-1] + chr(ord(segs[0][-1]) + 1)
+                    hi = bisect_left(vocab, stop, lo)
+                out = [t for t in vocab[lo:hi] if rx.match(t)]
         if len(out) > max_terms:
             raise ValueError(
                 f"wildcard {pattern!r} expands to {len(out)} terms (> {max_terms})"

@@ -125,6 +125,23 @@ class IndexLayout:
         """Sidecar path for a committed segment file."""
         return os.path.join(self.termdict_dir, os.path.basename(posting_file))
 
+    @property
+    def trigram_dir(self) -> str:
+        """Character-trigram sidecars (pg_trgm / Lucene n-gram style):
+        for each posting segment, (tri, term) pairs over that segment's
+        unique terms, SORTED BY tri so a parquet ``tri IN (...)``
+        filter prunes row groups. Infix/substring expansion
+        (``QueryEngine.expand_infix``, leading-'*' wildcards) reads
+        only the query's trigram lists instead of scanning the whole
+        vocabulary. Same per-segment append-friendly layout as
+        ``termdict``; readers fall back to the vocab scan when absent
+        (pre-trigram indexes)."""
+        return os.path.join(self.root, "trigram")
+
+    def trigram_path_for(self, posting_file: str) -> str:
+        """Trigram sidecar path for a committed segment file."""
+        return os.path.join(self.trigram_dir, os.path.basename(posting_file))
+
     def posting_path(self, part: int, gen: int = 0) -> str:
         """Segment file for (partition, generation). Generation 0 is the
         cold build; each append adds generation g > 0 segments beside
@@ -193,6 +210,39 @@ class IndexLayout:
         final = self.dict_path_for(posting_file)
         tmp = final + ".tmp"
         pq.write_table(pa.table({"term": uniq}), tmp, compression="zstd")
+        os.replace(tmp, final)
+        self._write_trigrams(posting_file, uniq.to_pylist())
+
+    def _write_trigrams(self, posting_file: str, terms: list[str]) -> None:
+        """Publish the character-trigram sidecar for one segment:
+        unique (tri, term) pairs sorted by (tri, term), small row
+        groups so ``tri IN (...)`` parquet filters read only the
+        matching slices. Terms shorter than 3 chars contribute no rows
+        (infix queries that short fall back to the vocab scan)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tris: list[str] = []
+        ts: list[str] = []
+        for t in terms:
+            if len(t) < 3:
+                continue
+            seen = {t[i : i + 3] for i in range(len(t) - 2)}
+            tris.extend(seen)
+            ts.extend([t] * len(seen))
+        order = np.lexsort((np.asarray(ts, dtype=object),
+                            np.asarray(tris, dtype=object)))
+        tbl = pa.table(
+            {
+                "tri": pa.array([tris[i] for i in order], pa.string()),
+                "term": pa.array([ts[i] for i in order], pa.string()),
+            }
+        )
+        os.makedirs(self.trigram_dir, exist_ok=True)
+        final = self.trigram_path_for(posting_file)
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd", row_group_size=8192)
         os.replace(tmp, final)
 
     def committed_parts(self, gen: int = 0) -> dict[int, dict]:
