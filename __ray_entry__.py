@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": relational.volume_shipping,
         "top_supplier": relational.top_supplier,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "lineitem_moments": relational.lineitem_moments,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
@@ -1396,6 +1397,33 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT))::BIGINT / 700.0 AS avg_yearly
             FROM sel JOIN t USING (l_partkey)
             WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+        """,
+        "lineitem_moments": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       count(*)::BIGINT AS n,
+                       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sx,
+                       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT
+                           AS sy,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT))::BIGINT AS sxx,
+                       sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT
+                           AS syy,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT
+                           AS sxy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   n AS n_rows,
+                   round((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                         / (n::DOUBLE - 1.0), 6) AS var_qty,
+                   round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                         / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                              * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)),
+                         6) AS corr_qty_disc
+            FROM s
         """,
         "lineitem_range_sorted": """
             WITH t AS (

@@ -1332,3 +1332,66 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         {"revenue_cents": [total],
          "avg_yearly": [float(total) / 700.0]}
     ).astype({"revenue_cents": np.int64, "avg_yearly": np.float64})
+
+
+def lineitem_moments(sf_dir: str) -> pd.DataFrame:
+    """Grouped second-moment statistics: per return flag, sample
+    variance of quantity and the quantity↔discount correlation —
+    the moments family (var_samp / stddev / corr) done as ONE pass of
+    exact integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy).
+
+    Exactness contract: quantity ∈ [1,50] and discount-cents ∈ [0,10]
+    keep every Σ inside int64 even at 10¹⁵ rows, and BOTH sides (Ray
+    and the SQL oracle) derive the float results from the same integer
+    sums with the same expression shape — no streaming-variance
+    algorithm whose round-off depends on row order. Partials combine
+    driver-side (|flags| × blocks rows).
+    Output: (l_returnflag, n_rows, var_qty, corr_qty_disc), round6."""
+    import ray.data as rd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        dc = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(object),
+                "n_rows": 1,
+                "sx": qty,
+                "sy": dc,
+                "sxx": qty * qty,
+                "syy": dc * dc,
+                "sxy": qty * dc,
+            }
+        )
+        out = df.groupby("l_returnflag", as_index=False).sum()
+        return out.astype({c: np.int64 for c in ["n_rows", "sx", "sy", "sxx", "syy", "sxy"]})
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)[
+            ["n_rows", "sx", "sy", "sxx", "syy", "sxy"]
+        ].sum()
+    )
+    n = parts["n_rows"].to_numpy(np.float64)
+    sx = parts["sx"].to_numpy(np.float64)
+    sy = parts["sy"].to_numpy(np.float64)
+    sxx = parts["sxx"].to_numpy(np.float64)
+    syy = parts["syy"].to_numpy(np.float64)
+    sxy = parts["sxy"].to_numpy(np.float64)
+    var_qty = (sxx - sx * sx / n) / (n - 1.0)
+    corr = (sxy - sx * sy / n) / np.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": parts["l_returnflag"].astype(object),
+            "n_rows": parts["n_rows"].to_numpy(np.int64),
+            "var_qty": round6(var_qty),
+            "corr_qty_disc": round6(corr),
+        }
+    )
