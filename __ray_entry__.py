@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
         "events_value_ranks": windows.events_value_ranks,
+        "events_value_percentiles": windows.events_value_percentiles,
         "events_sessionize": windows.events_sessionize,
         "events_asof_orders": windows.events_asof_orders,
         "top_event_per_user": windows.top_event_per_user,
@@ -1488,6 +1489,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    sum(cents)::BIGINT AS sum_value_cents
             FROM x GROUP BY window_start
+        """,
+        "events_value_percentiles": """
+            SELECT user_id, event_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC) AS cume_dist,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY value DESC, event_id)
+                        AS BIGINT) AS tile
+            FROM events
         """,
         "events_value_ranks": """
             SELECT user_id, event_id,

@@ -295,3 +295,50 @@ def events_value_ranks(sf_dir: str):
         .groupby("__bucket")
         .map_groups(ranks, batch_format="pandas")
     )
+
+
+def events_value_percentiles(sf_dir: str, n_tiles: int = 4):
+    """Per-user distribution window functions over event value:
+    percent_rank, cume_dist and ntile(4) — the rank family's
+    (``events_value_ranks``) ratio-valued siblings. Same plan: ONE
+    bucket-by-user-hash exchange, vectorized pandas kernels per
+    bucket, no global sort. Doubles derive from integer rank/count
+    ratios with the SQL expression shape, so the oracle matches
+    exactly (no round-off source)."""
+    import ray.data as rd
+
+    def percentiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        by = g.groupby("user_id", sort=False)
+        n = by["value"].transform("size").to_numpy(np.int64)
+        rn = (by.cumcount() + 1).to_numpy(np.int64)
+        rnk = by["value"].rank(method="min", ascending=False).to_numpy(np.int64)
+        rnk_max = by["value"].rank(method="max", ascending=False).to_numpy(np.int64)
+        pr = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = rnk_max / n
+        # SQL NTILE: the first (n mod t) tiles take ceil(n/t) rows
+        q, r = n // n_tiles, n % n_tiles
+        cut = r * (q + 1)
+        tile = (
+            np.where(rn <= cut, (rn - 1) // (q + 1),
+                     r + (rn - 1 - cut) // np.maximum(q, 1)) + 1
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "pct_rank": pr.astype(np.float64),
+                "cume_dist": cd.astype(np.float64),
+                "tile": tile,
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(percentiles, batch_format="pandas")
+    )
