@@ -97,3 +97,52 @@ def test_empty_result_keeps_schema(ray_session):
     # what matters is zero rows, not an error
     assert len(t) == 0
     assert list(t.columns) in ([], ["k", "v", "w"])
+
+
+def test_salted_join_identity_under_skew(ray_session):
+    # one key carries 60% of the left side: salted output must equal
+    # the unsalted join exactly, for inner AND left
+    rng = np.random.default_rng(31)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.6, 42, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lval": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 500, dtype=np.int64),
+         "rval": np.arange(0, 500, dtype=np.int64) * 10}
+    )
+    right = pd.concat(
+        [right, pd.DataFrame({"k": [42, 42], "rval": [4200, 4201]})],
+        ignore_index=True,
+    )
+    import ray.data as rd
+
+    def big_ds(df):
+        return rd.from_pandas(df).repartition(8)
+
+    for how in ("inner", "left"):
+        plain = hash_join(
+            big_ds(left), big_ds(right), on="k", how=how
+        ).to_pandas()
+        salted = hash_join(
+            big_ds(left), big_ds(right), on="k", how=how,
+            salt_heavy=True, salt_subs=4, heavy_frac=0.05,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(_norm(plain), _norm(salted))
+        # every (l, r) pair of the hot key appears exactly once: the
+        # hot key matches 3 right rows (42 appears at 42, plus 2 extra)
+        hot = salted[salted["k"] == 42]
+        n_hot_left = int((keys == 42).sum())
+        assert len(hot) == n_hot_left * 3
+
+
+def test_heavy_key_detection(ray_session):
+    from zensearch_ray.pipelines.joins import _detect_heavy_keys
+
+    rng = np.random.default_rng(5)
+    import ray.data as rd
+
+    keys = np.where(rng.random(10_000) < 0.3, 7, rng.integers(100, 10_000, 10_000))
+    ds = rd.from_pandas(pd.DataFrame({"k": keys.astype(np.int64)})).repartition(8)
+    heavy = _detect_heavy_keys(ds, "k", frac=0.05)
+    assert 7 in heavy
+    assert len(heavy) < 50  # uniform keys must not flood the set

@@ -19,10 +19,17 @@ works is the classic partitioned hash join:
 Partitioning assumptions (document per the brief): each bucket's slice
 of both sides must fit one worker's heap — size ``n_buckets`` so
 (|L|+|R|) / n_buckets ≈ a block; heavily-skewed keys (one key = half
-the rows) need the same salting treatment the index build applies to
-heavy terms (`build_index.py` salted heavy-term split) — not built in
-here because join keys in the test tables (and typical fact keys) are
-near-uniform.
+the rows) get the same salting treatment the index build applies to
+heavy terms: ``salt_heavy=True`` detects frequent keys with a cheap
+per-batch frequency pass, SPLITS the left side's heavy rows across
+``salt_subs`` sub-buckets and REPLICATES the right side's matching
+rows into each — every (l, r) pair still meets exactly once, so
+inner/left semantics are unchanged while no bucket holds more than
+~|heavy|/salt_subs of a hot key. Detect-side rule: salt the side with
+many rows per hot key (the fact side, here: left) and replicate the
+other; replicating a side that is itself heavy multiplies rows —
+swap the operands instead. Off by default (the test tables' fact
+keys are near-uniform).
 
 When the downstream is an AGGREGATE over the joined rows, prefer
 pre-aggregating the fact side per key BEFORE this join (the partials
@@ -47,6 +54,7 @@ from zensearch_ray.functions.agg import _bucket_of
 _KEY = "__key"
 _SIDE = "__side"
 _BUCKET = "__bucket"
+_SALT = "__salt"
 
 
 def _arrow_type(t) -> pa.DataType:
@@ -58,6 +66,32 @@ def _arrow_type(t) -> pa.DataType:
     if t is object or t is str:
         return pa.string()
     return pa.from_numpy_dtype(np.dtype(t))
+
+
+def _detect_heavy_keys(ds, key_col: str, frac: float) -> set:
+    """Keys likely ≥ ``frac`` of all rows: per-batch value_counts at
+    frac/2 (a globally hot key is hot in nearly every batch), union on
+    the driver. False positives only cost pointless salting; the scan
+    reads the key column alone at block granularity."""
+    import pyarrow.compute as _pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"k": pa.array([], col.type)})
+        vc = _pc.value_counts(col)
+        thr = max(2, int(len(col) * frac / 2))
+        mask = _pc.greater_equal(vc.field("counts"), thr)
+        return pa.table({"k": vc.field("values").filter(mask)})
+
+    out = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return set(out["k"]) if len(out) else set()
 
 
 def _tag_side(key_col: str, side: int, own_cols, other_fields):
@@ -85,12 +119,20 @@ def hash_join(
     right_on: str | None = None,
     how: str = "inner",
     n_buckets: int = 64,
+    salt_heavy: bool = False,
+    salt_subs: int = 8,
+    heavy_frac: float = 0.01,
 ):
     """Join two Datasets on a key column via one co-partitioning
     exchange. ``how`` ∈ {"inner", "left"}. The output key column keeps
     the LEFT side's name; non-key column names must be disjoint
     (select/rename before joining — explicit beats suffix magic in a
     pipeline you'll re-run at 100 TB).
+
+    ``salt_heavy=True`` bounds skew: keys ≥ ``heavy_frac`` of the LEFT
+    side (detected by one cheap key-column pass) are salt-split across
+    ``salt_subs`` sub-buckets on the left and replicated to each on the
+    right — see the module docstring for the sidedness rule.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -121,16 +163,55 @@ def hash_join(
         + [pa.field(n, t) for n, t in rfields]
     )
 
-    tagged = left.map_batches(
-        _tag_side(on, 0, lcols, rfields), batch_format="pyarrow"
-    ).union(
-        right.map_batches(_tag_side(right_on, 1, rcols, lfields), batch_format="pyarrow")
-    )
+    n_salts = salt_subs if salt_heavy else 1
+    if salt_heavy:
+        import ray
+
+        heavy_ref = ray.put(_detect_heavy_keys(left, on, heavy_frac))
+
+        def tag_left(batch: pa.Table) -> pa.Table:
+            base = _tag_side(on, 0, lcols, rfields)(batch)
+            hv = ray.get(heavy_ref)
+            isin = base[_KEY].to_pandas().isin(hv).to_numpy()
+            salt = np.zeros(base.num_rows, dtype=np.int32)
+            salt[isin] = np.arange(int(isin.sum()), dtype=np.int32) % n_salts
+            return base.append_column(_SALT, pa.array(salt))
+
+        def tag_right(batch: pa.Table) -> pa.Table:
+            base = _tag_side(right_on, 1, rcols, lfields)(batch)
+            hv = ray.get(heavy_ref)
+            isin = base[_KEY].to_pandas().isin(hv).to_numpy()
+            cold = base.filter(pa.array(~isin)).append_column(
+                _SALT, pa.nulls(int((~isin).sum()), pa.int32()).fill_null(0)
+            )
+            hot = base.filter(pa.array(isin))
+            if hot.num_rows == 0:
+                return cold
+            reps = [
+                hot.append_column(
+                    _SALT, pa.nulls(hot.num_rows, pa.int32()).fill_null(s)
+                )
+                for s in range(n_salts)
+            ]
+            return pa.concat_tables([cold] + reps)
+
+        tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+            right.map_batches(tag_right, batch_format="pyarrow")
+        )
+    else:
+        tagged = left.map_batches(
+            _tag_side(on, 0, lcols, rfields), batch_format="pyarrow"
+        ).union(
+            right.map_batches(_tag_side(right_on, 1, rcols, lfields), batch_format="pyarrow")
+        )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            _BUCKET, pa.array(_bucket_of(batch[_KEY], n_buckets))
-        )
+        b = _bucket_of(batch[_KEY], n_buckets).astype(np.int32)
+        if salt_heavy:
+            b = b * np.int32(n_salts) + batch[_SALT].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int32)
+        return batch.append_column(_BUCKET, pa.array(b))
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group[_SIDE]
