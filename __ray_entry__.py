@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_ordered_heavy": lambda sf: bloom.parts_ordered_heavy(sf, anti=False),
         "parts_never_ordered_heavy": lambda sf: bloom.parts_ordered_heavy(sf, anti=True),
         "events_daily_active": analytics.events_daily_active,
+        "events_value_histogram": analytics.events_value_histogram,
         # HLL sketch twin of events_daily_active: constant exchange
         # volume per group (2^p-byte registers), ~1.6% std error —
         # approximate by design, so no value-hash oracle (rows-only
@@ -1597,6 +1598,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON b.user_id = a.user_id
                              AND b.ts_s >= a.ts_s AND b.ts_s < a.ts_s + 3600
             GROUP BY a.event_id
+        """,
+        "events_value_histogram": """
+            SELECT bin,
+                   bin * 25.0 AS lo,
+                   count(*)::BIGINT AS n
+            FROM (
+                SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500
+                           AS bin
+                FROM events
+            )
+            GROUP BY bin
         """,
         "events_daily_active": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,

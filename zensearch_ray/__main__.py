@@ -290,6 +290,28 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_sort(args) -> int:
+    """Range-partitioned distributed sort of a parquet table by one
+    column → part_{id:05d}.parquet files whose name-order concatenation
+    is globally sorted (see ``pipelines/sort.py``)."""
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.sort import sorted_export
+
+    _ensure_ray()
+    ds = rd.read_parquet(args.input)
+    manifest = sorted_export(
+        ds, args.col, args.output, n_parts=args.parts,
+        spread_ties=args.spread_ties,
+    )
+    print(json.dumps({
+        "parts": int(len(manifest)),
+        "rows": int(manifest["n_rows"].sum()),
+        "max_part_rows": int(manifest["n_rows"].max()),
+    }))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Decode the committed segments into columnar (term, doc_id, tf,
     dl) parquet — the interop/integrity inverse of the build's encode
@@ -737,6 +759,22 @@ def main(argv=None) -> int:
     vq.add_argument("-k", type=int, default=10)
     vq.add_argument("--nprobe", type=int, default=4)
     vq.set_defaults(fn=cmd_vquery)
+
+    so = sub.add_parser(
+        "sort",
+        help="range-partitioned sort of a parquet table → globally "
+             "ordered part files",
+    )
+    so.add_argument("--input", required=True, help="parquet file/dir")
+    so.add_argument("--col", required=True, help="sort column")
+    so.add_argument("--output", required=True, help="output directory")
+    so.add_argument("--parts", type=int, default=32)
+    so.add_argument(
+        "--spread-ties", action="store_true",
+        help="round-robin boundary-tie rows across eligible partitions "
+             "(bounds skew; equal keys are order-equivalent)",
+    )
+    so.set_defaults(fn=cmd_sort)
 
     ex = sub.add_parser(
         "export",

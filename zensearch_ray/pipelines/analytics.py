@@ -459,3 +459,41 @@ def events_retention(
     return out.astype(
         {"cohort_day": np.int64, "day_offset": np.int64, "n_users": np.int64}
     )
+
+
+def events_value_histogram(sf_dir: str, width: float = 25.0):
+    """Equi-width histogram of event value (bin = floor(value/width)):
+    the analytics primitive behind every distribution dashboard. One
+    map-only pass emitting per-block bin-count partials, combined
+    driver-side — the histogram is bin-cardinality, nothing shuffles.
+    Bin edges computed on integer cents (value×100 vs width×100) so
+    float division can't move an edge case between Ray and SQL.
+    Output: (bin, lo, n) — lo is the bin's inclusive lower edge."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    w_cents = int(round(width * 100))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        bins = cents // w_cents
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq.astype(np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("bin", as_index=False)["n"].sum()
+        .sort_values("bin", ignore_index=True)
+    )
+    parts["lo"] = parts["bin"].to_numpy(np.int64) * w_cents / 100.0
+    return parts[["bin", "lo", "n"]].astype(
+        {"bin": np.int64, "lo": np.float64, "n": np.int64}
+    )
