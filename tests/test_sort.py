@@ -96,3 +96,25 @@ def test_single_partition(ray_session, tmp_path):
     manifest = sorted_export(ds, "x", out, n_parts=1)
     assert len(manifest) == 1
     _assert_sorted_and_same_multiset(out, "x", vals)
+
+
+def test_export_resume_rewrites_only_missing(ray_session, tmp_path):
+    import os
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 100_000, size=8_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+    out = str(tmp_path / "resumable")
+    first = sorted_export(ds, "x", out, n_parts=6)
+    assert len(first) == 6
+    # simulate a crash: one partition's data + marker vanish
+    victim = first["path"][2]
+    pid = int(first["part_id"][2])
+    os.remove(victim)
+    os.remove(f"{out}/_partitions/part-{pid:05d}.json")
+    second = sorted_export(ds, "x", out, n_parts=6)
+    assert list(second["part_id"]) == [pid]  # only the hole rewritten
+    _assert_sorted_and_same_multiset(out, "x", vals)
+    # fully-committed rerun: zero new work, schema intact
+    third = sorted_export(ds, "x", out, n_parts=6)
+    assert len(third) == 0 and list(third.columns) == ["part_id", "n_rows", "path"]

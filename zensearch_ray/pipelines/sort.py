@@ -127,19 +127,50 @@ def range_sorted_stats(ds, col: str, n_parts: int = 32) -> pd.DataFrame:
 
 
 def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
-                  spread_ties: bool = False) -> pd.DataFrame:
+                  spread_ties: bool = False,
+                  skip_existing: bool = True) -> pd.DataFrame:
     """Range-sort ``ds`` by ``col`` and write one sorted parquet file
     per partition (``part_{id:05d}.parquet``); reading the files in
     name order yields one globally sorted stream. Returns the
-    per-partition manifest (part_id, n_rows, path)."""
-    os.makedirs(out_dir, exist_ok=True)
+    per-partition manifest (part_id, n_rows, path).
+
+    Same commit/resume protocol as ``state/sink.write_partitioned``
+    (the north-rule's "resumable output"): data tmp+renamed FIRST,
+    marker last, and — because the quantile pivots are deterministic —
+    a rerun drops completed partitions' rows MAP-SIDE, before the
+    range exchange, so a crashed export only moves and rewrites the
+    missing partitions."""
+    from zensearch_ray.state.sink import _MARKER_DIR, completed_partitions
+
+    os.makedirs(os.path.join(out_dir, _MARKER_DIR), exist_ok=True)
+    done = completed_partitions(out_dir) if skip_existing else set()
+    done_arr = np.zeros(n_parts, dtype=bool)
+    for p in done:
+        if p < n_parts:
+            done_arr[p] = True
+
+    src = range_partitioned(ds, col, n_parts, spread_ties=spread_ties)
+    if done_arr.any():
+        def drop_done(batch: pa.Table) -> pa.Table:
+            parts = batch[_PART].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~done_arr[parts]))
+
+        src = src.map_batches(drop_done, batch_format="pyarrow")
 
     def sort_and_write(group: pa.Table) -> pa.Table:
+        import json as _json
+
         pid = group[_PART][0].as_py()
         idx = pc.sort_indices(group, sort_keys=[(col, "ascending")],
                               null_placement="at_end")
         path = os.path.join(out_dir, f"part_{pid:05d}.parquet")
-        pq.write_table(group.take(idx).drop_columns([_PART]), path)
+        tmp = path + ".tmp"
+        pq.write_table(group.take(idx).drop_columns([_PART]), tmp)
+        os.replace(tmp, path)  # data first, marker last (commit point)
+        marker = os.path.join(out_dir, _MARKER_DIR, f"part-{pid:05d}.json")
+        with open(marker + ".tmp", "w") as f:
+            _json.dump({"part": pid, "rows": group.num_rows}, f)
+        os.replace(marker + ".tmp", marker)
         return pa.table(
             {
                 "part_id": pa.array([pid], pa.int64()),
@@ -149,11 +180,15 @@ def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
         )
 
     out = (
-        range_partitioned(ds, col, n_parts, spread_ties=spread_ties)
-        .groupby(_PART)
+        src.groupby(_PART)
         .map_groups(sort_and_write, batch_format="pyarrow")
         .to_pandas()
     )
+    if out.empty:  # everything already committed (all-empty to_pandas
+        # loses columns) — report zero new work with the right schema
+        return pd.DataFrame({"part_id": pd.Series(dtype=np.int64),
+                             "n_rows": pd.Series(dtype=np.int64),
+                             "path": pd.Series(dtype=object)})
     return out.sort_values("part_id", ignore_index=True)
 
 
