@@ -639,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": relational.orders_per_nation,
         "events_hourly": relational.events_hourly,
         "pricing_rollup": relational.pricing_rollup,
+        "pricing_cube": relational.pricing_cube,
         "customer_order_histogram": relational.customer_order_histogram,
         "late_shipment_priority": relational.late_shipment_priority,
         "promo_revenue": relational.promo_revenue,
@@ -1274,6 +1275,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "customer_order_histogram": """
             SELECT c_count, count(*)::BIGINT AS custdist FROM (

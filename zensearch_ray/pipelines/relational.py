@@ -1395,3 +1395,26 @@ def lineitem_moments(sf_dir: str) -> pd.DataFrame:
             "corr_qty_disc": round6(corr),
         }
     )
+
+
+def pricing_cube(sf_dir: str):
+    """CUBE over the Q1 pricing aggregate: all four grouping sets —
+    (flag, status), (flag), (status), () — NULL-marked like SQL
+    ``GROUP BY CUBE``. Same scale shape as ``pricing_rollup``: the
+    corpus is aggregated once at the finest grain; every other level
+    re-aggregates the group-cardinality table on the driver (zero
+    extra passes, zero extra exchange — 2^k levels cost 2^k tiny
+    pandas groupbys, never another corpus scan)."""
+    fine = lineitem_pricing(sf_dir)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "n_rows"]
+    ]
+    metrics = ["sum_qty", "revenue_cents", "n_rows"]
+    by_flag = fine.groupby("l_returnflag", as_index=False)[metrics].sum()
+    by_flag.insert(1, "l_linestatus", None)
+    by_status = fine.groupby("l_linestatus", as_index=False)[metrics].sum()
+    by_status.insert(0, "l_returnflag", None)
+    total = fine[metrics].sum().to_frame().T
+    total.insert(0, "l_returnflag", None)
+    total.insert(1, "l_linestatus", None)
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    return out.astype({m: np.int64 for m in metrics})
