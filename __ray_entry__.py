@@ -341,6 +341,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "rank", range(1, len(out) + 1))
         return out
 
+    def _quantiles_approx(sf_dir: str):
+        # one-pass approximate sibling of lineitem_quantiles (no SQL
+        # oracle: bounded rank error, not value identity — the bound
+        # itself is referee-tested in test_quantiles.py)
+        import ray.data as rd
+
+        from zensearch_ray.stages.quantiles import approx_quantiles
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        )
+        return approx_quantiles(
+            ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+        )
+
     def embedding_kmeans(sf_dir: str):
         import ray.data as rd
 
@@ -688,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_events_per_user": lambda sf: analytics.topn_events_per_user(sf, 3),
         "events_sample": analytics.events_sample,
         "lineitem_quantiles": analytics.lineitem_quantiles,
+        "lineitem_quantiles_approx": _quantiles_approx,
         "embedding_multi_topk": embedding_multi,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,

@@ -90,3 +90,42 @@ def test_single_row(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([5.0])}))
     got = exact_quantiles(ds, "x", QS)
     assert set(got["value"]) == {5.0}
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    from zensearch_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(13)
+    for vals in (
+        rng.normal(0, 1, 50_000),
+        np.concatenate([np.full(30_000, 7.0), rng.uniform(0, 100, 20_000)]),
+    ):
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+        got = approx_quantiles(ds, "x", QS, k_per_block=1024)
+        ref = np.sort(vals)
+        n = len(ref)
+        # rank error bound: sum n_b/(2k) with 8 blocks of n/8 rows
+        bound = int(np.ceil(n / (2 * 1024))) * 8 + 8
+        for q, v in zip(got["q"], got["value"]):
+            true_rank = max(math.ceil(q * n), 1) - 1
+            got_rank = int(np.searchsorted(ref, v, side="left"))
+            got_rank_hi = int(np.searchsorted(ref, v, side="right")) - 1
+            if got_rank <= true_rank <= got_rank_hi:
+                err = 0  # the estimate's value run covers the true rank
+            else:
+                err = min(abs(got_rank - true_rank),
+                          abs(got_rank_hi - true_rank))
+            assert err <= bound, (q, v, err, bound)
+
+
+def test_approx_quantiles_exact_when_blocks_small(ray_session):
+    from zensearch_ray.stages.quantiles import approx_quantiles
+    from zensearch_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(19)
+    vals = rng.integers(0, 1000, 500).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(2)
+    # k >= block size → every value kept → must equal the exact path
+    got = approx_quantiles(ds, "x", QS, k_per_block=100_000)
+    want = exact_quantiles(ds, "x", QS)
+    assert list(got["value"]) == list(want["value"])

@@ -355,3 +355,55 @@ def exact_quantiles(
     if by is None:
         return out[["q", "value"]].reset_index(drop=True)
     return out.rename(columns={"g": by}).reset_index(drop=True)
+
+
+def approx_quantiles(ds, col: str, qs, k_per_block: int = 4096) -> pd.DataFrame:
+    """ONE-pass approximate quantiles: each block sorts locally and
+    keeps ``k_per_block`` evenly-spaced order statistics, each weighted
+    ``n_block / k``; the driver computes weighted quantiles over the
+    concatenated summaries. Deterministic (no sampling), mergeable
+    (summaries are just weighted values), and rank error is bounded by
+    ``Σ n_b / (2·k)`` — with the default k and Ray's ~64 MB blocks
+    that is ≲0.02% of N regardless of scale. The EXACT multi-pass
+    sibling is ``exact_quantiles``; this is the single-scan option for
+    pipelines that touch the data once (e.g. a quality-cut threshold
+    during ingest). Nulls dropped; returns (q, value) like the exact
+    path."""
+    import ray  # noqa: F401  (parity with the module's other entry points)
+
+    qs = [float(q) for q in qs]
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[~pd.isna(vals)]
+        n = len(vals)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        vals = np.sort(vals)
+        k = min(k_per_block, n)
+        # evenly spaced order statistics, endpoints included
+        idx = np.unique(
+            np.round(np.linspace(0, n - 1, k)).astype(np.int64)
+        )
+        w = np.full(len(idx), n / len(idx), dtype=np.float64)
+        return pa.table({"v": pa.array(vals[idx]), "w": pa.array(w)})
+
+    summ = (
+        ds.select_columns([col])
+        .map_batches(summarize, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    if len(summ) == 0:
+        return pd.DataFrame({"q": [], "value": []})
+    order = np.argsort(summ["v"].to_numpy(), kind="stable")
+    v = summ["v"].to_numpy()[order]
+    w = summ["w"].to_numpy()[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out_v = []
+    for q in qs:
+        r = max(math.ceil(q * total), 1)  # percentile_disc-style rank
+        out_v.append(float(v[np.searchsorted(cum, r, side="left")]))
+    return pd.DataFrame({"q": np.asarray(qs, np.float64),
+                         "value": np.asarray(out_v, np.float64)})
