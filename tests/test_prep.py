@@ -88,3 +88,43 @@ def test_prep_resume_converges(ray_session, pages_small, tmp_path):
     assert after.equals(full)
     assert stats["written"] == len(victims)
     assert stats["skipped"] == len(done) - len(victims)
+
+
+def test_canonical_dedup_collapses_mirrors(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    text = " ".join(f"tok{i % 97} filler word content" for i in range(60))
+    rows = [
+        # three mirrors of one page (earliest ts must survive) ...
+        ("https://Site.COM/page/?utm_source=ad#x", 100, text, "en"),
+        ("https://site.com/page", 50, text + " earliest", "en"),
+        ("https://site.com:443/page/", 200, text, "en"),
+        # ... and one genuinely different page
+        ("https://site.com/other", 10, text, "en"),
+    ]
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "text": pa.array([r[2] for r in rows]),
+                "lang": pa.array([r[3] for r in rows]),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "prep_canon")
+    stats = prep_corpus(src, out, lang="en", min_tokens=10,
+                        chunk_tokens=512, n_partitions=4,
+                        canonical_dedup=True)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    got = duckdb.sql(
+        f"SELECT url, chunk_text FROM read_parquet({files!r}) ORDER BY url"
+    ).df()
+    # mirrors collapsed to ONE survivor: the earliest (ts=50, bare url)
+    assert list(got["url"]) == ["https://site.com/other", "https://site.com/page"]
+    assert got["chunk_text"][1].endswith("earliest")

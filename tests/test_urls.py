@@ -62,3 +62,21 @@ def test_topk_docs_resolves_urls(ray_session, pages_small, tmp_path):
     ]
     for a, b in zip(pruned, docs):
         assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+
+
+def test_canonical_url_forms():
+    from zensearch_ray.functions.urls import canonical_url
+
+    cases = {
+        "HTTPS://Example.COM:443/a/b/?utm_source=x#frag": "https://example.com/a/b",
+        "http://site.org:80/": "http://site.org",
+        "https://a.b/path/": "https://a.b/path",
+        "https://a.b/path?q=real": "https://a.b/path?q=real",  # kept
+        "https://a.b/Path": "https://a.b/Path",  # path case preserved
+        "https://a.b:8080/x": "https://a.b:8080/x",  # non-default port kept
+        "not a url": "not a url",
+    }
+    for raw, want in cases.items():
+        assert canonical_url(raw) == want, raw
+    # distinct canonical pages never collapse
+    assert canonical_url("https://a.b/x") != canonical_url("https://a.b/y")

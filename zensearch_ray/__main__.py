@@ -253,6 +253,7 @@ def cmd_prep(args) -> int:
         max_stop_ratio=args.max_stop_ratio,
         chunk_tokens=args.chunk_tokens,
         n_partitions=args.partitions,
+        canonical_dedup=args.canonical_dedup,
     )
     print(json.dumps(stats))
     return 0
@@ -662,6 +663,11 @@ def main(argv=None) -> int:
     pr.add_argument("--max-stop-ratio", type=float, default=0.5)
     pr.add_argument("--chunk-tokens", type=int, default=512)
     pr.add_argument("--partitions", type=int, default=64)
+    pr.add_argument(
+        "--canonical-dedup", action="store_true",
+        help="dedup by canonical URL (case/fragment/utm/port/slash "
+             "mirrors collapse) instead of exact URL",
+    )
     pr.set_defaults(fn=cmd_prep)
 
     c = sub.add_parser(

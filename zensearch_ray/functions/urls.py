@@ -53,3 +53,42 @@ def host_counts_batch(batch, url_col: str = "url"):
             "n_docs": pa.array(list(counts.values()), type=pa.int64()),
         }
     )
+
+
+_CANON_STEPS = (
+    # applied in order; each is (regex, replacement) and each step is a
+    # plain re.sub so any engine (including a SQL regexp_replace chain)
+    # reproduces the canonical form byte-for-byte
+    (r"#.*$", ""),                       # fragment never reaches a server
+    (r"\?utm_[^#]*$", ""),               # pure-tracking query string
+    (r"^(https?)://([^/]+):(80|443)(/|$)", r"\1://\2\4"),  # default ports
+    (r"/+$", ""),                        # trailing slashes
+)
+
+
+def canonical_url(url: str) -> str:
+    """Crawl-dedup URL canonicalization: lowercase scheme+host, drop
+    fragments, drop pure-tracking (`?utm_...`) query strings, strip
+    default ports and trailing slashes. Deliberately REGEX-ONLY (no
+    urllib parse) so the exact transform is portable to any oracle —
+    each step is one substitution. Distinct canonical pages stay
+    distinct: path and non-tracking queries are untouched."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", url)
+    if m:
+        url = m.group(1).lower() + "://" + m.group(2).lower() + m.group(3)
+    for pat, rep in _CANON_STEPS:
+        url = re.sub(pat, rep, url)
+    return url
+
+
+def canonical_url_batch(batch, url_col: str = "url", out_col: str = "canon_url"):
+    """map_batches fn: append the canonical form of ``url_col``."""
+    import pyarrow as pa
+
+    return batch.append_column(
+        out_col,
+        pa.array([canonical_url(u) for u in batch[url_col].to_pylist()],
+                 type=pa.string()),
+    )

@@ -47,6 +47,7 @@ def prep_corpus(
     max_stop_ratio: float = 0.5,
     chunk_tokens: int = 512,
     n_partitions: int = 64,
+    canonical_dedup: bool = False,
 ) -> dict:
     """Run the prep chain over ``source`` (pages parquet path(s) or a
     Dataset) into ``out_dir``. Returns the sink's
@@ -67,7 +68,17 @@ def prep_corpus(
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t["lang"], lng)), batch_format="pyarrow"
         )
-    ds = dedup_by_key(ds, "url", order_col="warc_ts")
+    if canonical_dedup:
+        # crawl-style dedup: mirrors of the same page that differ only
+        # in case/fragment/tracking-params/default-port/trailing-slash
+        # collapse to one canonical survivor (keep earliest warc_ts)
+        from zensearch_ray.functions.urls import canonical_url_batch
+
+        ds = ds.map_batches(canonical_url_batch, batch_format="pyarrow")
+        ds = dedup_by_key(ds, "canon_url", order_col="warc_ts")
+        ds = ds.drop_columns(["canon_url"])
+    else:
+        ds = dedup_by_key(ds, "url", order_col="warc_ts")
 
     def add_id(batch: pa.Table) -> pa.Table:
         ids = np.fromiter(
