@@ -129,3 +129,33 @@ def test_approx_quantiles_exact_when_blocks_small(ray_session):
     got = approx_quantiles(ds, "x", QS, k_per_block=100_000)
     want = exact_quantiles(ds, "x", QS)
     assert list(got["value"]) == list(want["value"])
+
+
+def test_approx_quantiles_grouped(ray_session):
+    import pandas as pd
+
+    from zensearch_ray.stages.quantiles import approx_quantiles
+    from zensearch_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(29)
+    g = rng.choice(list("abc"), 3_000)
+    vals = rng.normal(0, 100, 3_000)
+    ds = rd.from_arrow(pa.table({"g": g, "x": vals})).repartition(4)
+    # k >= per-group block size → every value kept → equals exact
+    got = approx_quantiles(ds, "x", QS, by="g", k_per_block=100_000)
+    want = exact_quantiles(ds, "x", QS, by="g")
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # bounded error at small k: every estimate within the rank bound
+    approx = approx_quantiles(ds, "x", QS, by="g", k_per_block=64)
+    for grp in "abc":
+        ref = np.sort(vals[g == grp])
+        n = len(ref)
+        bound = int(np.ceil(n / (2 * 64))) * 4 + 8
+        for q, v in zip(approx[approx["g"] == grp]["q"],
+                        approx[approx["g"] == grp]["value"]):
+            true_rank = max(math.ceil(q * n), 1) - 1
+            lo = int(np.searchsorted(ref, v, side="left"))
+            hi = int(np.searchsorted(ref, v, side="right")) - 1
+            err = 0 if lo <= true_rank <= hi else min(abs(lo - true_rank),
+                                                      abs(hi - true_rank))
+            assert err <= bound, (grp, q, err, bound)

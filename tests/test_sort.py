@@ -118,3 +118,26 @@ def test_export_resume_rewrites_only_missing(ray_session, tmp_path):
     # fully-committed rerun: zero new work, schema intact
     third = sorted_export(ds, "x", out, n_parts=6)
     assert len(third) == 0 and list(third.columns) == ["part_id", "n_rows", "path"]
+
+
+def test_tiebreak_cols_global_lexicographic(ray_session, tmp_path):
+    rng = np.random.default_rng(53)
+    # coarse primary key (many ties) + fine tiebreak
+    x = rng.integers(0, 20, size=5_000).astype(np.int64)
+    y = rng.integers(0, 1_000_000, size=5_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(5)
+    out = str(tmp_path / "lex")
+    sorted_export(ds, "x", out, n_parts=4, tiebreak_cols=("y",))
+    import glob
+    files = sorted(glob.glob(f"{out}/part_*.parquet"))
+    gx, gy = [], []
+    for f in files:
+        t = pq.read_table(f)
+        gx.append(t["x"].to_numpy())
+        gy.append(t["y"].to_numpy())
+    gx, gy = np.concatenate(gx), np.concatenate(gy)
+    key = gx.astype(np.int64) * 2_000_000 + gy
+    assert (np.diff(key) >= 0).all(), "not globally lexicographically sorted"
+    with pytest.raises(ValueError):
+        sorted_export(ds, "x", str(tmp_path / "bad"), n_parts=4,
+                      tiebreak_cols=("y",), spread_ties=True)

@@ -128,7 +128,8 @@ def range_sorted_stats(ds, col: str, n_parts: int = 32) -> pd.DataFrame:
 
 def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
                   spread_ties: bool = False,
-                  skip_existing: bool = True) -> pd.DataFrame:
+                  skip_existing: bool = True,
+                  tiebreak_cols: tuple[str, ...] = ()) -> pd.DataFrame:
     """Range-sort ``ds`` by ``col`` and write one sorted parquet file
     per partition (``part_{id:05d}.parquet``); reading the files in
     name order yields one globally sorted stream. Returns the
@@ -139,7 +140,18 @@ def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
     marker last, and — because the quantile pivots are deterministic —
     a rerun drops completed partitions' rows MAP-SIDE, before the
     range exchange, so a crashed export only moves and rewrites the
-    missing partitions."""
+    missing partitions.
+
+    ``tiebreak_cols`` extends the within-partition sort to a full
+    lexicographic order ``(col, *tiebreak_cols)``. This yields a
+    GLOBAL lexicographic order because deterministic left-assignment
+    puts every row of one ``col`` value in the same partition — which
+    is exactly why it is mutually exclusive with ``spread_ties``
+    (spreading a tie-run across partitions would interleave the
+    tiebreak order)."""
+    if tiebreak_cols and spread_ties:
+        raise ValueError("tiebreak_cols requires spread_ties=False "
+                         "(a spread tie-run breaks lexicographic order)")
     from zensearch_ray.state.sink import _MARKER_DIR, completed_partitions
 
     os.makedirs(os.path.join(out_dir, _MARKER_DIR), exist_ok=True)
@@ -161,7 +173,8 @@ def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
         import json as _json
 
         pid = group[_PART][0].as_py()
-        idx = pc.sort_indices(group, sort_keys=[(col, "ascending")],
+        keys = [(c, "ascending") for c in (col, *tiebreak_cols)]
+        idx = pc.sort_indices(group, sort_keys=keys,
                               null_placement="at_end")
         path = os.path.join(out_dir, f"part_{pid:05d}.parquet")
         tmp = path + ".tmp"

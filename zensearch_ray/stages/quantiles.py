@@ -357,7 +357,8 @@ def exact_quantiles(
     return out.rename(columns={"g": by}).reset_index(drop=True)
 
 
-def approx_quantiles(ds, col: str, qs, k_per_block: int = 4096) -> pd.DataFrame:
+def approx_quantiles(ds, col: str, qs, by: str | None = None,
+                     k_per_block: int = 4096) -> pd.DataFrame:
     """ONE-pass approximate quantiles: each block sorts locally and
     keeps ``k_per_block`` evenly-spaced order statistics, each weighted
     ``n_block / k``; the driver computes weighted quantiles over the
@@ -372,38 +373,69 @@ def approx_quantiles(ds, col: str, qs, k_per_block: int = 4096) -> pd.DataFrame:
     import ray  # noqa: F401  (parity with the module's other entry points)
 
     qs = [float(q) for q in qs]
+    cols = [col] if by is None else [by, col]
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = vals[~pd.isna(vals)]
-        n = len(vals)
-        if n == 0:
-            return pa.table({"v": pa.array([], pa.float64()),
-                             "w": pa.array([], pa.float64())})
+    def _order_stats(vals: np.ndarray):
         vals = np.sort(vals)
+        n = len(vals)
         k = min(k_per_block, n)
         # evenly spaced order statistics, endpoints included
-        idx = np.unique(
-            np.round(np.linspace(0, n - 1, k)).astype(np.int64)
-        )
+        idx = np.unique(np.round(np.linspace(0, n - 1, k)).astype(np.int64))
         w = np.full(len(idx), n / len(idx), dtype=np.float64)
-        return pa.table({"v": pa.array(vals[idx]), "w": pa.array(w)})
+        return vals[idx], w
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        gs, vs, ws = [], [], []
+        if by is None:
+            vals = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = vals[~pd.isna(vals)]
+            if len(vals):
+                v, w = _order_stats(vals)
+                gs.append(np.full(len(v), _NOGROUP, dtype=object))
+                vs.append(v)
+                ws.append(w)
+        else:
+            df = pd.DataFrame(
+                {"g": batch[by].cast(pa.string()).to_pandas(),
+                 "v": batch[col].to_numpy(zero_copy_only=False)}
+            ).dropna()
+            for g, sub in df.groupby("g", sort=False):
+                v, w = _order_stats(sub["v"].to_numpy(np.float64))
+                gs.append(np.full(len(v), g, dtype=object))
+                vs.append(v)
+                ws.append(w)
+        if not gs:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        return pa.table({"g": pa.array(np.concatenate(gs), pa.string()),
+                         "v": pa.array(np.concatenate(vs)),
+                         "w": pa.array(np.concatenate(ws))})
 
     summ = (
-        ds.select_columns([col])
+        ds.select_columns(cols)
         .map_batches(summarize, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
     if len(summ) == 0:
-        return pd.DataFrame({"q": [], "value": []})
-    order = np.argsort(summ["v"].to_numpy(), kind="stable")
-    v = summ["v"].to_numpy()[order]
-    w = summ["w"].to_numpy()[order]
-    cum = np.cumsum(w)
-    total = cum[-1]
-    out_v = []
-    for q in qs:
-        r = max(math.ceil(q * total), 1)  # percentile_disc-style rank
-        out_v.append(float(v[np.searchsorted(cum, r, side="left")]))
-    return pd.DataFrame({"q": np.asarray(qs, np.float64),
-                         "value": np.asarray(out_v, np.float64)})
+        out = pd.DataFrame({"q": [], "value": []})
+        if by is not None:
+            out.insert(0, by, [])
+        return out
+    rows = []
+    for g, sub in summ.groupby("g"):
+        order = np.argsort(sub["v"].to_numpy(), kind="stable")
+        v = sub["v"].to_numpy()[order]
+        w = sub["w"].to_numpy()[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        for q in qs:
+            r = max(math.ceil(q * total), 1)  # percentile_disc-style rank
+            rows.append((g, q, float(v[np.searchsorted(cum, r, side="left")])))
+    out = pd.DataFrame(rows, columns=["g", "q", "value"])
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.float64)
+    if by is None:
+        return out[["q", "value"]].reset_index(drop=True)
+    return (out.rename(columns={"g": by})
+            .sort_values([by, "q"], ignore_index=True))
