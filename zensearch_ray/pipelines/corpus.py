@@ -443,6 +443,24 @@ _INDEX_CFG = BuildConfig(
 )
 
 
+def _locked_build(d: str, build_fn) -> None:
+    """Inter-process build mutex for the shared /tmp index caches: two
+    concurrent callers (pytest + a standalone driver) must not both
+    build into ``d`` — the loser waits on the flock, re-checks
+    completeness, and reuses the winner's index."""
+    import fcntl
+
+    if IndexLayout(d).is_complete():
+        return
+    with open(d + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not IndexLayout(d).is_complete():
+                build_fn()
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
 def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     """Deterministic per-corpus index location under the system tmp dir;
     built once, reused (the manifest marks completeness).
@@ -454,16 +472,14 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     key = hash64(os.path.realpath(sf_dir)) % 10**12
     suffix = "_pos" if positions else ""
     d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}{suffix}")
-    layout = IndexLayout(d)
-    if not layout.is_complete():
-        import dataclasses
+    import dataclasses
 
-        cfg = (
-            dataclasses.replace(_INDEX_CFG, positions=True)
-            if positions
-            else _INDEX_CFG
-        )
-        build_index(_documents_for_index(sf_dir), d, cfg)
+    cfg = (
+        dataclasses.replace(_INDEX_CFG, positions=True)
+        if positions
+        else _INDEX_CFG
+    )
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg))
     return d
 
 
@@ -481,8 +497,7 @@ def deleted_index_dir_for(sf_dir: str) -> str:
     key = hash64(os.path.realpath(sf_dir)) % 10**12
     d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}_del")
     layout = IndexLayout(d)
-    if not layout.is_complete():
-        build_index(_documents_for_index(sf_dir), d, _INDEX_CFG)
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, _INDEX_CFG))
     import pyarrow.parquet as pq
 
     ids = pq.ParquetDataset(layout.docmeta_dir).read(columns=["doc_id"])[
@@ -499,8 +514,7 @@ def purged_index_dir_for(sf_dir: str) -> str:
 
     src = deleted_index_dir_for(sf_dir)
     d = src + "_purged"
-    if not IndexLayout(d).is_complete():
-        compact_index(src, d)
+    _locked_build(d, lambda: compact_index(src, d))
     return d
 
 
@@ -665,9 +679,8 @@ def titled_index_dir_for(sf_dir: str) -> str:
     d = os.path.join(
         tempfile.gettempdir(), f"zensearch_idx_v3_{key}_f{TITLE_BOOST}"
     )
-    if not IndexLayout(d).is_complete():
-        cfg = dataclasses.replace(_INDEX_CFG, title_boost=TITLE_BOOST)
-        build_index(_documents_with_title(sf_dir), d, cfg)
+    cfg = dataclasses.replace(_INDEX_CFG, title_boost=TITLE_BOOST)
+    _locked_build(d, lambda: build_index(_documents_with_title(sf_dir), d, cfg))
     return d
 
 
@@ -686,9 +699,8 @@ def stopword_index_dir_for(sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"zensearch_idx_v3_{key}_sw{len(STOPWORDS_CFG)}",
     )
-    if not IndexLayout(d).is_complete():
-        cfg = dataclasses.replace(_INDEX_CFG, stopwords=STOPWORDS_CFG)
-        build_index(_documents_for_index(sf_dir), d, cfg)
+    cfg = dataclasses.replace(_INDEX_CFG, stopwords=STOPWORDS_CFG)
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg))
     return d
 
 
