@@ -187,3 +187,32 @@ def test_events_retention_crafted(ray_session, tmp_path):
         for c, o, n in zip(got["cohort_day"], got["day_offset"], got["n_users"])
     }
     assert got_map == want
+
+
+def test_small_quantity_revenue_empty_selection(ray_session, tmp_path):
+    # ADVICE r2: an empty brand/size part selection made member_mask
+    # index an empty array with -1 (numpy & does not short-circuit)
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.pipelines.relational import small_quantity_revenue
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": pa.array(["Brand#9", "Brand#9"]),  # never Brand#4
+            "p_size": pa.array([50, 50], pa.int32()),
+        }),
+        f"{d}/part.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "l_partkey": pa.array([1, 2, 1], pa.int64()),
+            "l_quantity": pa.array([3.0, 10.0, 1.0]),
+            "l_extendedprice": pa.array([100.0, 200.0, 50.0]),
+        }),
+        f"{d}/lineitem.parquet",
+    )
+    out = small_quantity_revenue(d)
+    assert int(out["revenue_cents"].iloc[0]) == 0
+    assert float(out["avg_yearly"].iloc[0]) == 0.0

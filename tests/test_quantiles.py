@@ -159,3 +159,36 @@ def test_approx_quantiles_grouped(ray_session):
             err = 0 if lo <= true_rank <= hi else min(abs(lo - true_rank),
                                                       abs(hi - true_rank))
             assert err <= bound, (grp, q, err, bound)
+
+
+def test_approx_quantiles_q1_weight_drift(ray_session):
+    # ADVICE r2: per-block weights n/len(idx) need not sum to exactly n
+    # in float64 (n=5000, k=3900 → total=5000.0000000002765), so the
+    # q=1.0 rank exceeded cum[-1] and indexed past the end
+    from zensearch_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(61)
+    vals = rng.normal(size=5_000)
+    ds = rd.from_arrow(pa.table({"x": vals}))  # one block
+    got = approx_quantiles(ds, "x", [0.5, 1.0], k_per_block=3900)
+    assert got["value"].iloc[-1] == np.sort(vals)[-1]
+
+
+def test_grouped_null_keys_excluded(ray_session):
+    # null group keys are dropped (SQL aggregate semantics); the other
+    # groups in the same batch must still resolve correctly (ADVICE r2:
+    # null dictionary codes turned into INT64_MIN garbage)
+    rng = np.random.default_rng(67)
+    g = rng.choice(["a", "b"], size=4_000).astype(object)
+    g[::5] = None
+    vals = rng.normal(size=4_000)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(g, pa.string()), "x": vals})
+    ).repartition(4)
+    got = exact_quantiles(ds, "x", QS, by="g", pivot_target=8, max_sliver=200)
+    assert set(got["g"]) == {"a", "b"}
+    for grp in ["a", "b"]:
+        mask = np.array([x == grp for x in g])
+        ref = np.sort(vals[mask])
+        sub = got[got["g"] == grp]
+        assert list(sub["value"]) == [_disc(ref, q) for q in QS], grp

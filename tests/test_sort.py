@@ -141,3 +141,51 @@ def test_tiebreak_cols_global_lexicographic(ray_session, tmp_path):
     with pytest.raises(ValueError):
         sorted_export(ds, "x", str(tmp_path / "bad"), n_parts=4,
                       tiebreak_cols=("y",), spread_ties=True)
+
+
+def test_spread_ties_resume_rejected(ray_session, tmp_path):
+    # ADVICE r2: positional tie assignment is batch-dependent, so a
+    # resume over committed partitions could duplicate/drop tie rows —
+    # the export must refuse rather than corrupt
+    import os
+
+    vals = np.concatenate(
+        [np.full(6_000, 7, dtype=np.int64), np.arange(4_000, dtype=np.int64) + 100]
+    )
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(4)
+    out = str(tmp_path / "spread_resume")
+    first = sorted_export(ds, "x", out, n_parts=4, spread_ties=True)
+    assert len(first) == 4
+    # simulate a crash hole, then attempt to resume with spread_ties
+    os.remove(first["path"][1])
+    pid = int(first["part_id"][1])
+    os.remove(f"{out}/_partitions/part-{pid:05d}.json")
+    with pytest.raises(ValueError, match="spread_ties"):
+        sorted_export(ds, "x", out, n_parts=4, spread_ties=True)
+    # skip_existing=False restarts from scratch and is allowed
+    redo = sorted_export(ds, "x", out, n_parts=4, spread_ties=True,
+                         skip_existing=False)
+    assert len(redo) == 4
+    _assert_sorted_and_same_multiset(out, "x", vals)
+
+
+def test_cli_sort_fully_resumed_reports_zero(ray_session, tmp_path, capsys):
+    # ADVICE r2: the all-partitions-committed rerun used to crash on
+    # int(NaN) from an empty manifest
+    import json
+
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.__main__ import main
+
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"x": np.arange(500, dtype=np.int64)}), inp)
+    out = str(tmp_path / "cli_sorted")
+    argv = ["sort", "--input", inp, "--col", "x",
+            "--output", out, "--parts", "3"]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["parts"] == 3 and first["rows"] == 500
+    assert main(argv) == 0  # rerun: everything committed already
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second == {"parts": 0, "rows": 0, "max_part_rows": 0}

@@ -307,8 +307,10 @@ def cmd_sort(args) -> int:
     )
     print(json.dumps({
         "parts": int(len(manifest)),
-        "rows": int(manifest["n_rows"].sum()),
-        "max_part_rows": int(manifest["n_rows"].max()),
+        "rows": int(manifest["n_rows"].sum()) if len(manifest) else 0,
+        "max_part_rows": (
+            int(manifest["n_rows"].max()) if len(manifest) else 0
+        ),
     }))
     return 0
 

@@ -1274,6 +1274,8 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     pk_ref = ray.put(np.sort(parts))
 
     def member_mask(keys_sorted: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(keys_sorted) == 0:  # empty selection: minimum(j, -1)
+            return np.zeros(len(vals), dtype=bool)  # would index with -1
         j = np.searchsorted(keys_sorted, vals)
         return (j < len(keys_sorted)) & (
             keys_sorted[np.minimum(j, len(keys_sorted) - 1)] == vals
@@ -1299,11 +1301,16 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
-    agg = (
-        li.map_batches(qty_partial, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .groupby("l_partkey", as_index=False)[["sum_qty", "cnt"]].sum()
-    )
+    agg = li.map_batches(
+        qty_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(agg) == 0:  # all-empty to_pandas() loses columns
+        agg = pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                            "sum_qty": pd.Series(dtype=np.int64),
+                            "cnt": pd.Series(dtype=np.int64)})
+    else:
+        agg = agg.groupby("l_partkey", as_index=False)[
+            ["sum_qty", "cnt"]].sum()
     thr_ref = ray.put(
         (
             agg["l_partkey"].to_numpy(np.int64),
@@ -1314,6 +1321,8 @@ def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
 
     def rev_partial(batch: pd.DataFrame) -> pd.DataFrame:
         keys, sums, cnts = ray.get(thr_ref)
+        if len(keys) == 0:
+            return pd.DataFrame({"revenue_cents": [0]})
         pk = batch["l_partkey"].to_numpy(np.int64)
         j = np.searchsorted(keys, pk)
         hit = (j < len(keys)) & (keys[np.minimum(j, len(keys) - 1)] == pk)

@@ -142,6 +142,15 @@ def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
     range exchange, so a crashed export only moves and rewrites the
     missing partitions.
 
+    Resume safety requires the partition assignment to be a pure
+    function of row CONTENT. ``spread_ties`` round-robins boundary-tie
+    rows by batch position, which a rerun (different batch composition)
+    can assign differently — duplicating rows into uncommitted
+    partitions or dropping rows map-side. A resume over any committed
+    partition therefore REJECTS ``spread_ties=True``; a spread-ties
+    export that crashed must restart into a clean directory (or pass
+    ``skip_existing=False`` to overwrite from scratch).
+
     ``tiebreak_cols`` extends the within-partition sort to a full
     lexicographic order ``(col, *tiebreak_cols)``. This yields a
     GLOBAL lexicographic order because deterministic left-assignment
@@ -156,6 +165,13 @@ def sorted_export(ds, col: str, out_dir: str, n_parts: int = 32,
 
     os.makedirs(os.path.join(out_dir, _MARKER_DIR), exist_ok=True)
     done = completed_partitions(out_dir) if skip_existing else set()
+    if done and spread_ties:
+        raise ValueError(
+            "spread_ties=True cannot resume over committed partitions: "
+            "tie assignment is positional (batch-dependent), so a rerun "
+            "could duplicate or drop boundary-tie rows. Restart into a "
+            "clean directory or pass skip_existing=False."
+        )
     done_arr = np.zeros(n_parts, dtype=bool)
     for p in done:
         if p < n_parts:

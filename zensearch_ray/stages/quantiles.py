@@ -159,6 +159,10 @@ def exact_quantiles(
         keys = batch[by].cast(pa.string())
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        # nulls must coerce to the string 'None' (the pass-1 str(k)
+        # coercion) — a null dictionary index becomes INT64_MIN garbage
+        # after to_numpy().astype(int64)
+        keys = keys.fill_null("None")
         enc = keys.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
@@ -431,7 +435,11 @@ def approx_quantiles(ds, col: str, qs, by: str | None = None,
         total = cum[-1]
         for q in qs:
             r = max(math.ceil(q * total), 1)  # percentile_disc-style rank
-            rows.append((g, q, float(v[np.searchsorted(cum, r, side="left")])))
+            # clamp: per-block weights n/len(idx) need not sum to exactly
+            # n in float64, so at q=1.0 r can exceed cum[-1] by ulps and
+            # searchsorted would index past the end
+            j = min(np.searchsorted(cum, r, side="left"), len(v) - 1)
+            rows.append((g, q, float(v[j])))
     out = pd.DataFrame(rows, columns=["g", "q", "value"])
     out["q"] = out["q"].astype(np.float64)
     out["value"] = out["value"].astype(np.float64)
