@@ -443,20 +443,68 @@ _INDEX_CFG = BuildConfig(
 )
 
 
-def _locked_build(d: str, build_fn) -> None:
+_VALIDATED_CACHES: set[str] = set()
+
+
+def _cache_valid(d: str, expect_fp: str | None) -> bool:
+    """Integrity-check an already-complete shared cache before trusting
+    it: the metadata pass of ``fsck_index(deep=False)`` (manifest ↔
+    docstats ↔ partition-manifest ↔ docmeta cross-checks, segment files
+    present) plus — when the caller pins one — the config fingerprint
+    of the build that SHOULD live there. ``is_complete()`` alone only
+    proves a manifest file exists; a cache corrupted before the build
+    lock landed, or truncated by any non-repo writer, looks complete
+    forever (the round-2 ``tfidf_topk`` red cell class)."""
+    from zensearch_ray.pipelines.fsck import fsck_index
+
+    try:
+        if expect_fp is not None:
+            got = IndexLayout(d).read_manifest().get("config_fp")
+            if got != expect_fp:
+                return False
+        return bool(fsck_index(d, deep=False).get("ok"))
+    except Exception:
+        return False
+
+
+def _expected_fp(cfg: BuildConfig) -> str:
+    """The config fingerprint a cache built with ``cfg`` must carry —
+    pinned on reuse so a stale cache from an older config can never be
+    served (the dir-name version key guards schema, this guards
+    semantics)."""
+    from zensearch_ray.pipelines.build_index import config_fingerprint
+
+    return config_fingerprint(cfg, f"col:{cfg.id_col}")
+
+
+def _locked_build(d: str, build_fn, expect_fp: str | None = None) -> None:
     """Inter-process build mutex for the shared /tmp index caches: two
     concurrent callers (pytest + a standalone driver) must not both
     build into ``d`` — the loser waits on the flock, re-checks
-    completeness, and reuses the winner's index."""
-    import fcntl
+    completeness, and reuses the winner's index.
 
-    if IndexLayout(d).is_complete():
+    A complete-LOOKING cache is validated (once per process) before
+    reuse; a cache that fails validation is torn down and rebuilt under
+    the lock rather than trusted."""
+    import fcntl
+    import shutil
+
+    if d in _VALIDATED_CACHES:
+        return
+    if IndexLayout(d).is_complete() and _cache_valid(d, expect_fp):
+        _VALIDATED_CACHES.add(d)
         return
     with open(d + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            if not IndexLayout(d).is_complete():
-                build_fn()
+            if IndexLayout(d).is_complete():
+                # the winner may have (re)built while we waited
+                if _cache_valid(d, expect_fp):
+                    _VALIDATED_CACHES.add(d)
+                    return
+                shutil.rmtree(d, ignore_errors=True)  # poisoned: rebuild
+            build_fn()
+            _VALIDATED_CACHES.add(d)  # fresh build under the lock
         finally:
             fcntl.flock(lk, fcntl.LOCK_UN)
 
@@ -479,7 +527,8 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
         if positions
         else _INDEX_CFG
     )
-    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg))
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg),
+                  expect_fp=_expected_fp(cfg))
     return d
 
 
@@ -497,7 +546,8 @@ def deleted_index_dir_for(sf_dir: str) -> str:
     key = hash64(os.path.realpath(sf_dir)) % 10**12
     d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}_del")
     layout = IndexLayout(d)
-    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, _INDEX_CFG))
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, _INDEX_CFG),
+                  expect_fp=_expected_fp(_INDEX_CFG))
     import pyarrow.parquet as pq
 
     ids = pq.ParquetDataset(layout.docmeta_dir).read(columns=["doc_id"])[
@@ -680,7 +730,8 @@ def titled_index_dir_for(sf_dir: str) -> str:
         tempfile.gettempdir(), f"zensearch_idx_v3_{key}_f{TITLE_BOOST}"
     )
     cfg = dataclasses.replace(_INDEX_CFG, title_boost=TITLE_BOOST)
-    _locked_build(d, lambda: build_index(_documents_with_title(sf_dir), d, cfg))
+    _locked_build(d, lambda: build_index(_documents_with_title(sf_dir), d, cfg),
+                  expect_fp=_expected_fp(cfg))
     return d
 
 
@@ -700,7 +751,8 @@ def stopword_index_dir_for(sf_dir: str) -> str:
         f"zensearch_idx_v3_{key}_sw{len(STOPWORDS_CFG)}",
     )
     cfg = dataclasses.replace(_INDEX_CFG, stopwords=STOPWORDS_CFG)
-    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg))
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg),
+                  expect_fp=_expected_fp(cfg))
     return d
 
 
