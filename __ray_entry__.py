@@ -377,14 +377,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sizes.astype({"cluster": np.int64, "n_points": np.int64})
 
     def embedding_near_dup(sf_dir: str):
+        # bucketed LSH default (exact-verified candidates; auto-tuned
+        # seeded banding) — the N² block-pair path remains the referee
+        # in tests/test_embedding_lsh.py
         import ray.data as rd
 
-        from zensearch_ray.stages.ann import near_dup_pairs
+        from zensearch_ray.stages.ann import lsh_near_dup_pairs
 
         ds = rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        return near_dup_pairs(ds, NEAR_DUP_THRESHOLD)
+        return lsh_near_dup_pairs(ds, NEAR_DUP_THRESHOLD)
 
     def embedding_dup_components(sf_dir: str):
         import ray.data as rd

@@ -184,6 +184,211 @@ def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
     return rd.from_arrow_refs(out_refs)
 
 
+def lsh_near_dup_params(threshold: float, target_miss: float = 1e-6,
+                        max_bands: int = 128, max_r: int = 16) -> tuple[int, int]:
+    """Auto-tune (rows_per_band, n_bands) for sign-random-projection LSH
+    so a pair at cosine exactly ``threshold`` is missed with probability
+    ≤ ``target_miss``: a sign bit agrees with probability
+    p = 1 − arccos(s)/π (Goemans–Williamson / Charikar SimHash), a band
+    of r bits matches with p^r, and the miss probability over b bands is
+    (1 − p^r)^b. Among feasible (r, b) the tuner minimizes the expected
+    number of matching bands for an ORTHOGONAL pair, b·2^−r — the
+    candidate-volume proxy — so higher thresholds get longer, more
+    selective bands automatically. Deterministic: no sampling, no data
+    dependence."""
+    import math
+
+    s = max(-1.0, min(1.0, float(threshold)))
+    p = 1.0 - math.acos(s) / math.pi
+    if p >= 1.0:
+        return 16, 4
+    best = None
+    for r in range(1, max_r + 1):
+        pr = p ** r
+        if pr <= 0.0:
+            break
+        b = 1 if pr >= 1.0 else math.ceil(
+            math.log(target_miss) / math.log(1.0 - pr)
+        )
+        if b > max_bands:
+            continue
+        score = b * 0.5 ** r
+        if best is None or score < best[0]:
+            best = (score, r, b)
+    if best is None:  # threshold too low for the band budget — take the
+        # most selective feasible r=1 configuration
+        return 1, max_bands
+    return best[1], best[2]
+
+
+class EmbeddingLSHStage:
+    """map_batches actor: embeddings → sign-random-projection band rows
+    (band, band_hash, vec_id) — the embedding twin of ``MinHashStage``.
+
+    The projection matrix (d × n_bands·r, seeded standard normal) is
+    built ONCE per actor in ``__init__`` and each batch is one matmul +
+    bit-pack; sign bits are invariant to vector norm, so no
+    normalization is needed here (the verify step normalizes)."""
+
+    def __init__(self, dim: int, n_bands: int, rows_per_band: int,
+                 seed: int = 42, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bands * rows_per_band))
+        self.n_bands = n_bands
+        self.r = rows_per_band
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self._weights = (np.uint64(1) << np.arange(rows_per_band,
+                                                   dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = _matrix(batch[self.emb_col])
+        bits = (m @ self.planes) >= 0.0  # (n, b·r)
+        codes = bits.reshape(n, self.n_bands, self.r).astype(np.uint64) @ self._weights
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(self.n_bands,
+                                                   dtype=np.int32), n)),
+                "band_hash": pa.array(codes.reshape(-1).astype(np.int64)),
+                "vec_id": pa.array(np.repeat(ids, self.n_bands),
+                                   type=pa.int64()),
+            }
+        )
+
+
+def _embedding_rows(ds, involved_ids: frozenset, id_col: str, emb_col: str):
+    """(vec_id, emb binary) rows for the involved vectors only — the
+    embedding twin of ``minhash._shingle_rows``: the involved-id set is
+    pair-scale (bucket-cap bounded) and broadcast once; the table
+    streams through a vectorized filter. Vectors ride the hash join as
+    float64-LE binary blobs (Arrow's join rejects list payloads)."""
+    import ray
+    import pyarrow.compute as pc
+
+    ids_ref = ray.put(
+        np.fromiter(involved_ids, dtype=np.int64, count=len(involved_ids))
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pc.is_in(
+            batch[id_col], value_set=pa.array(wanted, type=batch[id_col].type)
+        )
+        hit = batch.filter(mask)
+        m = normalize_rows(_matrix(hit[emb_col]))
+        blobs = [m[i].tobytes() for i in range(len(m))]
+        return pa.table(
+            {
+                "vid": hit[id_col].cast(pa.int64()),
+                "emb": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def lsh_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       n_bands: int | None = None,
+                       rows_per_band: int | None = None,
+                       seed: int = 42, target_miss: float = 1e-6,
+                       max_bucket: int = 2000, num_partitions: int = 8):
+    """Bucketed embedding near-duplicate pairs — the SCALE default.
+
+    Random-hyperplane (sign-projection) LSH generates candidates:
+    vectors sharing any band of sign bits meet in a bucket (tiny band
+    rows are the only corpus-wide exchange — reuses
+    ``minhash.band_rows_to_pairs`` banding, caps, and pair dedup), then
+    every candidate pair is verified with the EXACT cosine, so
+    precision is 1.0 and the output schema/rounding match the exact
+    ``near_dup_pairs`` referee: (a, b, sim), a < b, sim ≥ threshold.
+
+    Recall is 1 − (1 − p^r)^b per pair (p = 1 − arccos(sim)/π),
+    auto-tuned by ``lsh_near_dup_params`` to miss a pair AT the
+    threshold with probability ≤ ``target_miss`` (default 1e-6); pairs
+    above the threshold are exponentially safer. The projection is
+    seeded, so a given corpus/threshold/seed gives ONE deterministic
+    answer. Work scales with band-bucket occupancy instead of N²/2
+    block pairs; at very low thresholds (≲0.5) band selectivity
+    degrades toward all-pairs — intrinsic to LSH, documented, and the
+    exact referee (``near_dup_pairs``) remains available.
+    """
+    import ray.data as rd
+
+    if n_bands is None or rows_per_band is None:
+        auto_r, auto_b = lsh_near_dup_params(threshold, target_miss)
+        rows_per_band = rows_per_band or auto_r
+        n_bands = n_bands or auto_b
+
+    head = ds.limit(1).to_pandas()
+    if head.empty:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }))
+    dim = len(head[emb_col].iloc[0])
+
+    from zensearch_ray.stages.minhash import band_rows_to_pairs
+
+    band_rows = ds.select_columns([id_col, emb_col]).map_batches(
+        EmbeddingLSHStage,
+        fn_constructor_kwargs=dict(
+            dim=dim, n_bands=n_bands, rows_per_band=rows_per_band,
+            seed=seed, id_col=id_col, emb_col=emb_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    # the stage emits its id column as "vec_id" regardless of id_col
+    pairs = band_rows_to_pairs(band_rows, max_bucket,
+                               id_col="vec_id").materialize()
+    pair_ids = pairs.to_pandas()  # pair-SCALE (bucket-capped), not corpus
+    if pair_ids.empty:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }))
+    involved = frozenset(pair_ids["a"].tolist()) | frozenset(pair_ids["b"].tolist())
+    emb_rows = _embedding_rows(ds, involved, id_col, emb_col).materialize()
+
+    joined = (
+        pairs.join(emb_rows, "inner", num_partitions,
+                   on=("a",), right_on=("vid",))
+        .rename_columns({"emb": "emb_a"})
+        .join(emb_rows, "inner", num_partitions,
+              on=("b",), right_on=("vid",), right_suffix="_b")
+        .rename_columns({"emb": "emb_b"})
+    )
+
+    def cosine_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ma = np.frombuffer(
+            b"".join(batch["emb_a"].to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        mb = np.frombuffer(
+            b"".join(batch["emb_b"].to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        sims = np.einsum("ij,ij->i", ma, mb)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)).cast(pa.int64()),
+                "b": batch["b"].filter(pa.array(keep)).cast(pa.int64()),
+                "sim": pa.array(round6(sims[keep]), type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(cosine_filter, batch_format="pyarrow")
+
+
 def _kmeans_centroids(m: np.ndarray, n_lists: int, seed: int, iters: int) -> np.ndarray:
     """Deterministic spherical k-means (seeded init, fixed iterations).
     Shared by the driver-side IvfIndex and the distributed path so both
@@ -285,15 +490,18 @@ class IvfIndex:
 
 
 def dup_components(ds, threshold: float, id_col: str = "vec_id",
-                   emb_col: str = "embedding", num_partitions: int = 8):
+                   emb_col: str = "embedding", num_partitions: int = 8,
+                   method: str = "lsh"):
     """Connected components of the embedding near-duplicate graph:
     every vector labeled with the min vec_id of its cosine-≥threshold
     component (singletons label themselves) — the grouping step that
     turns pairwise near-dup evidence into keep-one-per-group
     deduplication decisions.
 
-    Composition of two already-distributed operators: exact block-pair
-    ``near_dup_pairs`` (pairs never touch the driver) →
+    Composition of two already-distributed operators: the near-dup pair
+    generator (``method='lsh'`` — the bucketed scale default,
+    ``lsh_near_dup_pairs``; ``method='exact'`` — the N² block-pair
+    referee, ``near_dup_pairs``) →
     ``stages/minhash.py:connected_components`` (min-label propagation,
     edge-scale joins). The final label attach broadcasts the PAIR-scale
     label map and streams the id column — the same shape as
@@ -305,7 +513,14 @@ def dup_components(ds, threshold: float, id_col: str = "vec_id",
 
     from zensearch_ray.stages.minhash import connected_components
 
-    pairs = near_dup_pairs(ds, threshold, id_col, emb_col).select_columns(["a", "b"])
+    if method == "lsh":
+        pair_src = lsh_near_dup_pairs(ds, threshold, id_col, emb_col,
+                                      num_partitions=num_partitions)
+    elif method == "exact":
+        pair_src = near_dup_pairs(ds, threshold, id_col, emb_col)
+    else:
+        raise ValueError(f"unknown near-dup method {method!r}")
+    pairs = pair_src.select_columns(["a", "b"])
     labels = connected_components(pairs, num_partitions).to_pandas()
     label_map = dict(
         zip(labels["node"].astype("int64"), labels["label"].astype("int64"))

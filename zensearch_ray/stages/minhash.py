@@ -161,13 +161,70 @@ def _add_coarse(col_name: str):
     return fn
 
 
+def band_rows_to_pairs(band_rows, max_bucket: int = 1000,
+                       id_col: str = "doc_id"):
+    """(id, band, band_hash) rows → deduped candidate (a, b) pairs,
+    a < b — generic over the signature scheme (MinHash bands here,
+    sign-projection bands in ``stages/ann.py``).
+
+    One tiny-row exchange by coarse hash bucket with VECTORIZED
+    within-group work (lexsort + run boundaries + ``triu_indices`` per
+    multi-occupant bucket — no per-bucket pandas groupby), then a
+    second tiny exchange deduping pairs that agree in several bands
+    (``np.unique`` over the pair matrix). Buckets larger than
+    ``max_bucket`` are dropped (they indicate degenerate content, e.g.
+    empty docs; a production run would salt them) — the cap is explicit
+    in the signature, not silent."""
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        band = group["band"].to_numpy(np.int64)
+        bh = group["band_hash"].to_numpy(np.int64)
+        ids = group[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, bh, band))
+        band_s, bh_s, ids_s = band[order], bh[order], ids[order]
+        new = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids_s)]
+        lens = ends - starts
+        out_a, out_b = [], []
+        for i in np.flatnonzero((lens > 1) & (lens <= max_bucket)):
+            bucket = ids_s[starts[i]:ends[i]]  # already ascending
+            iu, ju = np.triu_indices(len(bucket), k=1)
+            out_a.append(bucket[iu])
+            out_b.append(bucket[ju])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pairs = (
+        band_rows.map_batches(_add_coarse("band_hash"), batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+
+    # the same pair surfaces once per agreeing band — dedup the sliver
+    def drop_dup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ab = np.stack(
+            [batch["a"].to_numpy(np.int64), batch["b"].to_numpy(np.int64)],
+            axis=1,
+        )
+        uniq = np.unique(ab, axis=0) if len(ab) else ab.reshape(0, 2)
+        return pd.DataFrame({"a": uniq[:, 0], "b": uniq[:, 1]})
+
+    return (
+        pairs.map_batches(_add_coarse("a"), batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(drop_dup_pairs, batch_format="pandas")
+    )
+
+
 def lsh_candidate_pairs_ds(ds, stage_kwargs: dict | None = None, max_bucket: int = 1000):
     """Dataset of docs → Dataset of candidate (a, b) pairs, a < b.
 
-    The only corpus-wide shuffle is over tiny band rows. Buckets larger
-    than ``max_bucket`` are dropped (they indicate degenerate content,
-    e.g. empty docs; a production run would salt them) — the cap is
-    explicit in the signature, not silent.
+    The only corpus-wide shuffle is over tiny band rows; see
+    :func:`band_rows_to_pairs` for the exchange/dedup mechanics.
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -175,33 +232,7 @@ def lsh_candidate_pairs_ds(ds, stage_kwargs: dict | None = None, max_bucket: int
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for (_, _), bucket in group.groupby(["band", "band_hash"]):
-            if 1 < len(bucket) <= max_bucket:
-                ids = sorted(bucket["doc_id"].tolist())
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b}, dtype="int64")
-
-    pairs = (
-        band_rows.map_batches(_add_coarse("band_hash"), batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(emit_pairs, batch_format="pandas")
-    )
-    # the same pair surfaces once per agreeing band — dedup the sliver
-    def drop_dup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(["a", "b"])
-
-    return (
-        pairs.map_batches(_add_coarse("a"), batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(drop_dup_pairs, batch_format="pandas")
-        .drop_columns(["coarse"])
-    )
+    return band_rows_to_pairs(band_rows, max_bucket)
 
 
 def lsh_candidate_pairs(ds, stage_kwargs: dict | None = None, max_bucket: int = 1000):
