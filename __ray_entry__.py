@@ -400,19 +400,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dup_components(ds, NEAR_DUP_THRESHOLD)
 
     def jaccard(sf_dir: str):
-        import duckdb
-        import ray.data as rd
+        # index-backed serving path: candidates from the OR-union of
+        # the probe terms' posting lists (provably complete for
+        # jaccard > 0), pruned text fetch for candidates only; the
+        # full-scan referee stays in stages/minhash.jaccard_topk
+        from zensearch_ray.pipelines.corpus import jaccard_topk_indexed
 
-        from zensearch_ray.functions.text import tokenize
-        from zensearch_ray.stages.minhash import jaccard_topk
-
-        probe_text = duckdb.sql(
-            f"SELECT text FROM '{sf_dir}/documents.parquet' WHERE doc_id = 0"
-        ).fetchone()[0]
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        out = jaccard_topk(ds, set(tokenize(probe_text)), k=10, exclude_id=0)
-        out.insert(0, "rank", range(1, len(out) + 1))
-        return out
+        return jaccard_topk_indexed(sf_dir, probe_doc_id=0, k=10)
 
     def gopher_filter(sf_dir: str):
         import ray.data as rd

@@ -1852,3 +1852,116 @@ def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def jaccard_topk_indexed(sf_dir: str, probe_doc_id: int = 0, k: int = 10,
+                         _diag: dict | None = None) -> pd.DataFrame:
+    """Index-backed unigram-Jaccard top-k: (rank, doc_id, jaccard).
+
+    The round-2 referee (``stages/minhash.jaccard_topk``) scans the
+    whole corpus per probe with a per-row Python token-set loop. This
+    is the serving path: candidates come FROM THE POSTING LISTS — the
+    OR-union over the probe terms' postings is provably the complete
+    set of docs with non-zero token intersection (a doc sharing any
+    token with the probe appears in that token's postings), i.e.
+    exactly the docs with jaccard > 0 — and each candidate's
+    intersection size falls out of the same decode (the number of
+    probe terms whose postings contain it; terms are distinct). Only
+    the CANDIDATES' texts are fetched, with the id filter pushed into
+    the parquet read (row-group pruning on doc_id statistics), to get
+    each candidate's distinct-token count; per-batch partial top-k
+    keeps the driver merge at k×batches rows. Docs with zero overlap
+    are filled from the index's live-doc universe (metadata-scale) in
+    doc_id order, matching the SQL oracle's LEFT JOIN semantics.
+
+    ``_diag`` (tests): filled with n_candidates / n_text_rows_fetched
+    so the no-full-scan contract is assertable.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+
+    probe_text = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "==", probe_doc_id)],
+    )["text"][0].as_py()
+    probe = sorted(set(tokenize(probe_text)))
+    n_probe = len(probe)
+
+    engine = QueryEngine(index_dir_for(sf_dir))
+    arrs = []
+    for t in probe:
+        tp = engine.lookup(t)
+        if tp is not None:
+            arrs.append(tp.decode_all()[0])
+    if arrs:
+        cand, inter = np.unique(np.concatenate(arrs), return_counts=True)
+        keep = cand != probe_doc_id
+        cand, inter = cand[keep], inter[keep]
+    else:
+        cand = np.empty(0, dtype=np.int64)
+        inter = np.empty(0, dtype=np.int64)
+    if _diag is not None:
+        _diag["n_candidates"] = int(len(cand))
+        _diag["n_text_rows_fetched"] = 0
+
+    rows = []
+    if len(cand):
+        lookup_ref = ray.put((cand.astype(np.int64), inter.astype(np.int64)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c_ids, c_inter = ray.get(lookup_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_i, out_j = [], []
+            for row, (doc_id, text) in enumerate(
+                zip(ids, batch["text"].to_pylist())
+            ):
+                j = int(np.searchsorted(c_ids, doc_id))
+                if j >= len(c_ids) or c_ids[j] != doc_id:
+                    continue  # filter pushdown is row-GROUP level; drop
+                    # the stragglers sharing a row group with candidates
+                nset = len(set(tokenize(text)))
+                i = int(c_inter[j])
+                out_i.append(doc_id)
+                out_j.append(i / (n_probe + nset - i))
+            t = pa.table({
+                "doc_id": pa.array(out_i, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            })
+            if t.num_rows > k:
+                order = np.lexsort((np.array(out_i), -np.array(out_j)))[:k]
+                t = t.take(order)
+            return t
+
+        text_ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(cand.tolist()),
+        )
+        if _diag is not None:  # observe the pruned read's true row yield
+            _diag["n_text_rows_fetched"] = int(text_ds.count())
+        got = text_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        got["jaccard"] = round6(got["jaccard"].to_numpy())
+        got = got.sort_values(
+            ["jaccard", "doc_id"], ascending=[False, True]
+        ).head(k)
+        rows.append(got)
+
+    n_have = int(sum(len(r) for r in rows))
+    if n_have < k:
+        # zero-overlap fill: smallest live non-candidate ids (the
+        # universe is metadata-scale and already cached by the engine)
+        uni = engine._universe()
+        excl = np.union1d(cand, np.array([probe_doc_id], dtype=np.int64))
+        zeros = uni[~np.isin(uni, excl, assume_unique=True)][: k - n_have]
+        rows.append(pd.DataFrame({
+            "doc_id": zeros.astype(np.int64),
+            "jaccard": np.zeros(len(zeros), dtype=np.float64),
+        }))
+
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
+    )
+    out = out.head(k).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out.astype({"doc_id": np.int64, "jaccard": np.float64})
