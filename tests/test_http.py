@@ -1,0 +1,143 @@
+"""HTTP serving front (GET /search over the warm QueryService): every
+mode's response must be bit-identical to the direct ``QueryEngine``
+call, plus docs resolution, per-request filter, facets, health, and
+error surfaces — the reference's Express routes
+(``express-server/src/app/index.ts:175-203``) re-expressed."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.http_server import SearchHTTPServer
+from zensearch_ray.pipelines.query import QueryEngine, resolve_docs
+from zensearch_ray.sources.pages import generate_pages_table
+
+
+@pytest.fixture(scope="module")
+def http_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_src")
+    src = str(root / "pages.parquet")
+    pq.write_table(generate_pages_table(300, seed=47), src, row_group_size=64)
+    idx = str(root / "idx")
+    build_index(
+        src, idx,
+        BuildConfig(num_shards=4, salt_subs=2, heavy_df_threshold=60,
+                    lang=None, attrs=("lang",)),
+    )
+    return idx
+
+
+@pytest.fixture(scope="module")
+def server(http_index):
+    with SearchHTTPServer(http_index, replicas=2, k=10) as srv:
+        yield srv
+
+
+def _get(srv, path: str, **params):
+    q = urllib.parse.urlencode(params)
+    url = f"http://{srv.host}:{srv.port}{path}" + (f"?{q}" if q else "")
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+MODE_CALLS = {
+    "exhaustive": lambda eng, q, k: eng.topk(q, k),
+    "pruned": lambda eng, q, k: eng.topk_pruned(q, k),
+    "and": lambda eng, q, k: eng.topk_and(q, k),
+    "prefix": lambda eng, q, k: eng.topk_prefix(q, k),
+    "fuzzy": lambda eng, q, k: eng.topk_fuzzy(q, k),
+    "not": lambda eng, q, k: eng.topk_not(q, k),
+    "bool": lambda eng, q, k: eng.topk_bool(q, k),
+    "wildcard": lambda eng, q, k: eng.topk_wildcard(q, k),
+    "regex": lambda eng, q, k: eng.topk_regex(q, k),
+}
+MODE_QUERY = {
+    "prefix": "se",
+    "fuzzy": "serch engin",
+    "bool": "search AND (engine OR ranking)",
+    "wildcard": "se*ch",
+    "regex": "s.arch",
+    "not": "search -engine",
+}
+
+
+def test_all_modes_bit_identical_to_engine(server, http_index):
+    engine = QueryEngine(http_index)
+    for mode, call in MODE_CALLS.items():
+        q = MODE_QUERY.get(mode, "search engine ranking")
+        status, body = _get(server, "/search", q=q, mode=mode, docs=0, k=10)
+        assert status == 200, (mode, body)
+        want = [[int(d), float(s)] for d, s in call(engine, q, 10)]
+        assert body["results"] == want, mode
+        assert body["mode"] == mode and body["query"] == q
+
+
+def test_docs_resolution_matches_engine(server, http_index):
+    engine = QueryEngine(http_index)
+    status, body = _get(server, "/search", q="search engine", mode="pruned")
+    assert status == 200
+    want = resolve_docs(engine.layout, engine.topk_pruned("search engine", 10))
+    assert body["results"] == json.loads(json.dumps(want))
+    assert {"rank", "doc_id", "url", "title", "score"} <= set(body["results"][0])
+
+
+def test_filter_param_serves_faceted_search(server, http_index):
+    engine = QueryEngine(http_index)
+    # pick a language that actually matches
+    facets = engine.facet_counts("search engine", "lang")
+    assert facets
+    lang = facets[0][0]
+    status, body = _get(server, "/search", q="search engine",
+                        filter=f"lang={lang}", docs=0)
+    assert status == 200 and body["mode"] == "exhaustive"
+    want = [[int(d), float(s)]
+            for d, s in engine.topk_filtered("search engine", "lang", lang, 10)]
+    assert body["results"] == want
+
+
+def test_facets_endpoint(server, http_index):
+    engine = QueryEngine(http_index)
+    status, body = _get(server, "/facets", q="search engine", col="lang")
+    assert status == 200
+    want = [[v, int(c)] for v, c in engine.facet_counts("search engine", "lang")]
+    assert body["facets"] == want
+
+
+def test_health_and_errors(server):
+    status, body = _get(server, "/healthz")
+    assert status == 200 and body == {"ok": True, "replicas": 2}
+    status, body = _get(server, "/search")  # missing q
+    assert status == 400 and "q" in body["error"]
+    status, body = _get(server, "/search", q="x", mode="warp")
+    assert status == 400 and "mode" in body["error"]
+    status, body = _get(server, "/search", q="x", filter="langen")
+    assert status == 400
+    status, _ = _get(server, "/nope")
+    assert status == 404
+
+
+def test_concurrent_requests(server, http_index):
+    # ThreadingHTTPServer + round-robin replicas: a burst of parallel
+    # requests must all come back correct
+    import concurrent.futures
+
+    engine = QueryEngine(http_index)
+    want = [[int(d), float(s)] for d, s in engine.topk_pruned("web data", 10)]
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        futs = [
+            ex.submit(_get, server, "/search", q="web data",
+                      mode="pruned", docs=0)
+            for _ in range(16)
+        ]
+        for f in futs:
+            status, body = f.result()
+            assert status == 200 and body["results"] == want

@@ -489,6 +489,30 @@ def cmd_serve(args) -> int:
     from zensearch_ray.pipelines.service import QueryService, ShardedQueryService
 
     _ensure_ray()
+    if args.http is not None:
+        # reference user surface: GET /search over the warm pool
+        # (express-server/src/app/index.ts:175-203)
+        if args.sharded or args.filter:
+            raise SystemExit(
+                "--http serves the replica pool; pass filter/mode per "
+                "request as query params instead"
+            )
+        from zensearch_ray.pipelines.http_server import SearchHTTPServer
+
+        srv = SearchHTTPServer(
+            args.index, host=args.host, port=args.http,
+            replicas=args.replicas, k=args.k, mode=args.mode or "pruned",
+            reload_secs=args.reload_secs,
+        )
+        print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}),
+              flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
+        return 0
     filt = None
     if args.filter:
         col, _, value = args.filter.partition("=")
@@ -815,6 +839,12 @@ def main(argv=None) -> int:
         help="live reload: replicas re-check the index version at most "
              "every S seconds and pick up appends/deletes without restart",
     )
+    s.add_argument(
+        "--http", type=int, default=None, metavar="PORT",
+        help="serve GET /search (and /facets, /healthz) on this port "
+             "instead of the stdin loop; 0 binds an ephemeral port",
+    )
+    s.add_argument("--host", default="127.0.0.1")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

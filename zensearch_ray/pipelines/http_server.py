@@ -1,0 +1,163 @@
+"""HTTP serving front: ``GET /search?q=`` over the warm actor-pool
+``QueryService`` — the reference's user-facing surface
+(``express-server/src/app/index.ts:175-203`` routes ``/search`` with a
+query param and returns ranked JSON results;
+``express-server/src/index.ts:43-93`` wires the server to the search
+backend). Here the backend is the already-warm replica pool, so the
+HTTP layer is a thin stdlib ``ThreadingHTTPServer`` — no third-party
+web framework, and results are bit-identical to ``QueryEngine.topk*``
+because every request flows through the same ``_EngineReplica.search``
+dispatch the stdin ``serve`` loop uses.
+
+Endpoints:
+  GET /search?q=...&k=10&mode=pruned&docs=1&filter=col=value
+      → {"query", "mode", "k", "results"} — ``docs=1`` resolves
+        url/title rows (the reference's response shape), ``docs=0``
+        returns raw (doc_id, score) pairs.
+  GET /facets?q=...&col=lang → {"query", "col", "facets"}
+  GET /healthz → {"ok": true, "replicas": N}
+
+Scale note: one driver-side HTTP process round-robins over N warm
+replica actors (each ``num_cpus=1``); on a cluster you run one such
+front per serving node — the replicas are location-transparent Ray
+actors, so fronts share the pool.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_MODES = (
+    "exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix",
+    "fuzzy", "not", "bool", "wildcard", "regex",
+)
+
+
+def _jsonable(x):
+    """numpy scalars / tuples → plain JSON types."""
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    item = getattr(x, "item", None)
+    return item() if callable(item) else x
+
+
+class SearchHTTPServer:
+    """Own the service + server pair; use as a context manager.
+
+    ``port=0`` binds an ephemeral port (exposed as ``.port``) — the
+    test-friendly default. ``serve_forever`` runs on a daemon thread so
+    the caller (CLI or test) keeps control.
+    """
+
+    def __init__(self, index_dir: str, host: str = "127.0.0.1",
+                 port: int = 0, replicas: int = 2, k: int = 10,
+                 mode: str = "pruned", reload_secs: float | None = None):
+        from zensearch_ray.pipelines.service import QueryService
+
+        self.service = QueryService(
+            index_dir, replicas=replicas, k=k, mode=mode,
+            reload_secs=reload_secs,
+        )
+        svc = self.service
+        default_k, default_mode = k, mode
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet: tests/CLI own stdout
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802  (stdlib handler contract)
+                url = urlparse(self.path)
+                qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+                try:
+                    if url.path == "/healthz":
+                        self._reply(200, {
+                            "ok": True,
+                            "replicas": len(svc._replicas),
+                        })
+                    elif url.path == "/search":
+                        self._search(qs)
+                    elif url.path == "/facets":
+                        self._facets(qs)
+                    else:
+                        self._reply(404, {"error": f"no route {url.path}"})
+                except (ValueError, KeyError) as exc:
+                    self._reply(400, {"error": str(exc)})
+
+            def _search(self, qs: dict) -> None:
+                q = qs.get("q", "").strip()
+                if not q:
+                    raise ValueError("missing required param q")
+                mode = qs.get("mode", default_mode)
+                if mode not in _MODES:
+                    raise ValueError(
+                        f"unknown mode {mode!r}; one of {_MODES}"
+                    )
+                k = int(qs.get("k", default_k))
+                docs = qs.get("docs", "1") not in ("0", "false", "no")
+                filt = None
+                if "filter" in qs:
+                    col, _, value = qs["filter"].partition("=")
+                    if not value:
+                        raise ValueError("filter expects col=value")
+                    filt = (col, value)
+                    mode = "exhaustive"  # filter serves exhaustive only
+                results = svc.search(
+                    q, k=k, mode=mode, docs=docs, filter=filt
+                )
+                self._reply(200, {
+                    "query": q, "mode": mode, "k": k,
+                    "results": _jsonable(results),
+                })
+
+            def _facets(self, qs: dict) -> None:
+                q = qs.get("q", "").strip()
+                col = qs.get("col", "").strip()
+                if not q or not col:
+                    raise ValueError("params q and col are required")
+                self._reply(200, {
+                    "query": q, "col": col,
+                    "facets": _jsonable(svc.facet_counts(q, col)),
+                })
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self.host = host
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SearchHTTPServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        """Foreground form for the CLI."""
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.service.shutdown()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False

@@ -100,6 +100,10 @@ class _EngineReplica:
                     filter: tuple | None = None):
         return [self.search(q, k, mode, docs, filter) for q in queries]
 
+    def facet_counts(self, query: str, col: str):
+        self._maybe_reload()
+        return self.engine.facet_counts(query, col)
+
     def pid(self) -> int:
         import os
 
@@ -182,6 +186,13 @@ class QueryService:
             for i, item in zip(shards[r], res):
                 out[i] = item
         return out
+
+    def facet_counts(self, query: str, col: str):
+        """Result-page facet sidebar through a warm replica (each
+        replica's facet lookup loads once and stays)."""
+        import ray
+
+        return ray.get(self._next().facet_counts.remote(query, col))
 
     def replica_pids(self) -> list[int]:
         import ray
