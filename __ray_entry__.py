@@ -463,7 +463,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from zensearch_ray.stages.minhash import dup_groups
 
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return dup_groups(ds, num_partitions=4)
+        # 32 bands × 4 rows (same 128 permutations as the 16×8 default)
+        # pushes the boundary-pair miss probability at j=0.8 to ~5e-8,
+        # so the LSH+verify output provably matches the exact all-pairs
+        # shingle-Jaccard SQL oracle; the Jaccard verify threshold is
+        # unchanged, so precision semantics are identical
+        return dup_groups(
+            ds, num_partitions=4,
+            stage_kwargs={"n_bands": 32, "rows_per_band": 4},
+        )
 
     def ann_ivf(sf_dir: str):
         import pyarrow.parquet as pq
@@ -1690,6 +1698,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_pagerank": _pagerank_sql(_EVENT_EDGES_CTE, "event_type"),
         "term_pagerank": _pagerank_sql(_TERM_EDGES_CTE, "term", limit=50),
+        # exact all-pairs 3-shingle Jaccard + the same recursive-CTE
+        # closure as embedding_dup_components; every sf doc has >= 10
+        # tokens, so the engine's <k-token unigram fallback never fires
+        # (the engine hashes shingles to 64-bit — string-identity here,
+        # collision probability negligible and deterministic)
+        "minhash_dup_groups": """
+            WITH RECURSIVE tl AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS term,
+                       generate_subscripts(l, 1) AS p
+                FROM tl
+            ),
+            sh AS (
+                SELECT DISTINCT t1.doc_id,
+                       t1.term || ' ' || t2.term || ' ' || t3.term AS s
+                FROM toks t1
+                JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+                JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.p = t1.p + 2
+            ),
+            sz AS (SELECT doc_id, count(*)::DOUBLE AS c FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*)::DOUBLE AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sz sa ON sa.doc_id = a
+                JOIN sz sb ON sb.doc_id = b
+                WHERE i / (sa.c + sb.c - i) >= 0.8
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.node, e.dst
+                FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT node AS doc_id, min(r)::BIGINT AS group_id
+            FROM reach GROUP BY node
+        """,
         "embedding_dup_components": f"""
             WITH RECURSIVE pairs AS (
                 SELECT a.vec_id AS a, b.vec_id AS b
