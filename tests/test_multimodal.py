@@ -36,7 +36,7 @@ def test_features_all_rows(ray_session):
     assert len(out) == 60
     assert list(out.columns) == ["media_id", "n_bytes", "decoder", "feat_mean", "feat_std"]
     # real formats decode for real; only video falls back to the stub
-    assert set(out["decoder"]) == {"wav", "ppm", "stub"}
+    assert set(out["decoder"]) == {"wav", "ppm", "png", "stub"}
     # deterministic across runs
     out2 = (
         _media_ds()
@@ -148,3 +148,77 @@ def test_decode_media_sniffing():
         assert dec == want, (kind, want)
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "3d-mesh")
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    from zensearch_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(7, 5, 3), (4, 9), (6, 6, 4), (1, 1, 3), (3, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filts in [None, [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            out = decode_png(encode_png(img, filts))
+            assert out.shape == img.shape and (out == img).all(), (shape, filts)
+
+
+def test_png_palette_and_errors():
+    import struct
+    import zlib
+
+    from zensearch_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    # 2x2 palette image: indices [[0,1],[1,0]] over a 2-color palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 1, 0])  # filter0 rows
+    png = (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    img = decode_png(png)
+    assert img.shape == (2, 2, 3)
+    assert (img[0, 0] == [255, 0, 0]).all() and (img[0, 1] == [0, 0, 255]).all()
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (_PNG_SIG + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(png16)
+
+
+def test_media_features_decode_real_png(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zensearch_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        MediaFeatureStage,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    pixels = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([encode_png(pixels, filters=[4, 2, 1])], pa.binary()),
+        "mime": pa.array(["image/png"]),
+        "width": pa.array([10], pa.int32()),
+        "height": pa.array([12], pa.int32()),
+        "duration_ms": pa.array([-1], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaFeatureStage, batch_format="pyarrow",
+                     batch_size=8, concurrency=1)
+        .to_pandas()
+    )
+    assert out["decoder"].iloc[0] == "png"
+    want = pixels.astype(np.float64).ravel() / 255.0
+    assert out["feat_mean"].iloc[0] == float(np.round(want.mean(), 6))
+    assert out["feat_std"].iloc[0] == float(np.round(want.std(), 6))

@@ -1,13 +1,14 @@
 """Multimodal (image/audio/video) column plumbing — REAL Ray-side
-pipeline, STUBBED codecs.
+pipeline; REAL stdlib codecs for WAV (PCM), netpbm, and PNG; a
+deterministic stub only where the container genuinely lacks a codec
+(JPEG, video).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container,
-so the byte→pixels/samples step is a deterministic fake behind
-``decode_stub``; everything around it — Arrow ``binary`` payload
-columns with typed metadata, small-batch actor-pool stages, feature
-output schema — is real and tested, and is exactly what a model-backed
-implementation would keep (swap ``_decode_fake`` for the real codec in
-``__init__``-loaded form).
+The byte→pixels/samples step for the remaining formats is a
+deterministic fake behind ``decode_stub``; everything around it —
+Arrow ``binary`` payload columns with typed metadata, small-batch
+actor-pool stages, feature output schema — is real and tested, and is
+exactly what a model-backed implementation would keep (swap
+``decode_stub`` for the real codec in ``__init__``-loaded form).
 
 Design notes for 100 TB: media rows are WIDE (MBs per row) — these
 stages must run with small ``batch_size`` and rely on block splitting
@@ -84,6 +85,142 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape((h, w, 3)) if depth == 3 else arr.reshape((h, w))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder via stdlib ``zlib`` — no imaging library.
+
+    8-bit, non-interlaced; color types gray(0), RGB(2), palette(3),
+    gray+alpha(4), RGBA(6). Returns uint8 of shape (h, w[, channels]).
+    Filter reconstruction per the public PNG spec (RFC 2083 §6):
+    None/Up/Sub are vectorized (Sub is a per-channel modular cumsum);
+    Average/Paeth are sequential in x by definition and loop."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        pos += 8
+        data = payload[pos:pos + ln]
+        pos += ln + 4  # payload + CRC (integrity is the transport's job)
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int64)
+        p += stride
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-channel modular prefix sum
+            cur = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:  # Average
+                    v = line[x] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    q = a + b - c
+                    qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                    v = line[x] + (
+                        a if (qa <= qb and qa <= qc) else (b if qb <= qc else c)
+                    )
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img]
+    return img
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """REAL PNG encoder (stdlib ``zlib``): 8-bit gray/RGB/RGBA.
+    ``filters`` cycles a per-row filter choice — the test harness uses
+    it to exercise every reconstruction path of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ch, ctype = 1, 0
+    elif img.shape[2] == 3:
+        ch, ctype = 3, 2
+    elif img.shape[2] == 4:
+        ch, ctype = 4, 6
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w = img.shape[:2]
+    body = img.reshape(h, w * ch).astype(np.int64)
+    prev = np.zeros(w * ch, np.int64)
+    zero = np.zeros(ch, np.int64)
+    rows = []
+    for y in range(h):
+        f = 0 if not filters else filters[y % len(filters)]
+        cur = body[y]
+        left = np.concatenate([zero, cur[:-ch]]) if w * ch > ch else zero[:w * ch]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            upleft = np.concatenate([zero, prev[:-ch]]) if w * ch > ch else zero[:w * ch]
+            q = left + prev - upleft
+            qa, qb, qc = np.abs(q - left), np.abs(q - prev), np.abs(q - upleft)
+            pred = np.where((qa <= qb) & (qa <= qc), left,
+                            np.where(qb <= qc, prev, upleft))
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
 def decode_media(payload: bytes, kind: str):
     """Format-sniffing decoder: REAL for the stdlib-decodable formats
     (RIFF/WAVE audio, binary netpbm images), deterministic stub for
@@ -99,6 +236,13 @@ def decode_media(payload: bytes, kind: str):
         return (
             img.astype(np.float64).ravel() / 255.0,
             "ppm",
+            {"width": img.shape[1], "height": img.shape[0]},
+        )
+    if kind == "image" and payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        return (
+            img.astype(np.float64).ravel() / 255.0,
+            "png",
             {"width": img.shape[1], "height": img.shape[0]},
         )
     return decode_stub(payload, kind), "stub", {}
@@ -290,9 +434,14 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             mime = "audio/wav"
         elif kind == "image":
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
-            payload = _make_ppm(rng, w, h)
+            if int(rng.integers(0, 2)):
+                payload = _make_ppm(rng, w, h)
+                mime = "image/x-portable-pixmap"
+            else:
+                pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload = encode_png(pixels, filters=[0, 1, 2, 3, 4])
+                mime = "image/png"
             dur = -1
-            mime = "image/x-portable-pixmap"
         else:
             payload = rng.integers(
                 0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8
