@@ -129,3 +129,37 @@ def test_heavy_hitters_empty(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": pd.array([], dtype="int64")}))
     out = heavy_hitters(ds, lambda b: [str(x) for x in b["v"].to_pylist()], 10)
     assert out.count() == 0
+
+
+def test_heavy_hitters_512_blocks_bounded_driver(ray_session):
+    # round-2 VERDICT item 7: the candidate union is k x n_blocks rows
+    # at scale — with 512 blocks of DISJOINT per-block skew the driver
+    # must hold the bloom bitmap, never the candidate rows
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zensearch_ray.stages.sketch import heavy_hitters
+
+    blocks = []
+    for i in range(512):
+        vals = ["HEAVY"] * 150 + [f"only_in_block_{i}"] * 50
+        blocks.append(pa.table({"v": pa.array(vals)}))
+    ds = rd.from_arrow(blocks)
+    assert ds.num_blocks() == 512
+
+    diag = {}
+    out = (
+        heavy_hitters(ds, lambda b: b["v"].to_pylist(), k=100, _diag=diag)
+        .to_pandas()
+    )
+    # exact result: only the global heavy value survives the n/k cut
+    n = 512 * 200
+    assert list(out["term"]) == ["HEAVY"]
+    assert int(out["cnt"].iloc[0]) == 512 * 150
+    assert 512 * 150 * 100 > n
+    # every per-block value was a candidate somewhere...
+    assert diag["n_candidates"] >= 512
+    # ...but the driver held only the bitmap: ~10 bits per candidate,
+    # not k x 512 rows
+    assert diag["driver_bloom_bytes"] < 64 * 1024

@@ -137,11 +137,12 @@ def events_daily_active_hll(sf_dir: str, p: int = 12):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-def heavy_hitters(ds, values_of, k: int = 100):
+def heavy_hitters(ds, values_of, k: int = 100, fpp: float = 0.01,
+                  _diag: dict | None = None):
     """EXACT global heavy hitters: all values whose total count exceeds
     n/k (n = stream length), with exact counts — two bounded-exchange
     streaming passes instead of a full groupby over every distinct
-    value.
+    value, and NOTHING value-cardinality-sized on the driver.
 
     Pass 1 (candidates): per batch, any value with batch count
     > n_batch/k — by pigeonhole, a value with GLOBAL count > n/k must
@@ -149,26 +150,39 @@ def heavy_hitters(ds, values_of, k: int = 100):
     of per-batch candidates is a superset of the true heavy hitters
     (the deterministic candidate bound behind Misra-Gries / mergeable
     frequency summaries, Agarwal et al. 2012). At most k candidate
-    rows + one total-count row leave each batch, so the driver folds
-    O(k × n_batches) tiny rows — never a value-cardinality exchange.
+    rows + one total-count row leave each batch. The union can still
+    be k × n_batches distinct values at a 100-TB block count, so the
+    driver never folds it: candidate terms dedup through ONE bucketed
+    exchange and feed a distributed Bloom build
+    (``stages/bloom.build_bloom`` — per-block partial bitmaps, fan-in
+    OR-merge); the driver holds the ~10-bits-per-candidate bitmap, not
+    the rows (round-2 VERDICT item 7).
 
-    Pass 2 (exact verify): candidate set broadcast via ``ray.put``;
-    each batch emits candidate-only partial counts (Counter restricted
-    to the broadcast set), a |candidates|-sized groupby sums them, and
-    the strict > n/k filter runs on exact totals. Output is exact, so
-    the driver entry carries a full SQL oracle.
+    Pass 2 (exact verify): the BITMAP broadcasts via ``ray.put``; each
+    batch counts its values and emits partials only for the (distinct,
+    per-batch) values the bloom may contain, a groupby sums them, and
+    the strict > n/k filter runs on exact totals. Exactness survives
+    the bloom on both sides: no false negatives (every true heavy
+    hitter is a candidate, so its bits are set), and a false positive
+    merely gets exactly counted — it passes the final exact-count
+    threshold only if it genuinely IS a heavy hitter. Output is exact,
+    so the driver entry carries a full SQL oracle.
 
     Two scans of the input (same trade-off as the bracketed
     exact-quantile operator in ``pipelines/analytics.py``): at scale,
     two column-pruned scans beat shuffling one row per distinct value.
 
     ``values_of(batch) -> list``: extracts the value stream from a
-    batch (e.g. tokenized terms).
+    batch (e.g. tokenized terms). ``_diag`` (tests): filled with the
+    driver-side materialization sizes.
     """
     from collections import Counter
 
     import ray
     import pyarrow.compute as pc
+
+    from zensearch_ray.functions.ids import hash64
+    from zensearch_ray.stages.bloom import bloom_contains, build_bloom
 
     def candidates_partial(batch: pa.Table) -> pa.Table:
         vals = values_of(batch)
@@ -182,23 +196,62 @@ def heavy_hitters(ds, values_of, k: int = 100):
             }
         )
 
-    rows = ds.map_batches(candidates_partial, batch_format="pyarrow").take_all()
-    n_total = sum(r["cnt"] for r in rows if r["term"] is None)
-    cand_set = {r["term"] for r in rows if r["term"] is not None}
-    if not cand_set or n_total == 0:
+    cands = ds.map_batches(
+        candidates_partial, batch_format="pyarrow", batch_size=None
+    ).materialize()  # tiny rows; consumed twice (total + dedup)
+    n_total = int(
+        cands.filter(lambda r: r["term"] is None).sum("cnt") or 0
+    )
+
+    # distributed candidate dedup: ONE bucketed exchange over the tiny
+    # candidate rows; per-bucket np.unique — no driver set
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        terms = [t for t in batch["term"].to_pylist() if t is not None]
+        keys = np.array([hash64(t) for t in terms], dtype=np.uint64)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "key": pa.array(keys.astype(np.int64)),
+            "bucket": pa.array((keys % np.uint64(64)).astype(np.int32)),
+        })
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(keys, return_index=True)
+        return group.take(np.sort(first)).drop_columns(["bucket"])
+
+    cand_dedup = (
+        # candidate rows are ≤ k+1 per input BLOCK — coalesce the tiny
+        # blocks before the exchange so task count tracks data volume,
+        # not the input's block count
+        cands.repartition(16)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()  # counted once, then streamed into the bloom
+    )
+    n_cand = cand_dedup.count()
+    if n_cand == 0 or n_total == 0:
         return ray.data.from_arrow(
             pa.table({"term": pa.array([], type=pa.string()),
                       "cnt": pa.array([], type=pa.int64())})
         )
-    ref = ray.put(frozenset(cand_set))
+    words, kh = build_bloom(cand_dedup, "key", n_hint=n_cand, fpp=fpp)
+    if _diag is not None:
+        _diag["n_candidates"] = int(n_cand)
+        _diag["driver_bloom_bytes"] = int(words.nbytes)
+    ref = ray.put((words, kh))
 
     def exact_partial(batch: pa.Table) -> pa.Table:
-        cands = ray.get(ref)
-        c = Counter(v for v in values_of(batch) if v in cands)
+        bw, bk = ray.get(ref)
+        c = Counter(values_of(batch))
+        terms = list(c.keys())
+        keys = np.array([hash64(t) for t in terms], dtype=np.int64)
+        maybe = bloom_contains(bw, keys, bk)
+        kept = [t for t, m in zip(terms, maybe) if m]
         return pa.table(
             {
-                "term": pa.array(list(c.keys()), type=pa.string()),
-                "cnt": pa.array(list(c.values()), type=pa.int64()),
+                "term": pa.array(kept, type=pa.string()),
+                "cnt": pa.array([c[t] for t in kept], type=pa.int64()),
             }
         )
 
