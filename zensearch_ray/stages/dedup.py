@@ -329,21 +329,37 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
         ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 
-    def bucket_stats(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_stats(group: pa.Table) -> pa.Table:
         # per-doc partials within the bucket: n_win = all occurrences,
         # n_dup = occurrences whose gram's GLOBAL count (exact here —
-        # the gram's every row is in this bucket) exceeds 1
-        g = group.groupby("h")["c"].transform("sum")
-        return (
-            group.assign(dup_c=group["c"].where(g > 1, 0))
-            .groupby("doc_id", as_index=False)
-            .agg(n_dup=("dup_c", "sum"), n_win=("c", "sum"))
+        # the gram's every row is in this bucket) exceeds 1. Pure
+        # numpy bincount grouping — no Arrow→pandas copy of the bucket
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hinv = np.unique(
+            group["h"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        gsum = np.bincount(hinv, weights=c)
+        dup_c = np.where(gsum[hinv] > 1, c, 0)
+        docs, dinv = np.unique(
+            group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_inverse=True,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n_dup": pa.array(
+                    np.bincount(dinv, weights=dup_c).astype(np.int64)
+                ),
+                "n_win": pa.array(
+                    np.bincount(dinv, weights=c).astype(np.int64)
+                ),
+            }
         )
 
     partials = (
         grams.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_stats, batch_format="pandas")
+        .map_groups(bucket_stats, batch_format="pyarrow")
     )
     per_doc = bucketed_groupby_sum(partials, ["doc_id"], ["n_dup", "n_win"])
     if per_doc.schema() is None:
@@ -361,19 +377,19 @@ def dup_ngram_rate(ds, n: int = 8, n_buckets: int = 64):
             )
         )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df["n_dup"].to_numpy(np.int64)
-        nn = df["n_win"].to_numpy(np.int64)
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = batch["n_win"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "n_ngrams": nn,
-                "n_dup": nd,
-                "dup_rate": np.array([round6(x) for x in nd / nn]),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_ngrams": pa.array(nn),
+                "n_dup": pa.array(nd),
+                "dup_rate": pa.array(round6(nd / nn), type=pa.float64()),
             }
         )
 
-    return per_doc.map_batches(finish, batch_format="pandas")
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 def _span_rows(batch: pa.Table, w: int, hasher) -> pa.Table:
