@@ -1,0 +1,132 @@
+"""Streaming ingest loop (pipelines/watch.py + CLI watch): committed
+drop files become append generations, near-dups across deltas and
+against the indexed base are dropped, warm serving replicas pick each
+generation up via live reload, and the marker protocol makes every
+cycle idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.__main__ import main
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.service import QueryService
+from zensearch_ray.pipelines.watch import ingest_once, ingested_files, pending_files
+from zensearch_ray.sources.pages import generate_pages_table
+
+
+def _cfg():
+    # reproducible from CLI flags (the watch CLI reconstructs the build
+    # config the same way build --append does)
+    return BuildConfig(num_shards=4, salt_subs=2, lang="en", sig_store=True)
+
+
+def _pages(urls, texts):
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(
+            [1_700_000_000_000_000 + i for i in range(n)],
+            type=pa.timestamp("us"),
+        ),
+        "html": pa.array([b""] * n, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+    })
+
+
+def _drop(drop_dir: str, name: str, tbl: pa.Table) -> None:
+    """Producer contract: write tmp, rename into place."""
+    tmp = os.path.join(drop_dir, name + ".tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(drop_dir, name))
+
+
+FRESH_A = "aardwolf quokka numbat " * 8 + "uniquetokena"
+FRESH_B = "axolotl capybara fossa " * 8 + "uniquetokenb"
+
+
+def test_watch_two_deltas_live_reload(ray_session, tmp_path, capsys):
+    base_tbl = generate_pages_table(120, seed=7)
+    base = str(tmp_path / "base.parquet")
+    pq.write_table(base_tbl, base)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, _cfg())
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    en_texts = base_tbl.filter(
+        pa.compute.equal(base_tbl["lang"], "en")
+    )["text"].to_pylist()
+    near_base = "zzzchanged " + " ".join(en_texts[5].split(" ")[1:])
+
+    with QueryService(idx, replicas=1, reload_secs=0.01) as svc:
+        assert svc.search("uniquetokena") == []
+
+        # ---- delta 1: one fresh doc + one near-dup of the base ----
+        _drop(drop, "delta-001.parquet", _pages(
+            ["https://d1.example.com/a", "https://d1.example.com/neardup"],
+            [FRESH_A, near_base],
+        ))
+        # a producer's half-written file must be invisible
+        with open(os.path.join(drop, "partial.parquet.tmp"), "wb") as f:
+            f.write(b"garbage")
+        assert pending_files(drop) == ["delta-001.parquet"]
+
+        argv = ["watch", "--index", idx, "--drop", drop, "--once",
+                "--near-dedup", "--dedup-threshold", "0.5",
+                "--shards", "4", "--salt-subs", "2", "--sigstore"]
+        assert main(argv) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        assert lines[0]["file"] == "delta-001.parquet"
+        assert lines[0]["dropped"] == 1  # the near-dup of the base
+
+        svc.refresh()  # push form of the reload the poll would do
+        hits = svc.search("uniquetokena")
+        assert hits, "warm replica must see generation 1"
+        assert svc.search("zzzchanged") == []  # near-dup never indexed
+
+        # ---- delta 2: fresh doc + near-dup of DELTA 1's doc ----
+        near_a = FRESH_A + " tail"
+        _drop(drop, "delta-002.parquet", _pages(
+            ["https://d2.example.com/b", "https://d2.example.com/neardup"],
+            [FRESH_B, near_a],
+        ))
+        assert main(argv) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        assert lines[0]["file"] == "delta-002.parquet"
+        assert lines[0]["dropped"] == 1  # cross-delta near-dup dropped
+
+        svc.refresh()
+        assert svc.search("uniquetokenb"), "replica must see generation 2"
+        # the cross-delta near-dup was dropped: only delta-1's original
+        # carries the unique token
+        assert len(svc.search("uniquetokena")) == 1
+
+    assert ingested_files(drop) == ["delta-001.parquet", "delta-002.parquet"]
+    assert pending_files(drop) == []
+    # idempotent: nothing pending → a rerun ingests nothing
+    assert ingest_once(idx, drop, _cfg(), threshold=0.5) == []
+
+
+def test_watch_loop_max_cycles(ray_session, tmp_path):
+    from zensearch_ray.pipelines.watch import watch
+
+    base = str(tmp_path / "base.parquet")
+    pq.write_table(generate_pages_table(60, seed=3), base)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, _cfg())
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    _drop(drop, "d1.parquet", _pages(
+        ["https://w.example.com/1"], [FRESH_A]))
+
+    seen = []
+    n = watch(idx, drop, _cfg(), threshold=0.5, poll_secs=0.01,
+              max_cycles=3, on_cycle=lambda s: seen.extend(s))
+    assert n == 1 and [s["file"] for s in seen] == ["d1.parquet"]

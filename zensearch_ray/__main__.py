@@ -26,11 +26,13 @@ def _ensure_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
-def cmd_build(args) -> int:
-    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+def _cfg_of(args):
+    """BuildConfig from the shared config flags (build and watch take
+    the same set — an append must match the original build config, so
+    the watch loop asks for it the same way ``build --append`` does)."""
+    from zensearch_ray.pipelines.build_index import BuildConfig
 
-    _ensure_ray()
-    cfg = BuildConfig(
+    return BuildConfig(
         num_shards=args.shards,
         salt_subs=args.salt_subs,
         lang=args.lang if args.lang != "any" else None,
@@ -43,6 +45,13 @@ def cmd_build(args) -> int:
         stopwords=tuple(s for s in args.stopwords.split(",") if s),
         sig_store=args.sigstore,
     )
+
+
+def cmd_build(args) -> int:
+    from zensearch_ray.pipelines.build_index import build_index
+
+    _ensure_ray()
+    cfg = _cfg_of(args)
     if args.near_dedup:
         from zensearch_ray.pipelines.build_index import append_index_dedup
 
@@ -543,48 +552,82 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Streaming ingest loop (see ``pipelines/watch.py``): each
+    committed drop file becomes one append generation; pair with
+    ``serve --reload-secs`` so warm replicas pick every generation up
+    without restart."""
+    from zensearch_ray.pipelines.watch import ingest_once, watch
+
+    _ensure_ray()
+
+    def report(summaries):
+        for s in summaries:
+            print(json.dumps(s), flush=True)
+
+    cfg = _cfg_of(args)
+    if args.once:
+        report(ingest_once(
+            args.index, args.drop, cfg,
+            near_dedup=args.near_dedup, threshold=args.dedup_threshold,
+        ))
+        return 0
+    watch(
+        args.index, args.drop, cfg,
+        near_dedup=args.near_dedup, threshold=args.dedup_threshold,
+        poll_secs=args.poll_secs, max_cycles=args.max_cycles,
+        on_cycle=report,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="zensearch_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_cfg_flags(p):
+        """The shared build-config flag set (build + watch: an append
+        must reproduce the original build config)."""
+        p.add_argument("--shards", type=int, default=64)
+        p.add_argument("--salt-subs", type=int, default=8)
+        p.add_argument("--lang", default="en", help="'any' disables the filter")
+        p.add_argument("--extract-html", action="store_true")
+        p.add_argument("--dedup-urls", action="store_true")
+        p.add_argument("--id-col", default=None)
+        p.add_argument(
+            "--positions", action="store_true",
+            help="positional index: store token positions (phrase/near queries)",
+        )
+        p.add_argument(
+            "--attrs", nargs="*", default=[],
+            help="attribute columns carried into docmeta (facet sidecar: "
+                 "query --filter/--facets, serve --filter)",
+        )
+        p.add_argument(
+            "--title-boost", type=int, default=0,
+            help="BM25F: weight title-field terms N x in tf and doc_len "
+                 "(requires a title column or --extract-html; not with "
+                 "--positions)",
+        )
+        p.add_argument(
+            "--stopwords", default="",
+            help="comma-separated terms dropped at index time (Lucene "
+                 "StopFilter semantics: removed from tf and doc_len; "
+                 "not with --positions)",
+        )
+        p.add_argument(
+            "--sigstore", action="store_true",
+            help="also persist the MinHash signature store sidecar so "
+                 "appends can use near-dedup",
+        )
+
     b = sub.add_parser("build", help="build (or resume) an inverted index")
     b.add_argument("--input", required=True, help="pages parquet file/dir")
     b.add_argument("--output", required=True, help="index directory")
-    b.add_argument("--shards", type=int, default=64)
-    b.add_argument("--salt-subs", type=int, default=8)
-    b.add_argument("--lang", default="en", help="'any' disables the filter")
-    b.add_argument("--extract-html", action="store_true")
-    b.add_argument("--dedup-urls", action="store_true")
-    b.add_argument("--id-col", default=None)
-    b.add_argument(
-        "--positions", action="store_true",
-        help="positional index: store token positions (phrase/near queries)",
-    )
-    b.add_argument(
-        "--attrs", nargs="*", default=[],
-        help="attribute columns carried into docmeta (facet sidecar: "
-             "query --filter/--facets, serve --filter)",
-    )
-    b.add_argument(
-        "--title-boost", type=int, default=0,
-        help="BM25F: weight title-field terms N x in tf and doc_len "
-             "(requires a title column or --extract-html; not with "
-             "--positions)",
-    )
-    b.add_argument(
-        "--stopwords", default="",
-        help="comma-separated terms dropped at index time (Lucene "
-             "StopFilter semantics: removed from tf and doc_len; "
-             "not with --positions)",
-    )
+    add_cfg_flags(b)
     b.add_argument(
         "--append", action="store_true",
         help="add the input as a new segment generation of an existing index",
-    )
-    b.add_argument(
-        "--sigstore", action="store_true",
-        help="also persist the MinHash signature store sidecar so future "
-             "appends can use --near-dedup",
     )
     b.add_argument(
         "--near-dedup", action="store_true",
@@ -846,6 +889,29 @@ def main(argv=None) -> int:
     )
     s.add_argument("--host", default="127.0.0.1")
     s.set_defaults(fn=cmd_serve)
+
+    w = sub.add_parser(
+        "watch",
+        help="tail a drop directory: append each committed parquet/JSONL "
+             "file as one index generation (crawl→store→search loop)",
+    )
+    w.add_argument("--index", required=True)
+    w.add_argument("--drop", required=True, help="drop directory to tail")
+    add_cfg_flags(w)  # appends must reproduce the original build config
+    w.add_argument(
+        "--near-dedup", action="store_true",
+        help="drop delta docs near-duplicating indexed docs or earlier "
+             "deltas (requires an index built with --sigstore)",
+    )
+    w.add_argument("--dedup-threshold", type=float, default=0.9)
+    w.add_argument("--poll-secs", type=float, default=2.0)
+    w.add_argument(
+        "--max-cycles", type=int, default=None,
+        help="exit after N polls (default: run forever)",
+    )
+    w.add_argument("--once", action="store_true",
+                   help="one ingest pass, then exit")
+    w.set_defaults(fn=cmd_watch)
 
     args = p.parse_args(argv)
     return args.fn(args)

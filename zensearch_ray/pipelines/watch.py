@@ -1,0 +1,129 @@
+"""Streaming ingest loop: tail a drop directory and append each new
+delta into a live index — the batch-engine closure of the reference's
+crawl→store→search loop (``crawler/main.go:84-112`` pushes crawled
+pages through the queue into the store, and the search side picks them
+up; here, producers rename finished parquet/JSONL files into the drop
+directory, each becomes one append generation, and warm serving
+replicas pick it up via ``IndexLayout.version_token`` live reload —
+``serve --reload-secs`` or ``QueryService(reload_secs=...)``).
+
+Protocol (every step resumable):
+  * producers write ``<name>.tmp`` then ``os.replace`` to
+    ``<name>.parquet`` / ``<name>.jsonl`` — rename-into-place is the
+    commit point (the same data-first convention as ``state/sink``);
+    the watcher never looks at ``*.tmp``.
+  * each ingested file gets a marker ``_ingested/<name>.json``
+    (atomic tmp+rename) AFTER its append commits, so a crashed cycle
+    re-runs the same file — ``append_index`` / ``append_index_dedup``
+    are marker-committed and converge on re-run.
+  * files ingest in sorted-name order, one append generation each, so
+    two watchers racing on one drop dir are serialized per file by the
+    index's own append locking and the deterministic order.
+
+Scale note: the loop is a DRIVER-side coordinator; every append cycle
+is the distributed append pipeline (delta-sized work — the indexed
+corpus is never re-read; near-dedup probes only the delta's signature
+band partitions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+_MARKER_DIR = "_ingested"
+_EXTS = (".parquet", ".jsonl")
+
+
+def _marker_path(drop_dir: str, name: str) -> str:
+    return os.path.join(drop_dir, _MARKER_DIR, name + ".json")
+
+
+def pending_files(drop_dir: str) -> list[str]:
+    """Sorted basenames of committed drop files without an ingest
+    marker."""
+    try:
+        names = os.listdir(drop_dir)
+    except FileNotFoundError:
+        return []
+    out = [
+        n for n in names
+        if n.endswith(_EXTS) and not os.path.exists(_marker_path(drop_dir, n))
+    ]
+    return sorted(out)
+
+
+def ingested_files(drop_dir: str) -> list[str]:
+    mdir = os.path.join(drop_dir, _MARKER_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(n[:-5] for n in os.listdir(mdir) if n.endswith(".json"))
+
+
+def _append_one(index_dir: str, path: str, cfg, near_dedup: bool,
+                threshold: float) -> dict:
+    from zensearch_ray.pipelines.build_index import (
+        append_index,
+        append_index_dedup,
+        build_index,
+    )
+
+    if path.endswith(".jsonl"):
+        from zensearch_ray.sources.jsonl import read_pages_jsonl
+
+        source = read_pages_jsonl(path)
+    else:
+        source = path
+    if near_dedup:
+        return append_index_dedup(source, index_dir, cfg, threshold=threshold)
+    return build_index(source, index_dir, cfg, append=True)
+
+
+def ingest_once(index_dir: str, drop_dir: str, cfg=None,
+                near_dedup: bool = True, threshold: float = 0.9) -> list[dict]:
+    """Ingest every currently-pending drop file (sorted order, one
+    append generation each); returns one summary per ingested file.
+    Crash-safe: the marker lands only after the append commits."""
+    from zensearch_ray.pipelines.build_index import BuildConfig
+
+    cfg = cfg or BuildConfig()
+    os.makedirs(os.path.join(drop_dir, _MARKER_DIR), exist_ok=True)
+    out = []
+    for name in pending_files(drop_dir):
+        manifest = _append_one(
+            index_dir, os.path.join(drop_dir, name), cfg, near_dedup, threshold
+        )
+        summary = {
+            "file": name,
+            "n_docs": manifest.get("n_docs"),
+            "n_generations": manifest.get("n_generations"),
+            "dropped": manifest.get("near_dedup", {}).get("dropped", 0),
+        }
+        marker = _marker_path(drop_dir, name)
+        with open(marker + ".tmp", "w") as f:
+            json.dump(summary, f)
+        os.replace(marker + ".tmp", marker)
+        out.append(summary)
+    return out
+
+
+def watch(index_dir: str, drop_dir: str, cfg=None, near_dedup: bool = True,
+          threshold: float = 0.9, poll_secs: float = 2.0,
+          max_cycles: int | None = None, on_cycle=None) -> int:
+    """Poll ``drop_dir`` forever (or for ``max_cycles`` polls),
+    ingesting whatever shows up. Returns the number of files ingested.
+    ``on_cycle(summaries)`` fires after every NON-EMPTY cycle (the CLI
+    prints; tests observe)."""
+    n_done = 0
+    cycles = 0
+    while True:
+        summaries = ingest_once(index_dir, drop_dir, cfg, near_dedup, threshold)
+        if summaries:
+            n_done += len(summaries)
+            if on_cycle is not None:
+                on_cycle(summaries)
+        cycles += 1
+        if max_cycles is not None and cycles >= max_cycles:
+            return n_done
+        time.sleep(poll_secs)
