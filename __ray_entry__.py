@@ -377,17 +377,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sizes.astype({"cluster": np.int64, "n_points": np.int64})
 
     def embedding_near_dup(sf_dir: str):
-        # bucketed LSH default (exact-verified candidates; auto-tuned
-        # seeded banding) — the N² block-pair path remains the referee
-        # in tests/test_embedding_lsh.py
+        # threshold-adaptive default: high thresholds route to the
+        # bucketed LSH path (exact-verified candidates, seeded
+        # banding); at this LOW threshold (0.4) sign-banding cannot
+        # prune (lsh_prune_rate ≈ 1 — most orthogonal pairs still
+        # collide in some band), so auto routes to the exact block-pair
+        # matmul, which is strictly less work. Both paths are
+        # value-identical (tests/test_embedding_lsh.py).
         import ray.data as rd
 
-        from zensearch_ray.stages.ann import lsh_near_dup_pairs
+        from zensearch_ray.stages.ann import near_dup_pairs_auto
 
         ds = rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        return lsh_near_dup_pairs(ds, NEAR_DUP_THRESHOLD)
+        return near_dup_pairs_auto(ds, NEAR_DUP_THRESHOLD)
 
     def embedding_dup_components(sf_dir: str):
         import ray.data as rd

@@ -507,6 +507,48 @@ def run_bench() -> dict:
     )
     results["dup_components_sec"] = round(t, 3)
 
+    # -- r3 operators: LSH near-dup default, index-backed jaccard,
+    # bloom-bounded heavy hitters ------------------------------------
+    from zensearch_ray.pipelines.corpus import jaccard_topk_indexed
+    from zensearch_ray.stages.ann import lsh_near_dup_pairs, near_dup_pairs_auto
+    from zensearch_ray.stages.sketch import heavy_hitters
+
+    # LSH in its designed regime (high threshold — banding prunes)
+    _, t = timed(
+        lambda: lsh_near_dup_pairs(
+            rd.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            0.9,
+        ).count()
+    )
+    results["near_dup_lsh_t90_sec"] = round(t, 3)
+    # the adaptive default at the entry threshold (routes to exact —
+    # sign-banding cannot prune at 0.4)
+    _, t = timed(
+        lambda: near_dup_pairs_auto(
+            rd.read_parquet(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            0.4,
+        ).count()
+    )
+    results["near_dup_auto_t40_sec"] = round(t, 3)
+    # warm probe: the shared sf index cache is already built/validated
+    _, t = timed(lambda: jaccard_topk_indexed(SF_DIR, probe_doc_id=0, k=10))
+    results["jaccard_indexed_sec"] = round(t, 3)
+
+    from zensearch_ray.functions.text import tokenize as _tok
+
+    _, t = timed(
+        lambda: heavy_hitters(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"]),
+            lambda b: [w for txt in b["text"].to_pylist() for w in _tok(txt)],
+            k=100,
+        ).count()
+    )
+    results["heavy_terms_sec"] = round(t, 3)
+
     # -- r2 session-10 operators: fsck / sigstore / near-dedup ------------
     import pyarrow as pa
     import pyarrow.compute as pc_

@@ -100,17 +100,39 @@ def test_candidate_volume_far_below_all_pairs(ray_session):
     pd.testing.assert_frame_equal(got, exact)
 
 
-def test_dup_components_lsh_default_matches_exact(ray_session):
+def test_dup_components_lsh_matches_exact(ray_session):
     tbl = _corpus()
     lsh = (
-        dup_components(rd.from_arrow(tbl).repartition(4), 0.4)
+        dup_components(rd.from_arrow(tbl).repartition(4), 0.4, method="lsh")
         .to_pandas().sort_values("vec_id", ignore_index=True)
     )
     exact = (
         dup_components(rd.from_arrow(tbl).repartition(4), 0.4, method="exact")
         .to_pandas().sort_values("vec_id", ignore_index=True)
     )
+    auto = (
+        dup_components(rd.from_arrow(tbl).repartition(4), 0.4)
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    )
     pd.testing.assert_frame_equal(lsh, exact)
+    pd.testing.assert_frame_equal(auto, exact)
+
+
+def test_auto_routes_by_prune_rate(ray_session):
+    # low threshold: sign-banding cannot prune (most orthogonal pairs
+    # collide in some band) → auto must take the exact matmul; high
+    # threshold: banding prunes → auto must take the bucketed path
+    from zensearch_ray.stages.ann import lsh_prune_rate, near_dup_pairs_auto
+
+    assert lsh_prune_rate(0.4) >= 0.25
+    assert lsh_prune_rate(0.9) < 0.25
+    tbl = _corpus(noise=0.05)
+    for t in (0.4, 0.9):
+        got = _pairs_frame(near_dup_pairs_auto(
+            rd.from_arrow(tbl).repartition(4), t))
+        exact = _pairs_frame(near_dup_pairs(
+            rd.from_arrow(tbl).repartition(4), t))
+        pd.testing.assert_frame_equal(got, exact), t
 
 
 def test_empty_and_no_pairs(ray_session):

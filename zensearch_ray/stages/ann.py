@@ -389,6 +389,39 @@ def lsh_near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
     return joined.map_batches(cosine_filter, batch_format="pyarrow")
 
 
+def lsh_prune_rate(threshold: float, target_miss: float = 1e-6) -> float:
+    """Expected fraction of ORTHOGONAL pairs that still become LSH
+    candidates under the auto-tuned bands: ≈ min(1, b·2^−r). The
+    decision statistic for ``near_dup_pairs_auto``: when it approaches
+    1, banding cannot prune at this threshold — every pair meets in
+    some bucket and the bucket-pair emission does MORE work than the
+    exact block-pair matmul (which does N²/2 fused dot products with
+    BLAS, no row materialization)."""
+    r, b = lsh_near_dup_params(threshold, target_miss)
+    return min(1.0, b * 0.5 ** r)
+
+
+def near_dup_pairs_auto(ds, threshold: float, id_col: str = "vec_id",
+                        emb_col: str = "embedding", seed: int = 42,
+                        target_miss: float = 1e-6, max_rate: float = 0.25,
+                        **kw):
+    """Threshold-adaptive near-dup pairs — the recommended default.
+
+    High thresholds (the actual near-DUPLICATE regime, ≳0.7) route to
+    the bucketed LSH path: candidate volume tracks true duplicate
+    density, not N². Low thresholds make sign-banding non-selective —
+    ``lsh_prune_rate`` ≥ ``max_rate`` means most orthogonal pairs
+    would still collide in some band, so emitting bucket pairs costs
+    MORE than the exact block-pair matmul; those route to the exact
+    decomposition (whose N²/2 dot-product count is then intrinsic to
+    the question being asked, not an implementation shortfall).
+    Both paths produce identical (a, b, sim) output."""
+    if lsh_prune_rate(threshold, target_miss) < max_rate:
+        return lsh_near_dup_pairs(ds, threshold, id_col, emb_col,
+                                  seed=seed, target_miss=target_miss, **kw)
+    return near_dup_pairs(ds, threshold, id_col, emb_col)
+
+
 def _kmeans_centroids(m: np.ndarray, n_lists: int, seed: int, iters: int) -> np.ndarray:
     """Deterministic spherical k-means (seeded init, fixed iterations).
     Shared by the driver-side IvfIndex and the distributed path so both
@@ -491,7 +524,7 @@ class IvfIndex:
 
 def dup_components(ds, threshold: float, id_col: str = "vec_id",
                    emb_col: str = "embedding", num_partitions: int = 8,
-                   method: str = "lsh"):
+                   method: str = "auto"):
     """Connected components of the embedding near-duplicate graph:
     every vector labeled with the min vec_id of its cosine-≥threshold
     component (singletons label themselves) — the grouping step that
@@ -499,9 +532,9 @@ def dup_components(ds, threshold: float, id_col: str = "vec_id",
     deduplication decisions.
 
     Composition of two already-distributed operators: the near-dup pair
-    generator (``method='lsh'`` — the bucketed scale default,
-    ``lsh_near_dup_pairs``; ``method='exact'`` — the N² block-pair
-    referee, ``near_dup_pairs``) →
+    generator (``method='auto'`` — the threshold-adaptive default,
+    ``near_dup_pairs_auto``; ``'lsh'`` forces the bucketed path;
+    ``'exact'`` the N² block-pair referee) →
     ``stages/minhash.py:connected_components`` (min-label propagation,
     edge-scale joins). The final label attach broadcasts the PAIR-scale
     label map and streams the id column — the same shape as
@@ -513,7 +546,10 @@ def dup_components(ds, threshold: float, id_col: str = "vec_id",
 
     from zensearch_ray.stages.minhash import connected_components
 
-    if method == "lsh":
+    if method == "auto":
+        pair_src = near_dup_pairs_auto(ds, threshold, id_col, emb_col,
+                                       num_partitions=num_partitions)
+    elif method == "lsh":
         pair_src = lsh_near_dup_pairs(ds, threshold, id_col, emb_col,
                                       num_partitions=num_partitions)
     elif method == "exact":
