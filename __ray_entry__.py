@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": relational.volume_shipping,
         "top_supplier": relational.top_supplier,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "market_share": relational.market_share,
+        "sole_late_suppliers": relational.sole_late_suppliers,
         "lineitem_moments": relational.lineitem_moments,
         # windowed / ordered custom operators (pipelines/windows.py)
         "events_hopping": windows.events_hopping,
@@ -1384,6 +1386,49 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   sum(CASE WHEN sn.n_name = 'NATION_2'
+                            THEN CAST(floor(l_extendedprice
+                                            * (1.0 - l_discount) * 100
+                                            + 0.5) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS nation_cents,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                                  + 0.5) AS BIGINT))::BIGINT AS total_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'MEDIUM'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "sole_late_suppliers": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 365 DAY
+                                THEN 1 ELSE 0 END) AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            ord AS (
+                SELECT l_orderkey FROM li GROUP BY l_orderkey
+                HAVING count(*) >= 2 AND sum(is_late) = 1
+            )
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM li
+            JOIN ord USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE is_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

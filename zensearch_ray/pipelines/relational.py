@@ -1427,3 +1427,273 @@ def pricing_cube(sf_dir: str):
     total.insert(1, "l_linestatus", None)
     out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
     return out.astype({m: np.int64 for m in metrics})
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_TYPE = "MEDIUM"
+
+
+def market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 (national market share): for one part type sold into
+    one region's customer market, the share of yearly revenue supplied
+    by one nation — a 6-table star whose only fact×fact edge is
+    lineitem×orders.
+
+    Distributed plan: every dimension collapses to a broadcast —
+    part→{MEDIUM partkeys} (set), supplier→suppkey∈nation (set),
+    customer×nation×region→{region custkeys} (set). Lineitem
+    pre-reduces per batch to (orderkey, from_nation, cents) partials
+    after the partkey-set filter; orders filters by the custkey set
+    and ships (orderkey, year). ONE ``hash_join`` exchange on
+    orderkey; joined blocks reduce to |years|×2 partials summed on the
+    driver. Revenue travels as exact integer cents so Ray and the SQL
+    oracle agree bit-for-bit; the share is the caller's division.
+    At 100 TB the three sets become bloom filters or co-partitioned
+    sides (Q5's documented trade); the plan shape is unchanged.
+    Output: (o_year, nation_cents, total_cents)."""
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.pipelines.joins import hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    part_ref = ray.put(
+        frozenset(part.loc[part["p_type"] == Q8_TYPE, "p_partkey"].astype(np.int64))
+    )
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_nkeys = set(
+        nat.loc[
+            nat["n_regionkey"].isin(
+                reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"]
+            ),
+            "n_nationkey",
+        ]
+    )
+    nation_nkeys = set(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"])
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    from_nation_ref = ray.put(
+        frozenset(
+            sup.loc[sup["s_nationkey"].isin(nation_nkeys), "s_suppkey"].astype(
+                np.int64
+            )
+        )
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust_ref = ray.put(
+        frozenset(
+            cust.loc[cust["c_nationkey"].isin(region_nkeys), "c_custkey"].astype(
+                np.int64
+            )
+        )
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = ray.get(part_ref)
+        b = batch[batch["l_partkey"].isin(pk)]
+        if not len(b):
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype=np.int64),
+                 "from_nation": pd.Series(dtype=bool),
+                 "revenue_cents": pd.Series(dtype=np.int64)}
+            )
+        sk = ray.get(from_nation_ref)
+        rev = _cents((b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy())
+        out = (
+            pd.DataFrame(
+                {"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                 "from_nation": b["l_suppkey"].isin(sk).to_numpy(),
+                 "revenue_cents": rev}
+            )
+            .groupby(["l_orderkey", "from_nation"], as_index=False)[
+                "revenue_cents"].sum()
+        )
+        return out.astype({"revenue_cents": np.int64})
+
+    def orders_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = ray.get(cust_ref)
+        b = batch[batch["o_custkey"].isin(ck)]
+        yr = (
+            b["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                             "o_year": yr})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_rows, batch_format="pandas")
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_year")
+        out = pd.DataFrame(
+            {
+                "o_year": np.fromiter(g.groups, dtype=np.int64),
+                "nation_cents": g.apply(
+                    lambda d: int(
+                        d.loc[d["from_nation"], "revenue_cents"].sum()
+                    ),
+                    include_groups=False,
+                ).to_numpy(np.int64),
+                "total_cents": g["revenue_cents"].sum().to_numpy(np.int64),
+            }
+        )
+        return out
+
+    partials = (
+        hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  how="inner")
+        .map_batches(block_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.groupby("o_year", as_index=False)[
+        ["nation_cents", "total_cents"]].sum()
+    return out.astype({"o_year": np.int64, "nation_cents": np.int64,
+                       "total_cents": np.int64}).sort_values(
+        "o_year", ignore_index=True)
+
+
+Q21_LATE_DAYS = 365  # the schema has no commit/receipt dates; "kept the
+# order waiting" = shipped >365 days after the order date (same
+# adaptation family as Q4's shipdate-vs-orderdate lateness)
+
+
+def sole_late_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): suppliers whose
+    lineitems were the ONLY late ones on a finished multi-supplier
+    order — the spec's EXISTS (another supplier on the order) +
+    NOT EXISTS (another LATE supplier) double correlated subquery.
+
+    Distributed plan: both subqueries are per-orderkey group
+    predicates, so the whole query rides ONE co-partitioning exchange
+    (Q4's tagged-union shape). Lineitem pre-reduces per batch to
+    (orderkey, suppkey, max_ship) partials — the EXISTS collapses to
+    distinct-supplier counting and the lateness test to one max per
+    (orderkey, suppkey). Orders ships (orderkey, odate) for 'F' rows
+    only. Each bucket resolves: late := max_ship > odate + 365 d;
+    qualifying orders have ≥2 suppliers and exactly 1 late; emit that
+    supplier. Bucket partials are (suppkey, n)-sized; the driver sums
+    |suppliers| rows, attaches names from the dimension read, and
+    takes the global top-k with the spec's (numwait DESC, s_name)
+    tie order. Timestamps travel as int64 epoch — exact comparisons.
+    Output: (s_name, numwait)."""
+    import ray.data as rd
+
+    B = np.uint64(64)
+    late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "supp": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                "ship": batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        m = df.groupby(["key", "supp"], as_index=False)["ship"].max()
+        return pa.table(
+            {
+                "key": pa.array(m["key"].to_numpy(np.int64)),
+                "supp": pa.array(m["supp"].to_numpy(np.int64)),
+                "ship": pa.array(m["ship"].to_numpy(np.int64)),
+                "odate": pa.nulls(len(m), pa.int64()),
+            }
+        )
+
+    def orders_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["o_orderstatus"], "F")
+        b = batch.filter(mask)
+        return pa.table(
+            {
+                "key": b["o_orderkey"].cast(pa.int64()),
+                "supp": pa.nulls(b.num_rows, pa.int64()),
+                "ship": pa.nulls(b.num_rows, pa.int64()),
+                "odate": b["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((v * np.uint64(2654435761)) % B).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        li = df[df["odate"].isna()]
+        od = df[df["odate"].notna()]
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "numwait": pa.array([], pa.int64())})
+        if od.empty or li.empty:
+            return empty
+        # keep only orders present on the 'F' side, with their odate
+        odate = dict(zip(od["key"].to_numpy(np.int64),
+                         od["odate"].to_numpy(np.int64)))
+        li = li[li["key"].isin(odate)]
+        if li.empty:
+            return empty
+        # re-reduce: the same (orderkey, suppkey) emits one partial per
+        # source batch — supplier counting below needs one row each
+        li = li.groupby(["key", "supp"], as_index=False)["ship"].max()
+        cut = li["key"].map(odate).to_numpy(np.int64) + late_us
+        li = li.assign(late=(li["ship"].to_numpy(np.int64) > cut))
+        g = li.groupby("key")["late"]
+        ok = g.agg(["count", "sum"])
+        hit_keys = ok.index[(ok["count"] >= 2) & (ok["sum"] == 1)]
+        winners = li[li["late"] & li["key"].isin(hit_keys)]
+        out = winners.groupby("supp", as_index=False).size()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(out["supp"].to_numpy(np.int64)),
+                "numwait": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(orders_rows, batch_format="pyarrow")
+
+    partials = (
+        li.union(orders)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = partials.groupby("l_suppkey", as_index=False)["numwait"].sum()
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    counts["s_name"] = counts["l_suppkey"].map(
+        dict(zip(sup["s_suppkey"].astype(np.int64), sup["s_name"]))
+    )
+    out = counts.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], ignore_index=True
+    ).head(k)[["s_name", "numwait"]]
+    return out.astype({"numwait": np.int64}).reset_index(drop=True)
