@@ -428,6 +428,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(token_quality_batch, batch_format="pyarrow")
 
+    def doc_repetition(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.textstats import repetition_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
     def fingerprint(sf_dir: str):
         import ray.data as rd
 
@@ -640,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pieces": bpe_pieces,
         "token_quality": token_quality,
         "gopher_filter": gopher_filter,
+        "doc_repetition": doc_repetition,
         "doc_fingerprint": fingerprint,
         "lang_id": lang_id,
         "scrub_text": scrub,
@@ -1138,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::BIGINT AS keep
             FROM m
         """,
+        "doc_repetition": _repetition_sql(),
         "token_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents)
             SELECT doc_id,
@@ -1817,6 +1827,94 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
     }
+
+
+def _repetition_sql() -> str:
+    """MassiveText n-gram repetition oracle GENERATED from the pinned
+    thresholds in ``stages/textstats.py`` (REP_TOP_MAX / REP_DUP_MAX):
+    top-n-gram char fractions via a per-doc gram count with the
+    engine's tie order (count DESC, gram ASC — join-with-space order
+    equals token-tuple order because space sorts below every token
+    char), duplicate-n-gram coverage via the union of covered
+    positions (DISTINCT doc, pos). Raw fractions divide exact integer
+    char sums, so keep verdicts match the engine bit-for-bit."""
+    from zensearch_ray.stages.textstats import REP_DUP_MAX, REP_TOP_MAX
+
+    ctes = [
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+        " x -> x <> '') AS l FROM documents)",
+        "tok AS (SELECT doc_id, unnest(l) AS term,"
+        " unnest(range(1, len(l)+1)) AS pos FROM d)",
+        "tot AS (SELECT doc_id, sum(length(term))::BIGINT AS total"
+        " FROM tok GROUP BY doc_id)",
+    ]
+    sel, joins, raws = [], [], []
+    for n in sorted(REP_TOP_MAX):
+        ctes.append(
+            f"g{n} AS (SELECT doc_id,"
+            f" unnest(list_transform(range(1, len(l)-{n-2}),"
+            f" i -> array_to_string(l[i:i+{n-1}], ' '))) AS gram"
+            f" FROM d WHERE len(l) >= {n})"
+        )
+        ctes.append(
+            f"gc{n} AS (SELECT doc_id, gram, count(*)::BIGINT AS c"
+            f" FROM g{n} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"top{n} AS (SELECT doc_id,"
+            f" c * (length(gram) - {n-1})::BIGINT AS chars FROM gc{n}"
+            f" QUALIFY row_number() OVER (PARTITION BY doc_id"
+            f" ORDER BY c DESC, gram) = 1)"
+        )
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        raws.append(
+            f"coalesce(top{n}.chars, 0)::DOUBLE"
+            f" / coalesce(tot.total, 1) AS r_top{n}"
+        )
+        sel.append(f"round(r_top{n}, 6) AS top{n}_frac")
+    for n in sorted(REP_DUP_MAX):
+        ctes.append(
+            f"p{n} AS (SELECT doc_id, unnest(range(1, len(l)-{n-2})) AS pos,"
+            f" unnest(list_transform(range(1, len(l)-{n-2}),"
+            f" i -> array_to_string(l[i:i+{n-1}], ' '))) AS gram"
+            f" FROM d WHERE len(l) >= {n})"
+        )
+        ctes.append(
+            f"dup{n} AS (SELECT doc_id, gram FROM p{n}"
+            f" GROUP BY 1, 2 HAVING count(*) > 1)"
+        )
+        ctes.append(
+            f"cov{n} AS (SELECT DISTINCT p{n}.doc_id,"
+            f" p{n}.pos + o.o AS cpos FROM p{n}"
+            f" JOIN dup{n} USING (doc_id, gram)"
+            f" CROSS JOIN (SELECT unnest(range(0, {n})) AS o) o)"
+        )
+        ctes.append(
+            f"covc{n} AS (SELECT t.doc_id, sum(length(t.term))::BIGINT"
+            f" AS chars FROM tok t JOIN cov{n}"
+            f" ON t.doc_id = cov{n}.doc_id AND t.pos = cov{n}.cpos"
+            f" GROUP BY 1)"
+        )
+        joins.append(f"LEFT JOIN covc{n} USING (doc_id)")
+        raws.append(
+            f"coalesce(covc{n}.chars, 0)::DOUBLE"
+            f" / coalesce(tot.total, 1) AS r_dup{n}"
+        )
+        sel.append(f"round(r_dup{n}, 6) AS dup{n}_frac")
+    keep_terms = [f"r_top{n} <= {t}" for n, t in sorted(REP_TOP_MAX.items())]
+    keep_terms += [f"r_dup{n} <= {t}" for n, t in sorted(REP_DUP_MAX.items())]
+    return f"""
+        WITH {','.join(ctes)},
+        raw AS (
+            SELECT d.doc_id, {', '.join(raws)}
+            FROM d LEFT JOIN tot USING (doc_id)
+            {' '.join(joins)}
+        )
+        SELECT doc_id, {', '.join(sel)},
+               (CASE WHEN {' AND '.join(keep_terms)}
+                     THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM raw
+    """
 
 
 def _seq_sql() -> str:

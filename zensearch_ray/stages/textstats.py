@@ -223,3 +223,75 @@ def scrub_batch(
             ).cast(pa.int64()),
         }
     )
+
+
+# MassiveText/Gopher repetition rules (Rae et al. 2021, Table A1),
+# n-gram family — the line/paragraph rules degenerate on single-line
+# corpora, so the n-gram fractions carry the repetition signal here.
+# Thresholds pinned so the SQL oracle and the engine share one spec.
+REP_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}   # top n-gram char fraction
+REP_DUP_MAX = {5: 0.15, 10: 0.10}           # dup n-gram char coverage
+
+
+def repetition_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc n-gram repetition metrics + the keep/drop verdict.
+
+    ``top{n}_frac`` (n=2,3,4): characters inside occurrences of the
+    single most frequent word n-gram / total token characters; ties
+    break to the lexicographically smallest gram under join-with-space
+    order (space sorts below every token character, so the SQL
+    ``ORDER BY count DESC, gram`` oracle picks the same winner).
+    ``dup{n}_frac`` (n=5,10): characters covered by ANY n-gram that
+    occurs more than once, counting overlapping coverage once — the
+    union-of-spans semantics of MassiveText's duplicate n-gram rule.
+    Both divide exact integer character sums, so DuckDB reproduces the
+    doubles bit-for-bit. Map-only — the 100-TB shape is one streaming
+    pass, no exchange."""
+    from collections import Counter
+
+    n_rows = batch.num_rows
+    tops = {n: np.zeros(n_rows, dtype=np.float64) for n in REP_TOP_MAX}
+    dups = {n: np.zeros(n_rows, dtype=np.float64) for n in REP_DUP_MAX}
+    keep = np.ones(n_rows, dtype=np.int64)
+    for i, text in enumerate(batch[text_col].to_pylist()):
+        toks = tokenize(text)
+        if not toks:
+            continue
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        for n in REP_TOP_MAX:
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            best_count = max(c.values())
+            best = min(g for g, k in c.items() if k == best_count)
+            # char length of the gram's tokens (the joining spaces are
+            # presentation, not corpus characters)
+            glen = len(best) - (n - 1)
+            tops[n][i] = best_count * glen / total
+        for n in REP_DUP_MAX:
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            covered = np.zeros(len(toks), dtype=bool)
+            for j, g in enumerate(grams):
+                if c[g] > 1:
+                    covered[j:j + n] = True
+            dups[n][i] = int(lens[covered].sum()) / total
+        ok = all(tops[n][i] <= t for n, t in REP_TOP_MAX.items()) and all(
+            dups[n][i] <= t for n, t in REP_DUP_MAX.items()
+        )
+        keep[i] = int(ok)
+    cols = {id_col: batch[id_col]}
+    for n in sorted(REP_TOP_MAX):
+        cols[f"top{n}_frac"] = pa.array(round6(tops[n]))
+    for n in sorted(REP_DUP_MAX):
+        cols[f"dup{n}_frac"] = pa.array(round6(dups[n]))
+    cols["keep"] = pa.array(keep)
+    return pa.table(cols)
