@@ -128,3 +128,68 @@ def test_canonical_dedup_collapses_mirrors(ray_session, tmp_path):
     # mirrors collapsed to ONE survivor: the earliest (ts=50, bare url)
     assert list(got["url"]) == ["https://site.com/other", "https://site.com/page"]
     assert got["chunk_text"][1].endswith("earliest")
+
+
+def test_gopher_and_repetition_gates(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # good: 40 distinct words incl. stopwords, no repetition
+    good = "the of and to in " + " ".join(f"word{i:02d}x" for i in range(35))
+    # repetitive: PASSES every Gopher rule (each word occurs at most
+    # twice in 72 tokens, 2 stopwords, mwl in range) but a 20-token
+    # run repeated twice makes dup5 coverage 200/415 > 0.15
+    run = " ".join(f"rtk{i:02d}" for i in range(20))
+    rep = ("the of "
+           + " ".join(f"word{i:02d}x" for i in range(30))
+           + f" {run} {run}")
+    # gopher-fail: no stopwords at all (repetition rules don't fire)
+    nostop = " ".join(f"zq{i:02d}xy" for i in range(40))
+    rows = [
+        ("https://a.example/good", 1, good, "en"),
+        ("https://a.example/rep", 2, rep, "en"),
+        ("https://a.example/nostop", 3, nostop, "en"),
+    ]
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "text": pa.array([r[2] for r in rows]),
+                "lang": pa.array([r[3] for r in rows]),
+            }
+        ),
+        src,
+    )
+
+    def urls_of(out):
+        files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        if not files:
+            return []
+        return sorted(
+            duckdb.sql(
+                f"SELECT DISTINCT url FROM read_parquet({files!r})"
+            ).df()["url"]
+        )
+
+    base = str(tmp_path / "base")
+    prep_corpus(src, base, lang="en", min_tokens=10, max_stop_ratio=0.9,
+                chunk_tokens=512, n_partitions=2)
+    assert urls_of(base) == sorted(r[0] for r in rows)  # no gates: all pass
+
+    g = str(tmp_path / "gopher")
+    prep_corpus(src, g, lang="en", min_tokens=10, max_stop_ratio=0.9,
+                chunk_tokens=512, n_partitions=2, gopher=True)
+    assert urls_of(g) == ["https://a.example/good", "https://a.example/rep"]
+
+    r = str(tmp_path / "rep")
+    prep_corpus(src, r, lang="en", min_tokens=10, max_stop_ratio=0.9,
+                chunk_tokens=512, n_partitions=2, repetition=True)
+    assert urls_of(r) == ["https://a.example/good", "https://a.example/nostop"]
+
+    both = str(tmp_path / "both")
+    prep_corpus(src, both, lang="en", min_tokens=10, max_stop_ratio=0.9,
+                chunk_tokens=512, n_partitions=2, gopher=True,
+                repetition=True)
+    assert urls_of(both) == ["https://a.example/good"]

@@ -263,6 +263,8 @@ def cmd_prep(args) -> int:
         chunk_tokens=args.chunk_tokens,
         n_partitions=args.partitions,
         canonical_dedup=args.canonical_dedup,
+        gopher=args.gopher,
+        repetition=args.repetition,
     )
     print(json.dumps(stats))
     return 0
@@ -736,6 +738,14 @@ def main(argv=None) -> int:
         "--canonical-dedup", action="store_true",
         help="dedup by canonical URL (case/fragment/utm/port/slash "
              "mirrors collapse) instead of exact URL",
+    )
+    pr.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher word-level quality rules as a gate",
+    )
+    pr.add_argument(
+        "--repetition", action="store_true",
+        help="apply the MassiveText n-gram repetition rules as a gate",
     )
     pr.set_defaults(fn=cmd_prep)
 

@@ -48,6 +48,8 @@ def prep_corpus(
     chunk_tokens: int = 512,
     n_partitions: int = 64,
     canonical_dedup: bool = False,
+    gopher: bool = False,
+    repetition: bool = False,
 ) -> dict:
     """Run the prep chain over ``source`` (pages parquet path(s) or a
     Dataset) into ``out_dir``. Returns the sink's
@@ -99,6 +101,25 @@ def prep_corpus(
         return batch.filter(keep)
 
     ds = ds.map_batches(qual_filter, batch_format="pyarrow")
+
+    if gopher:
+        from zensearch_ray.stages.textstats import gopher_batch
+
+        def gopher_gate(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(gopher_batch(batch, id_col="doc_id")["keep"], 1)
+            return batch.filter(keep)
+
+        ds = ds.map_batches(gopher_gate, batch_format="pyarrow")
+    if repetition:
+        from zensearch_ray.stages.textstats import repetition_batch
+
+        def repetition_gate(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                repetition_batch(batch, id_col="doc_id")["keep"], 1
+            )
+            return batch.filter(keep)
+
+        ds = ds.map_batches(repetition_gate, batch_format="pyarrow")
 
     def chunk(batch: pa.Table) -> pa.Table:
         doc_ids, urls, chunk_ids, texts, lens = [], [], [], [], []
