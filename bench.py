@@ -549,6 +549,28 @@ def run_bench() -> dict:
     )
     results["heavy_terms_sec"] = round(t, 3)
 
+    # -- r3 session-3 operators: repetition filter, TPC-H Q8/Q21 ------
+    from zensearch_ray.stages.textstats import repetition_batch
+
+    _, t = timed(
+        lambda: rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .count()
+    )
+    results["doc_repetition_sec"] = round(t, 3)
+
+    from zensearch_ray.pipelines.relational import (
+        market_share,
+        sole_late_suppliers,
+    )
+
+    _, t = timed(lambda: market_share(SF_DIR))
+    results["q8_market_share_sec"] = round(t, 3)
+    _, t = timed(lambda: sole_late_suppliers(SF_DIR))
+    results["q21_sole_late_sec"] = round(t, 3)
+
     # -- r2 session-10 operators: fsck / sigstore / near-dedup ------------
     import pyarrow as pa
     import pyarrow.compute as pc_
