@@ -791,7 +791,7 @@ def append_index_dedup(
     delta, _, _ = load_corpus(source, dcfg)
     delta_sigs = delta.map_batches(
         ss.SigStage, fn_constructor_kwargs={"scfg": scfg},
-        batch_format="pyarrow", batch_size=256, concurrency=(1, 8),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 16),
     )
     delta_tbl = pa.concat_tables(
         [ray.get(r) for r in delta_sigs.to_arrow_refs()]
