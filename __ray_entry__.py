@@ -654,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_text": scrub,
         "docs_split": corpus.docs_split,
         "docs_sample": corpus.docs_sample,
+        "temperature_sample": corpus.temperature_sample,
+        "source_quality_gate": corpus.source_quality_gate,
+        "ccnet_buckets": corpus.ccnet_buckets,
         "source_cap": corpus.source_cap,
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
@@ -847,6 +850,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_syn": _synonyms_sql(),
         "per_facet_topk": _per_facet_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "ccnet_buckets": f"""
+            SELECT doc_id, lm_score,
+                   ntile(3) OVER (ORDER BY lm_score DESC, doc_id)::BIGINT
+                       AS tile
+            FROM ({_lm_score_sql()})
+        """,
         "doc_bigram_lm": """
             WITH docs AS (
                 SELECT doc_id,
@@ -1212,6 +1221,56 @@ def oracle_sql() -> dict[str, str]:
                    (least(start + dl, (seq_id + 1) * 64)
                     - greatest(start, seq_id * 64))::BIGINT AS n_tokens
             FROM spans
+        """,
+        "source_quality_gate": f"""
+            WITH toks AS (
+                SELECT source, doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT source, doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN list_contains({_STOPLIST_SQL}, term)
+                                THEN 1 ELSE 0 END)::BIGINT AS n_stop
+                FROM toks GROUP BY source, doc_id
+            ),
+            agg AS (
+                SELECT d.source,
+                       count(*)::BIGINT AS n_docs,
+                       coalesce(sum(p.n_tokens), 0)::BIGINT AS n_tokens,
+                       coalesce(sum(p.n_stop), 0)::BIGINT AS n_stop
+                FROM documents d
+                LEFT JOIN per_doc p
+                  ON d.source = p.source AND d.doc_id = p.doc_id
+                GROUP BY d.source
+            )
+            SELECT source, n_docs, n_tokens, n_stop,
+                   (CASE WHEN 100 * n_stop >= 9 * n_tokens
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM agg ORDER BY source
+        """,
+        "temperature_sample": """
+            WITH c AS (
+                SELECT lang, count(*)::BIGINT AS c
+                FROM documents GROUP BY lang
+            ),
+            n AS (
+                SELECT lang,
+                       CAST(floor(sqrt(c * (SELECT min(c) FROM c)))
+                            AS BIGINT) AS n_keep
+                FROM c
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY (doc_id*48271)%65536,
+                                                   doc_id) AS rn
+                FROM documents
+            )
+            SELECT lang, doc_id FROM r JOIN n USING (lang)
+            WHERE rn <= n_keep
         """,
         "lang_balanced_sample": """
             SELECT lang, doc_id FROM (

@@ -1965,3 +1965,217 @@ def jaccard_topk_indexed(sf_dir: str, probe_doc_id: int = 0, k: int = 10,
     out = out.head(k).reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out.astype({"doc_id": np.int64, "jaccard": np.float64})
+
+
+def temperature_sample(sf_dir: str, group_col: str = "lang"):
+    """Temperature-based source mixing at T = 1/2 (the Pile / multilingual-
+    LM resampling family: target share q_g ∝ count_g^T flattens the
+    group distribution toward uniform) realized by PURE DOWNSAMPLING —
+    keep n_g = floor(sqrt(count_g · count_min)) docs per group, the
+    largest target mix achievable without upsampling (the minority
+    group is kept whole; every other group's keep count is the exact
+    T=1/2 interpolation between its own size and the minority's).
+    T is PINNED at 1/2 so the count math is integer + IEEE sqrt —
+    bit-identical between numpy and the SQL oracle (general T needs
+    pow(), whose last-ulp behavior is libm-specific).
+
+    Distributed plan: pass 1 is a metadata-scale group count (per-batch
+    value_counts partials, driver sum — |groups| rows move); the keep
+    counts broadcast in the closure; pass 2 is the deterministic
+    per-group hash-priority selection (same partial-top-N shape as
+    ``lang_balanced_sample``, with a per-group N). Reruns, appends and
+    cluster-size changes cannot alter the sample. Output: (group, doc_id).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", group_col]
+    )
+
+    counts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "g": t[group_col].to_pandas().value_counts().index.to_numpy(object),
+                    "c": t[group_col].to_pandas().value_counts().to_numpy(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("g")["c"]
+        .sum()
+    )
+    c_min = int(counts.min())
+    n_keep = {
+        g: int(np.floor(np.sqrt(float(int(c) * c_min))))
+        for g, c in counts.items()
+    }
+
+    def headn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=(df["doc_id"].to_numpy(np.int64) * 48271) % 65536)
+        df = df.sort_values([group_col, "h", "doc_id"], kind="mergesort")
+        capped = df.groupby(group_col, as_index=False, group_keys=False).apply(
+            lambda d: d.head(n_keep.get(d[group_col].iloc[0], 0)),
+            include_groups=True,
+        )
+        return capped
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return headn(df)[[group_col, "doc_id"]]
+
+    partials = ds.map_batches(headn, batch_format="pandas")
+    return (
+        partials.map_batches(
+            lambda t: t.append_column(
+                "__one", pa.array(np.zeros(t.num_rows, np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__one")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+SOURCE_QUALITY_NUM, SOURCE_QUALITY_DEN = 9, 100  # keep if pooled
+# stopword density >= 9% — the C4/RefinedWeb-style "does this domain
+# look like prose" gate, pinned as an exact integer ratio
+
+
+def source_quality_gate(sf_dir: str):
+    """Per-SOURCE quality verdict (C4 / RefinedWeb domain filtering:
+    judge the *domain*, not the page — spam hosts produce many
+    individually-plausible pages). Quality = POOLED stopword density
+    Σ stop_tokens / Σ tokens per source — a ratio of exact integer
+    sums, not a mean of per-doc ratios, so the keep verdict
+    (100·Σstop ≥ 9·Σtokens) is integer math the SQL oracle reproduces
+    bit-for-bit with no float-summation-order hazard.
+
+    Distributed plan: map-only per-batch partials (source, n_docs,
+    n_tokens, n_stop) — one row per (batch, source); the driver sums a
+    |sources|-scale frame. Nothing but 32-byte stat rows ever moves;
+    at web scale the combine becomes one tiny keyed aggregate over
+    host-cardinality rows. Output: (source, n_docs, n_tokens, n_stop,
+    keep)."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.stages.textstats import STOPWORDS
+
+    stop = frozenset(STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        toks = [tokenize(t) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "source": srcs,
+                "n_docs": np.ones(len(srcs), np.int64),
+                "n_tokens": np.fromiter(
+                    (len(t) for t in toks), np.int64, count=len(toks)
+                ),
+                "n_stop": np.fromiter(
+                    (sum(1 for w in t if w in stop) for t in toks),
+                    np.int64,
+                    count=len(toks),
+                ),
+            }
+        )
+        out = df.groupby("source", as_index=False).sum()
+        return pa.table(
+            {
+                "source": pa.array(out["source"].tolist(), pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+                "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+                "n_stop": pa.array(out["n_stop"].to_numpy(np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    agg = parts.groupby("source", as_index=False)[
+        ["n_docs", "n_tokens", "n_stop"]
+    ].sum()
+    agg["keep"] = (
+        SOURCE_QUALITY_DEN * agg["n_stop"].to_numpy(np.int64)
+        >= SOURCE_QUALITY_NUM * agg["n_tokens"].to_numpy(np.int64)
+    ).astype(np.int64)
+    return agg.astype(
+        {
+            "n_docs": np.int64,
+            "n_tokens": np.int64,
+            "n_stop": np.int64,
+            "keep": np.int64,
+        }
+    ).sort_values("source", ignore_index=True)
+
+
+def ccnet_buckets(sf_dir: str, n_parts: int = 16):
+    """CCNet-style quality terciles (Wenzek et al. 2020: split the
+    corpus into head/middle/tail by LM score; train on head, mine the
+    middle): every doc labeled with NTILE(3) of the global
+    (lm_score DESC, doc_id) order — tile 1 = head (most typical /
+    lowest perplexity).
+
+    A GLOBAL rank without a global sort: the score pass
+    (``doc_lm_score``) emits 16 B/doc (doc_id, lm_score) rows; exact-
+    quantile range pivots split score space; ONE range exchange
+    co-locates each partition; per-partition counts come to the driver
+    for an exclusive scan (n_parts numbers — the pack_sequences prefix
+    trick); each partition then sorts locally and adds its base, so
+    every rank is exact regardless of pivot quality. Tie runs share a
+    partition (assignment is by score only; doc_id breaks ties inside).
+    The labeled metadata rows are what moves — corpus text never rides
+    the exchange. Output: (doc_id, lm_score, tile)."""
+    import ray
+    import ray.data as rd  # noqa: F401  (doc_lm_score owns the read)
+
+    from zensearch_ray.pipelines.sort import range_partitioned
+
+    scores = doc_lm_score(sf_dir)
+    # negate: range_partitioned orders ascending; the CCNet order is
+    # score DESC (head first)
+    def add_neg(t: pa.Table) -> pa.Table:
+        s = t["lm_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lm_score": t["lm_score"],
+             "neg": pa.array(-s, type=pa.float64())}
+        )
+
+    neg = scores.map_batches(add_neg, batch_format="pyarrow")
+    parted = range_partitioned(neg, "neg", n_parts).materialize()
+
+    sizes = (
+        parted.groupby("__part").count().to_pandas()
+        .set_index("__part")["count()"]
+    )
+    order = np.arange(n_parts, dtype=np.int64)
+    cnt = np.array([int(sizes.get(p, 0)) for p in order], dtype=np.int64)
+    bases = {int(p): int(b) for p, b in zip(order, np.concatenate([[0], np.cumsum(cnt)[:-1]]))}
+    n_total = int(cnt.sum())
+    q, r = divmod(n_total, 3)
+    c1 = q + (1 if r >= 1 else 0)
+    c2 = c1 + q + (1 if r >= 2 else 0)
+    bases_ref = ray.put(bases)
+
+    def label(group: pd.DataFrame) -> pd.DataFrame:
+        part = int(group["__part"].iloc[0])
+        base = ray.get(bases_ref)[part]
+        g = group.sort_values(["neg", "doc_id"], kind="mergesort")
+        rank = base + np.arange(len(g), dtype=np.int64)
+        tile = np.where(rank < c1, 1, np.where(rank < c2, 2, 3)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "lm_score": g["lm_score"].to_numpy(np.float64),
+                "tile": tile,
+            }
+        )
+
+    return parted.groupby("__part").map_groups(label, batch_format="pandas")
