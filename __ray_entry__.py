@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered_heavy": lambda sf: bloom.parts_ordered_heavy(sf, anti=True),
         "events_daily_active": analytics.events_daily_active,
         "events_value_histogram": analytics.events_value_histogram,
+        "events_anomaly": analytics.events_anomaly,
         # HLL sketch twin of events_daily_active: constant exchange
         # volume per group (2^p-byte registers), ~1.6% std error —
         # approximate by design, so no value-hash oracle (rows-only
@@ -1747,6 +1748,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON b.user_id = a.user_id
                              AND b.ts_s >= a.ts_s AND b.ts_s < a.ts_s + 3600
             GROUP BY a.event_id
+        """,
+        "events_anomaly": """
+            WITH c AS (
+                SELECT event_id, user_id,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       count(*)::BIGINT AS n,
+                       sum(c)::BIGINT AS s1,
+                       sum(c * c)::BIGINT AS s2
+                FROM c GROUP BY user_id
+            ),
+            z AS (
+                SELECT c.event_id, c.user_id, c.c AS value_cents,
+                       (c.c::DOUBLE - s.s1::DOUBLE / s.n)
+                       / sqrt((s.s2::DOUBLE - s.s1::DOUBLE * s.s1 / s.n)
+                              / (s.n - 1)) AS z_raw
+                FROM c JOIN s USING (user_id)
+                WHERE s.n >= 2
+                  AND (s.s2::DOUBLE - s.s1::DOUBLE * s.s1 / s.n)
+                      / (s.n - 1) > 0
+            )
+            SELECT event_id, user_id, value_cents,
+                   round(z_raw, 6) AS z
+            FROM z WHERE abs(z_raw) >= 3.0
         """,
         "events_value_histogram": """
             SELECT bin,

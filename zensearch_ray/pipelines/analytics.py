@@ -497,3 +497,66 @@ def events_value_histogram(sf_dir: str, width: float = 25.0):
     return parts[["bin", "lo", "n"]].astype(
         {"bin": np.int64, "lo": np.float64, "n": np.int64}
     )
+
+
+ANOMALY_Z = 3.0
+
+
+def events_anomaly(sf_dir: str, z_cut: float = ANOMALY_Z):
+    """Per-user z-score outliers over event value: events whose value
+    sits ≥ ``z_cut`` sample standard deviations from THEIR USER's mean
+    — the per-entity anomaly primitive of metrics pipelines (a global
+    cut would just find the rich users).
+
+    Exactness: values convert to integer cents, per-user (n, Σc, Σc²)
+    are exact int64 sums, and mean/var/z derive from those sums with
+    one pinned expression tree — the SQL oracle spells out the same
+    formula from the same integer sums (never ``stddev_samp``), so the
+    doubles agree bit-for-bit and the |z| ≥ cut verdict can't straddle.
+    Users with < 2 events or zero variance emit nothing.
+
+    Distributed plan: ONE bucket-by-user-hash exchange (users never
+    split); per bucket the sums, z and the filter are vectorized
+    pandas/numpy. Output: (event_id, user_id, value_cents, z)."""
+    import ray.data as rd
+
+    def flag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        c = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        g = g.assign(c=c)
+        by = g.groupby("user_id", sort=False)["c"]
+        n = by.transform("size").to_numpy(np.float64)
+        s1 = by.transform("sum").to_numpy(np.float64)
+        s2 = (
+            g.assign(c2=g["c"].to_numpy(np.int64) ** 2)
+            .groupby("user_id", sort=False)["c2"]
+            .transform("sum")
+            .to_numpy(np.float64)
+        )
+        ok = n >= 2
+        mean = np.where(ok, s1 / n, 0.0)
+        var = np.where(ok, (s2 - s1 * s1 / n) / (n - 1), 0.0)
+        ok &= var > 0
+        z = np.zeros(len(g))
+        z[ok] = (g["c"].to_numpy(np.float64)[ok] - mean[ok]) / np.sqrt(var[ok])
+        keep = ok & (np.abs(z) >= z_cut)
+        out = g[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(np.int64),
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "value_cents": out["c"].to_numpy(np.int64),
+                "z": np.round(z[keep], 6),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return (
+        ds.map_batches(_with_bucket("user_id"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(flag, batch_format="pandas")
+    )
