@@ -571,6 +571,22 @@ def run_bench() -> dict:
     _, t = timed(lambda: sole_late_suppliers(SF_DIR))
     results["q21_sole_late_sec"] = round(t, 3)
 
+    from zensearch_ray.pipelines.analytics import events_anomaly
+    from zensearch_ray.pipelines.corpus import (
+        ccnet_buckets,
+        source_quality_gate,
+        temperature_sample,
+    )
+
+    _, t = timed(lambda: temperature_sample(SF_DIR).count())
+    results["temperature_sample_sec"] = round(t, 3)
+    _, t = timed(lambda: source_quality_gate(SF_DIR))
+    results["source_quality_gate_sec"] = round(t, 3)
+    _, t = timed(lambda: ccnet_buckets(SF_DIR).count())
+    results["ccnet_buckets_sec"] = round(t, 3)
+    _, t = timed(lambda: events_anomaly(SF_DIR).count())
+    results["events_anomaly_sec"] = round(t, 3)
+
     # -- r2 session-10 operators: fsck / sigstore / near-dedup ------------
     import pyarrow as pa
     import pyarrow.compute as pc_
