@@ -56,6 +56,12 @@ PERCOLATE_QUERIES = {
     "q_rare_pair": "vector dup",
     "q_no_common": "NOT (a OR the OR table)",
 }
+BOOST_QUERY = "spark^2.5 window merge^0.5 stream table"  # term^w boosts
+_BOOST_VALUES = (
+    "(VALUES ('spark', 2.5), ('window', 1.0), ('merge', 0.5),"
+    " ('stream', 1.0), ('table', 1.0))"
+)
+MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -104,6 +110,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
+
+    def bm25_page2(sf_dir: str):
+        # stateless search_after cursor pagination: page 2 (global
+        # ranks 11..20) reached via page 1's last (score, doc_id) hit
+        return corpus.search_after_page(sf_dir, BM25_QUERY, k=10, page=2)
+
+    def bm25_boosted(sf_dir: str):
+        # Lucene-style per-term query boosts (term^w)
+        return corpus.boosted_topk(sf_dir, BOOST_QUERY, k=10)
+
+    def bm25_msm(sf_dir: str):
+        # minimum_should_match: docs matching >= 3 of the 5 terms
+        return corpus.msm_topk(sf_dir, BM25_QUERY, k=10, min_should_match=MSM_M)
 
     def tfidf(sf_dir: str):
         # pluggable similarity over the SAME segments (SMART ltn)
@@ -590,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25,
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
+        "bm25_topk_page2": bm25_page2,
+        "bm25_topk_boosted": bm25_boosted,
+        "bm25_topk_msm": bm25_msm,
         "tfidf_topk": tfidf,
         "lmd_topk": lmd,
         "bm25_topk_deleted": bm25_deleted,
@@ -839,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
+        "bm25_topk_page2": _bm25_page2_sql(),
+        "bm25_topk_boosted": _bm25_boosted_sql(),
+        "bm25_topk_msm": _bm25_msm_sql(),
         "tfidf_topk": _tfidf_sql(),
         "lmd_topk": _lmd_sql(),
         "bm25f_topk": _bm25f_sql(),
@@ -3313,6 +3338,120 @@ def _lmd_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_page2_sql() -> str:
+    """search_after page 2: rows 11..20 of the bm25 ranking in the
+    ROUNDED-score total order (round BEFORE ordering — the pagination
+    contract rounds so the cursor boundary is float-reproducible; see
+    QueryEngine.topk_after)."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, round(sum(c), 6) AS score
+                   FROM contrib GROUP BY doc_id),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored WHERE score > 0
+        )
+        SELECT rank, doc_id, score FROM ranked
+        WHERE rank BETWEEN 11 AND 20 ORDER BY rank
+    """
+
+
+def _bm25_boosted_sql() -> str:
+    """BM25 with per-term query boosts: each term's contribution is
+    multiplied by its boost from the qterms(term, boost) relation —
+    the SQL image of Lucene's term^w syntax."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term, boost) AS {_BOOST_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   q.boost * ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_msm_sql() -> str:
+    """BM25 restricted to docs matching >= MSM_M distinct query terms
+    (minimum_should_match); the match count is the number of rows a
+    doc contributes to the per-(term, doc) tf relation."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        nmatch AS (SELECT doc_id, count(*)::BIGINT AS nterms FROM tf GROUP BY doc_id),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_id, sum(c.c) AS score
+            FROM contrib c JOIN nmatch m ON c.doc_id = m.doc_id
+            WHERE m.nterms >= {MSM_M}
+            GROUP BY c.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 10
     """
 

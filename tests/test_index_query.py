@@ -349,3 +349,86 @@ def test_regex_edges(built_index):
         engine.expand_regex("a(b")  # malformed pattern fails loudly
     with pytest.raises(ValueError):
         engine.expand_regex(".*", max_terms=3)  # expansion-size guard
+
+
+# -- search_after / boosts / minimum_should_match ------------------------
+
+def test_search_after_pages_partition_the_ranking(built_index):
+    """Pages 1..3 of k=5 must be disjoint, ordered, and concatenate to
+    the top-15 of the rounded-score total order."""
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "query data web site host text title"
+    full = engine.topk_after(q, 1 << 20)  # whole result set, rounded order
+    pages, cursor = [], None
+    for _ in range(3):
+        page = engine.topk_after(q, 5, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full[: len(pages)]
+    assert len({d for d, _ in pages}) == len(pages)  # no dup across pages
+
+
+def test_search_after_past_end_and_empty(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "search engine"
+    full = engine.topk_after(q, 1 << 20)
+    last = (full[-1][1], full[-1][0])
+    assert engine.topk_after(q, 5, after=last) == []
+    assert engine.topk_after("zzqqxxnothere", 5) == []
+
+
+def test_boosted_unit_boosts_equal_plain_topk(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "search engine ranking"
+    assert engine.topk_boosted(q, 10) == engine.topk(q, 10)
+    assert engine.topk_boosted("search^1.0 engine^1.0 ranking", 10) == engine.topk(q, 10)
+
+
+def test_boosted_single_term_scales_linearly(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    plain = engine.topk("search", 10)
+    boosted = engine.topk_boosted("search^2.5", 10)
+    assert [d for d, _ in boosted] == [d for d, _ in plain]
+    for (_, s1), (_, s2) in zip(plain, boosted):
+        assert s2 == pytest.approx(2.5 * s1, rel=1e-12)
+
+
+def test_msm_one_is_topk_and_n_is_conjunction(built_index, oracle):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "query data web site"
+    assert engine.topk_msm(q, 10, min_should_match=1) == engine.topk(q, 10)
+    # m = n: same doc set as the AND path (scores computed identically)
+    assert engine.topk_msm(q, 10, min_should_match=4) == engine.topk_and(q, 10)
+
+
+def test_msm_match_count_enforced(built_index, oracle):
+    """Every msm=2 hit must contain >= 2 distinct query terms (checked
+    against the brute-force corpus), and the hit set must equal the
+    >=2-term subset of the union ranking."""
+    from zensearch_ray.functions.text import tokenize as tk
+
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "query data web site"
+    terms = list(dict.fromkeys(tk(q)))
+    hits = engine.topk_msm(q, 1 << 20, min_should_match=2)
+    doc_terms = {
+        int(did): set(tf) for did, tf in zip(oracle.doc_ids, oracle.tfs)
+    }
+    want = {
+        did
+        for did, toks in doc_terms.items()
+        if sum(t in toks for t in terms) >= 2
+    }
+    got = {d for d, _ in hits}
+    union_hits = {d for d, _ in engine.topk(q, 1 << 20)}
+    assert got == want & union_hits
+    for did, _ in hits:
+        assert sum(t in doc_terms[did] for t in terms) >= 2

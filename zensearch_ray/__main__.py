@@ -193,7 +193,18 @@ def cmd_query(args) -> int:
                 "bool": engine.topk_bool,
                 "wildcard": engine.topk_wildcard,
                 "regex": engine.topk_regex,
+                "boosted": engine.topk_boosted,
+                "msm": lambda qq, kk: engine.topk_msm(
+                    qq, kk, min_should_match=args.msm
+                ),
             }[mode]
+            if args.after is not None:
+                if mode not in ("exhaustive", "pruned"):
+                    raise SystemExit("--after serves the bm25 union modes only")
+                score_s, _, doc_s = args.after.partition(",")
+                fn = lambda qq, kk: engine.topk_after(  # noqa: E731
+                    qq, kk, after=(float(score_s), int(doc_s))
+                )
             rows = [
                 {"rank": i + 1, "doc_id": d, "score": s}
                 for i, (d, s) in enumerate(fn(q, args.k))
@@ -648,8 +659,18 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
+    )
+    q.add_argument(
+        "--after", metavar="SCORE,DOC_ID", default=None,
+        help="search_after cursor: return results strictly after this "
+             "(rounded score, doc_id) in the (score DESC, doc_id ASC) "
+             "order — stateless pagination",
+    )
+    q.add_argument(
+        "--msm", type=int, default=2,
+        help="minimum distinct matching terms for --mode msm (default 2)",
     )
     q.add_argument(
         "--window", type=int, default=8,

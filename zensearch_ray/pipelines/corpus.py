@@ -1004,6 +1004,61 @@ def sim_topk(
     )
 
 
+def search_after_page(
+    sf_dir: str, query: str, k: int = 10, page: int = 2
+) -> pd.DataFrame:
+    """Cursor-paginate to ``page`` via repeated ``search_after`` hops
+    (page 1's last hit is page 2's cursor, and so on) — each hop is a
+    stateless engine call; nothing is scrolled or cached server-side.
+    Columns (rank, doc_id, score) with rank numbered in the GLOBAL
+    rounded-score order (page 2 of k=10 carries ranks 11..20), score
+    already rounded by the engine's page order."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    cursor = None
+    hits: list[tuple[int, float]] = []
+    for _ in range(page):
+        hits = engine.topk_after(query, k, after=cursor)
+        if len(hits) < k:
+            break  # ran off the end of the result set
+        cursor = (hits[-1][1], hits[-1][0])
+    base = (page - 1) * k
+    return pd.DataFrame(
+        {
+            "rank": np.arange(base + 1, base + len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([s for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
+def boosted_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Top-k under Lucene-style per-term query boosts (``term^w``)."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_boosted(query, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
+def msm_topk(
+    sf_dir: str, query: str, k: int = 10, min_should_match: int = 2
+) -> pd.DataFrame:
+    """Top-k restricted to docs matching >= m distinct query terms."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_msm(
+        query, k, min_should_match=min_should_match
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 def phrase_topk(
     sf_dir: str, phrase: str, k: int = 10, positional: bool = False
 ) -> pd.DataFrame:

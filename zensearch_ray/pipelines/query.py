@@ -477,6 +477,98 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq, scores, k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_after(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Stateless cursor pagination — the Elasticsearch
+        ``search_after`` shape (no server-side scroll context: any page
+        is recomputable from the previous page's last hit, so a
+        paginating client never pins engine state; the reference's
+        Express face returns one unpaged list,
+        ``express-server/src/app/index.ts:175-203``).
+
+        The page total order is (round6(score) DESC, doc_id ASC):
+        rounding BEFORE ordering makes the cursor boundary exactly
+        reproducible across the engine and the SQL oracle — a raw-float
+        cursor would split 6-dp score ties differently than DuckDB's
+        float sum order. ``after`` is the (rounded score, doc_id) of
+        the previous page's last hit; results are strictly after it.
+        Returned scores are the rounded ones."""
+        from zensearch_ray.functions.rounding import round_half_away
+
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        mask = scores > 0.0
+        uniq, scores = uniq[mask], round_half_away(scores[mask], 6)
+        if after is not None:
+            cs, cd = float(after[0]), int(after[1])
+            keep = (scores < cs) | ((scores == cs) & (uniq > cd))
+            uniq, scores = uniq[keep], scores[keep]
+        top_ids, top_sc = topk_order(uniq, scores, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_boosted(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Per-term query-time boosts — Lucene's ``term^weight`` query
+        syntax (the reference weights all query terms equally,
+        ``search-engine/internal/bm25/score.go:19-95``). Each
+        whitespace part may carry a ``^w`` suffix; its BM25 contribution
+        is multiplied by w. Unboosted parts default to 1.0, so a
+        boost-free query is exactly ``topk``. Ranking and zero-score
+        filtering otherwise identical to the checked BM25 path."""
+        plan = []
+        for part in query.split():
+            boost = 1.0
+            if "^" in part:
+                part, _, suffix = part.rpartition("^")
+                boost = float(suffix)
+            for tok in tokenize(part):
+                p = self.lookup(tok)
+                if p is None:
+                    continue
+                w = idf(self.n_docs, p.df) * boost
+                if w == 0.0:
+                    continue
+                plan.append((p, w))
+        return self._score_plan(plan, k)
+
+    def topk_msm(
+        self, query: str, k: int = 10, min_should_match: int = 2
+    ) -> list[tuple[int, float]]:
+        """``minimum_should_match`` — the middle ground between the
+        union default (``topk``, m=1) and the full conjunction
+        (``topk_and``, m=n): only docs matching at least ``m`` DISTINCT
+        query terms are candidates, scored by the standard BM25 sum
+        over their matched terms. Match counting includes idf=0 terms
+        (a term in every doc still *matches*, it just contributes no
+        score) — mirroring the SQL oracle's count(term-matches) over
+        the tf relation."""
+        all_ids, all_contrib = [], []
+        for tok in dict.fromkeys(tokenize(query)):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            ids, tfs, dls = p.decode_all()
+            all_ids.append(ids)
+            w = idf(self.n_docs, p.df)
+            all_contrib.append(w * tf_norm(tfs, dls, self.avgdl, self.params))
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        # per-term posting doc_ids are unique, so the multiplicity of a
+        # doc across the concatenation IS its distinct-term match count
+        uniq, inv, nmatch = np.unique(ids, return_inverse=True, return_counts=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, contrib)
+        keep = (nmatch >= min_should_match) & (scores > 0.0)
+        top_ids, top_sc = topk_order(uniq[keep], scores[keep], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def explain(self, query: str, k: int = 10,
                 doc_id: int | None = None) -> list[dict]:
         """Per-term BM25 breakdown for the top-k docs (or one given
