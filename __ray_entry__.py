@@ -62,6 +62,7 @@ _BOOST_VALUES = (
     " ('stream', 1.0), ('table', 1.0))"
 )
 MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
+DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -123,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_msm(sf_dir: str):
         # minimum_should_match: docs matching >= 3 of the 5 terms
         return corpus.msm_topk(sf_dir, BM25_QUERY, k=10, min_should_match=MSM_M)
+
+    def bm25_dismax(sf_dir: str):
+        # DisjunctionMaxQuery: best term + tie * the rest
+        return corpus.dismax_topk(sf_dir, BM25_QUERY, k=10, tie=DISMAX_TIE)
 
     def tfidf(sf_dir: str):
         # pluggable similarity over the SAME segments (SMART ltn)
@@ -612,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_page2": bm25_page2,
         "bm25_topk_boosted": bm25_boosted,
         "bm25_topk_msm": bm25_msm,
+        "bm25_topk_dismax": bm25_dismax,
         "tfidf_topk": tfidf,
         "lmd_topk": lmd,
         "bm25_topk_deleted": bm25_deleted,
@@ -864,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_page2": _bm25_page2_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),
         "bm25_topk_msm": _bm25_msm_sql(),
+        "bm25_topk_dismax": _bm25_dismax_sql(),
         "tfidf_topk": _tfidf_sql(),
         "lmd_topk": _lmd_sql(),
         "bm25f_topk": _bm25f_sql(),
@@ -3448,6 +3455,42 @@ def _bm25_msm_sql() -> str:
             FROM contrib c JOIN nmatch m ON c.doc_id = m.doc_id
             WHERE m.nterms >= {MSM_M}
             GROUP BY c.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _bm25_dismax_sql() -> str:
+    """Disjunction-max: score = max(c) + tie * (sum(c) - max(c)) over
+    the per-term BM25 contributions — tie pinned at DISMAX_TIE."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, max(c) + {DISMAX_TIE} * (sum(c) - max(c)) AS score
+            FROM contrib GROUP BY doc_id
         )
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score

@@ -432,3 +432,32 @@ def test_msm_match_count_enforced(built_index, oracle):
     assert got == want & union_hits
     for did, _ in hits:
         assert sum(t in doc_terms[did] for t in terms) >= 2
+
+
+# -- dismax ---------------------------------------------------------------
+
+def test_dismax_tie_one_is_union_and_tie_zero_is_max(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    q = "query data web site"
+    assert engine.topk_dismax(q, 10, tie=1.0) == engine.topk(q, 10)
+    # tie=0: every hit's score equals its best single-term score
+    best = {}
+    for t in q.split():
+        for d, s in engine.topk(t, 1 << 20):
+            best[d] = max(best.get(d, 0.0), s)
+    for d, s in engine.topk_dismax(q, 1 << 20, tie=0.0):
+        assert s == pytest.approx(best[d], rel=1e-12)
+
+
+def test_dismax_single_term_and_bounds(built_index):
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    assert engine.topk_dismax("search", 10, tie=0.3) == engine.topk("search", 10)
+    # max <= dismax score <= union sum, same hit universe
+    q = "query data web site"
+    union = dict(engine.topk(q, 1 << 20))
+    dm = dict(engine.topk_dismax(q, 1 << 20, tie=0.3))
+    assert set(dm) == set(union)
+    for d, s in dm.items():
+        assert s <= union[d] + 1e-12

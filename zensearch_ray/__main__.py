@@ -197,6 +197,9 @@ def cmd_query(args) -> int:
                 "msm": lambda qq, kk: engine.topk_msm(
                     qq, kk, min_should_match=args.msm
                 ),
+                "dismax": lambda qq, kk: engine.topk_dismax(
+                    qq, kk, tie=args.tie
+                ),
             }[mode]
             if args.after is not None:
                 if mode not in ("exhaustive", "pruned"):
@@ -659,7 +662,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -671,6 +674,11 @@ def main(argv=None) -> int:
     q.add_argument(
         "--msm", type=int, default=2,
         help="minimum distinct matching terms for --mode msm (default 2)",
+    )
+    q.add_argument(
+        "--tie", type=float, default=0.3,
+        help="dismax tie-breaker weight: score = best term + tie * rest "
+             "(0 = pure max, 1 = the plain union sum)",
     )
     q.add_argument(
         "--window", type=int, default=8,

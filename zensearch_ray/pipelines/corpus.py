@@ -1059,6 +1059,20 @@ def msm_topk(
     )
 
 
+def dismax_topk(
+    sf_dir: str, query: str, k: int = 10, tie: float = 0.3
+) -> pd.DataFrame:
+    """Top-k under disjunction-max scoring (best term + tie * rest)."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_dismax(query, k, tie=tie)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 def phrase_topk(
     sf_dir: str, phrase: str, k: int = 10, positional: bool = False
 ) -> pd.DataFrame:

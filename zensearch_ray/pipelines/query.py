@@ -569,6 +569,43 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[keep], scores[keep], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_dismax(
+        self, query: str, k: int = 10, tie: float = 0.3
+    ) -> list[tuple[int, float]]:
+        """Disjunction-max scoring — Lucene's ``DisjunctionMaxQuery``
+        combiner: a doc's score is its BEST single-term contribution
+        plus ``tie`` times the rest, ``max + tie * (sum - max)``
+        (tie=0 → pure max, tie=1 → exactly the checked union sum).
+        The classic fix for the union sum over-rewarding docs that
+        match many weak terms over docs that match one strong term
+        (the reference always sums, ``search-engine/internal/bm25/
+        score.go:19-95``). Per-term contributions, zero-score filter
+        and (score DESC, doc_id ASC) order are the checked BM25 ones."""
+        all_ids, all_contrib = [], []
+        for tok in dict.fromkeys(tokenize(query)):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            w = idf(self.n_docs, p.df)
+            if w == 0.0:
+                continue
+            ids, tfs, dls = p.decode_all()
+            all_ids.append(ids)
+            all_contrib.append(w * tf_norm(tfs, dls, self.avgdl, self.params))
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, contrib)
+        maxs = np.zeros(len(uniq), dtype=np.float64)  # contribs are > 0
+        np.maximum.at(maxs, inv, contrib)
+        scores = maxs + tie * (sums - maxs)
+        keep = scores > 0.0
+        top_ids, top_sc = topk_order(uniq[keep], scores[keep], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def explain(self, query: str, k: int = 10,
                 doc_id: int | None = None) -> list[dict]:
         """Per-term BM25 breakdown for the top-k docs (or one given
