@@ -2216,14 +2216,25 @@ def ccnet_buckets(sf_dir: str, n_parts: int = 16):
         )
 
     neg = scores.map_batches(add_neg, batch_format="pyarrow")
-    parted = range_partitioned(neg, "neg", n_parts).materialize()
+    # the pivot/assign pass keeps `neg`; drop it before the exchange —
+    # it is derivable from lm_score, no reason to ship 8 B/row twice
+    parted = range_partitioned(neg, "neg", n_parts).drop_columns(["neg"]).materialize()
 
-    sizes = (
-        parted.groupby("__part").count().to_pandas()
-        .set_index("__part")["count()"]
-    )
+    # per-partition counts as one streaming bincount-vector partial per
+    # block + a driver sum (n_parts ints) — NOT a keyed aggregate; a Ray
+    # groupby here costs a second all-to-all over every metadata row
+    def count_partial(t: pa.Table) -> pa.Table:
+        c = np.bincount(
+            t["__part"].to_numpy(zero_copy_only=False), minlength=n_parts
+        ).astype(np.int64)
+        return pa.table({"cnt": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    partials = parted.map_batches(
+        count_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    cnt = np.sum(np.stack(partials["cnt"].to_numpy()), axis=0).astype(np.int64) \
+        if len(partials) else np.zeros(n_parts, dtype=np.int64)
     order = np.arange(n_parts, dtype=np.int64)
-    cnt = np.array([int(sizes.get(p, 0)) for p in order], dtype=np.int64)
     bases = {int(p): int(b) for p, b in zip(order, np.concatenate([[0], np.cumsum(cnt)[:-1]]))}
     n_total = int(cnt.sum())
     q, r = divmod(n_total, 3)
@@ -2234,7 +2245,9 @@ def ccnet_buckets(sf_dir: str, n_parts: int = 16):
     def label(group: pd.DataFrame) -> pd.DataFrame:
         part = int(group["__part"].iloc[0])
         base = ray.get(bases_ref)[part]
-        g = group.sort_values(["neg", "doc_id"], kind="mergesort")
+        g = group.sort_values(
+            ["lm_score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
         rank = base + np.arange(len(g), dtype=np.int64)
         tile = np.where(rank < c1, 1, np.where(rank < c2, 2, 3)).astype(
             np.int64
