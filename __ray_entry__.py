@@ -63,6 +63,7 @@ _BOOST_VALUES = (
 )
 MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
 DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
+COMPLETE_PREFIX = "s"  # autocomplete probe prefix
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -257,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def dym(sf_dir: str):
         return corpus.did_you_mean(sf_dir, FUZZY_QUERY)
+
+    def complete(sf_dir: str):
+        # search-box completion: terms under the prefix by df desc
+        return corpus.autocomplete_terms(sf_dir, COMPLETE_PREFIX, k=10)
 
     def notq(sf_dir: str):
         return corpus.not_topk(sf_dir, NOT_QUERY, k=10)
@@ -647,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": prefix,
         "fuzzy_topk": fuzzy,
         "did_you_mean": dym,
+        "autocomplete": complete,
         "not_topk": notq,
         "more_like_this": mlt,
         "search_snippets": snippets,
@@ -958,6 +964,12 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "did_you_mean": _dym_sql(),
+        "autocomplete": f"""
+            WITH toks AS ({_TOKS})
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks WHERE term LIKE '{COMPLETE_PREFIX}%'
+            GROUP BY term ORDER BY df DESC, term LIMIT 10
+        """,
         "not_topk": _not_sql(),
         "more_like_this": _mlt_sql(),
         "search_snippets": _snippets_sql(),

@@ -59,6 +59,9 @@ MODE_CALLS = {
     "bool": lambda eng, q, k: eng.topk_bool(q, k),
     "wildcard": lambda eng, q, k: eng.topk_wildcard(q, k),
     "regex": lambda eng, q, k: eng.topk_regex(q, k),
+    "boosted": lambda eng, q, k: eng.topk_boosted(q, k),
+    "msm": lambda eng, q, k: eng.topk_msm(q, k),
+    "dismax": lambda eng, q, k: eng.topk_dismax(q, k),
 }
 MODE_QUERY = {
     "prefix": "se",
@@ -67,6 +70,7 @@ MODE_QUERY = {
     "wildcard": "se*ch",
     "regex": "s.arch",
     "not": "search -engine",
+    "boosted": "search^2.5 engine",
 }
 
 
@@ -110,6 +114,16 @@ def test_facets_endpoint(server, http_index):
     assert status == 200
     want = [[v, int(c)] for v, c in engine.facet_counts("search engine", "lang")]
     assert body["facets"] == want
+
+
+def test_complete_endpoint(server, http_index):
+    engine = QueryEngine(http_index)
+    status, body = _get(server, "/complete", prefix="se", k=5)
+    assert status == 200
+    want = [{"term": t, "df": d} for t, d in engine.autocomplete("se", 5)]
+    assert body["completions"] == want and body["prefix"] == "se"
+    status, body = _get(server, "/complete")
+    assert status == 400 and "prefix" in body["error"]
 
 
 def test_health_and_errors(server):

@@ -461,3 +461,34 @@ def test_dismax_single_term_and_bounds(built_index):
     assert set(dm) == set(union)
     for d, s in dm.items():
         assert s <= union[d] + 1e-12
+
+
+# -- autocomplete ---------------------------------------------------------
+
+def test_autocomplete_matches_brute_force(built_index, oracle):
+    """(term, df) under a prefix, (df DESC, term ASC): must equal the
+    brute-force count over the oracle corpus."""
+    from collections import Counter
+
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    df = Counter()
+    for tf in oracle.tfs:
+        df.update(set(tf))
+    for prefix in ("s", "se", "qu", "t"):
+        want = sorted(
+            ((t, c) for t, c in df.items() if t.startswith(prefix)),
+            key=lambda c: (-c[1], c[0]),
+        )
+        assert engine.autocomplete(prefix, 10) == want[:10], prefix
+    assert engine.autocomplete("zzqx", 10) == []
+    assert engine.autocomplete("", 10) == []
+
+
+def test_autocomplete_salted_terms_merge_df(built_index):
+    """A salted heavy term (split across sub-partitions) must report
+    its MERGED df, identical to the lookup path."""
+    index_dir, _, _ = built_index
+    engine = QueryEngine(index_dir)
+    out = dict(engine.autocomplete("th", 1 << 20))  # 'the' is salted
+    assert "the" in out and out["the"] == engine.df("the")

@@ -229,6 +229,18 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_complete(args) -> int:
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(args.index)
+    for p in args.prefix:
+        rows = [
+            {"term": t, "df": d} for t, d in engine.autocomplete(p, args.k)
+        ]
+        print(json.dumps({"prefix": p, "completions": rows}))
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Offline bulk scoring job: a queries file (one query per line, or
     a parquet with query_id/query columns) streams through the warm
@@ -750,6 +762,14 @@ def main(argv=None) -> int:
     sg.add_argument("--index", required=True)
     sg.add_argument("query", nargs="+")
     sg.set_defaults(fn=cmd_suggest)
+
+    ac = sub.add_parser(
+        "complete", help="search-box completion: top terms under a prefix"
+    )
+    ac.add_argument("--index", required=True)
+    ac.add_argument("-k", type=int, default=10)
+    ac.add_argument("prefix", nargs="+")
+    ac.set_defaults(fn=cmd_complete)
 
     pr = sub.add_parser(
         "prep",

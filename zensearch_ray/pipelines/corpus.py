@@ -1059,6 +1059,18 @@ def msm_topk(
     )
 
 
+def autocomplete_terms(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
+    """Search-box completion: top-k index terms under ``prefix`` by
+    (df DESC, term ASC). Columns: (term, df)."""
+    cands = QueryEngine(index_dir_for(sf_dir)).autocomplete(prefix, k)
+    return pd.DataFrame(
+        {
+            "term": [t for t, _ in cands],
+            "df": np.array([d for _, d in cands], dtype=np.int64),
+        }
+    )
+
+
 def dismax_topk(
     sf_dir: str, query: str, k: int = 10, tie: float = 0.3
 ) -> pd.DataFrame:

@@ -15,6 +15,7 @@ Endpoints:
         url/title rows (the reference's response shape), ``docs=0``
         returns raw (doc_id, score) pairs.
   GET /facets?q=...&col=lang → {"query", "col", "facets"}
+  GET /complete?prefix=...&k=10 → {"prefix", "completions"}
   GET /healthz → {"ok": true, "replicas": N}
 
 Scale note: one driver-side HTTP process round-robins over N warm
@@ -32,7 +33,8 @@ from urllib.parse import parse_qs, urlparse
 
 _MODES = (
     "exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix",
-    "fuzzy", "not", "bool", "wildcard", "regex",
+    "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm",
+    "dismax",
 )
 
 
@@ -91,6 +93,8 @@ class SearchHTTPServer:
                         self._search(qs)
                     elif url.path == "/facets":
                         self._facets(qs)
+                    elif url.path == "/complete":
+                        self._complete(qs)
                     else:
                         self._reply(404, {"error": f"no route {url.path}"})
                 except (ValueError, KeyError) as exc:
@@ -120,6 +124,19 @@ class SearchHTTPServer:
                 self._reply(200, {
                     "query": q, "mode": mode, "k": k,
                     "results": _jsonable(results),
+                })
+
+            def _complete(self, qs: dict) -> None:
+                prefix = qs.get("prefix", "").strip()
+                if not prefix:
+                    raise ValueError("missing required param prefix")
+                k = int(qs.get("k", default_k))
+                self._reply(200, {
+                    "prefix": prefix,
+                    "completions": [
+                        {"term": t, "df": df}
+                        for t, df in svc.complete(prefix, k)
+                    ],
                 })
 
             def _facets(self, qs: dict) -> None:

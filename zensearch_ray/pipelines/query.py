@@ -948,6 +948,37 @@ class QueryEngine:
             terms.update(t["term"].to_pylist())
         return sorted(terms)
 
+    def autocomplete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Search-box completion: dictionary terms starting with
+        ``prefix`` ranked by (df DESC, term ASC), top-k — the query
+        suggestion dropdown of the reference's search page. Reads ONLY
+        the (term, df) columns of the posting segments under a term
+        range filter (prefix ≤ term < next-prefix) — never the posting
+        payload bytes; salted sub-partitions and append generations sum
+        their partial dfs exactly as ``lookup`` merges them. df is the
+        STORED count (tombstones included until compaction — the same
+        stats-at-merge contract every scoring path uses)."""
+        from zensearch_ray.functions.text import normalize
+
+        prefix = normalize(prefix)
+        if not prefix:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        agg: dict[str, int] = {}
+        for shard in range(self.num_shards):
+            for path in self._part_files(shard):
+                t = pq.read_table(
+                    path,
+                    columns=["term", "df"],
+                    filters=[("term", ">=", prefix), ("term", "<", hi)],
+                )
+                for term, df in zip(
+                    t["term"].to_pylist(), t["df"].to_pylist()
+                ):
+                    agg[term] = agg.get(term, 0) + int(df)
+        cands = sorted(agg.items(), key=lambda c: (-c[1], c[0]))
+        return cands[:k]
+
     def topk_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
         """Prefix (wildcard) search ``prefix*``: expand against the term
         dictionary, then score the expansion as an OR-query — each

@@ -93,6 +93,9 @@ class _EngineReplica:
             "bool": self.engine.topk_bool,
             "wildcard": self.engine.topk_wildcard,
             "regex": self.engine.topk_regex,
+            "boosted": self.engine.topk_boosted,
+            "msm": self.engine.topk_msm,
+            "dismax": self.engine.topk_dismax,
         }[mode]
         return fn(query, k)
 
@@ -103,6 +106,10 @@ class _EngineReplica:
     def facet_counts(self, query: str, col: str):
         self._maybe_reload()
         return self.engine.facet_counts(query, col)
+
+    def complete(self, prefix: str, k: int):
+        self._maybe_reload()
+        return self.engine.autocomplete(prefix, k)
 
     def pid(self) -> int:
         import os
@@ -193,6 +200,12 @@ class QueryService:
         import ray
 
         return ray.get(self._next().facet_counts.remote(query, col))
+
+    def complete(self, prefix: str, k: int = 10):
+        """Search-box completion through a warm replica."""
+        import ray
+
+        return ray.get(self._next().complete.remote(prefix, k))
 
     def replica_pids(self) -> list[int]:
         import ray
