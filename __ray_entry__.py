@@ -64,6 +64,7 @@ _BOOST_VALUES = (
 MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
 DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 COMPLETE_PREFIX = "s"  # autocomplete probe prefix
+N_BALANCED_SHARDS = 8  # token-balanced training-shard count
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
 N_MULTI_PROBES = 5
@@ -262,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def complete(sf_dir: str):
         # search-box completion: terms under the prefix by df desc
         return corpus.autocomplete_terms(sf_dir, COMPLETE_PREFIX, k=10)
+
+    def bshards(sf_dir: str):
+        # token-balanced contiguous training shards (data-loader balance)
+        return corpus.balanced_shards(sf_dir, n_shards=N_BALANCED_SHARDS)
 
     def notq(sf_dir: str):
         return corpus.not_topk(sf_dir, NOT_QUERY, k=10)
@@ -653,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": fuzzy,
         "did_you_mean": dym,
         "autocomplete": complete,
+        "balanced_shards": bshards,
         "not_topk": notq,
         "more_like_this": mlt,
         "search_snippets": snippets,
@@ -969,6 +975,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df
             FROM toks WHERE term LIKE '{COMPLETE_PREFIX}%'
             GROUP BY term ORDER BY df DESC, term LIMIT 10
+        """,
+        "balanced_shards": f"""
+            WITH toks AS ({_TOKS}),
+            dlen AS (SELECT doc_id, count(*)::BIGINT AS dl
+                     FROM toks GROUP BY doc_id),
+            docs AS (
+                SELECT d.doc_id, coalesce(dlen.dl, 0)::BIGINT AS dl
+                FROM documents d LEFT JOIN dlen ON d.doc_id = dlen.doc_id
+            ),
+            pre AS (
+                SELECT doc_id, dl,
+                       coalesce(sum(dl) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS cum
+                FROM docs
+            ),
+            tot AS (SELECT greatest(sum(dl), 1)::BIGINT AS t FROM docs)
+            SELECT doc_id, dl,
+                   least(cum * {N_BALANCED_SHARDS} // t,
+                         {N_BALANCED_SHARDS} - 1)::BIGINT AS shard
+            FROM pre, tot ORDER BY doc_id
         """,
         "not_topk": _not_sql(),
         "more_like_this": _mlt_sql(),

@@ -374,6 +374,78 @@ def pack_sequences(
     return dl_ds.groupby("bucket").map_groups(explode_spans, batch_format="pandas")
 
 
+def balanced_shards(
+    sf_dir: str, n_shards: int = 8, n_buckets: int = PACK_BUCKETS
+):
+    """Token-balanced training shards: split the doc_id-ordered token
+    stream into ``n_shards`` CONTIGUOUS ranges of near-equal token
+    mass — ``shard(doc) = floor(prefix_tokens_before_doc · S / total)``
+    — so every data-loader worker reads the same token volume (the
+    imbalance is bounded by one document's length, the best any
+    contiguous assignment can do; a greedy LPT bin-pack would balance
+    marginally tighter but is inherently sequential — unusable at
+    10^12 docs — and destroys range locality for resumable writes).
+
+    Same three scale-safe steps as ``pack_sequences`` (which shares
+    this prefix-sum machinery): map-only token counting (16 B/doc),
+    a bucket-granular exclusive scan on the driver (NB numbers), one
+    metadata-row exchange; integer arithmetic throughout so the SQL
+    window-function oracle is bit-identical. Empty docs keep their
+    stream position (dl=0). Output: (doc_id, dl, shard)."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    max_id = 0
+    for rg in range(meta.num_row_groups):
+        col = meta.row_group(rg).column(0)  # doc_id is column 0
+        assert col.path_in_schema == "doc_id"
+        max_id = max(max_id, col.statistics.max)
+    width = max(1, (max_id + n_buckets) // n_buckets)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dl = np.fromiter(
+            (len(tokenize(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "dl": pa.array(dl),
+                "bucket": pa.array((ids // width).astype(np.int32)),
+            }
+        )
+
+    dl_ds = ds.map_batches(doc_lens, batch_format="pyarrow")
+    sums = dl_ds.groupby("bucket").sum("dl").to_pandas().sort_values("bucket")
+    base = np.zeros(n_buckets + 1, dtype=np.int64)
+    acc = 0
+    for b, t in zip(sums["bucket"].to_numpy(), sums["sum(dl)"].to_numpy(np.int64)):
+        base[b] = acc
+        acc += int(t)
+    total = max(acc, 1)  # all-empty corpus → every doc lands in shard 0
+
+    def label(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        dl = g["dl"].to_numpy(np.int64)
+        b = int(g["bucket"].iloc[0])
+        cum = base[b] + np.concatenate(([0], np.cumsum(dl[:-1])))
+        shard = np.minimum(cum * n_shards // total, n_shards - 1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "dl": dl,
+                "shard": shard.astype(np.int64),
+            }
+        )
+
+    return dl_ds.groupby("bucket").map_groups(label, batch_format="pandas")
+
+
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
