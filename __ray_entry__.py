@@ -64,6 +64,8 @@ _BOOST_VALUES = (
 MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
 DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 COMPLETE_PREFIX = "s"  # autocomplete probe prefix
+SIG_QUERY = "hash join"  # significant-terms foreground probe
+SIG_MIN_FG_DF = 3  # noise floor: candidate must hit >= 3 fg docs
 N_BALANCED_SHARDS = 8  # token-balanced training-shard count
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
@@ -267,6 +269,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bshards(sf_dir: str):
         # token-balanced contiguous training shards (data-loader balance)
         return corpus.balanced_shards(sf_dir, n_shards=N_BALANCED_SHARDS)
+
+    def sig_terms(sf_dir: str):
+        # fg = union of the probe terms' postings; JLH lift vs corpus
+        return corpus.significant_terms(
+            sf_dir, SIG_QUERY, k=25, min_fg_df=SIG_MIN_FG_DF
+        )
+
+    def explain(sf_dir: str):
+        # Lucene-Explanation surface: per-(doc, term) BM25 breakdown
+        return corpus.explain_topk(sf_dir, BM25_QUERY, k=10)
 
     def notq(sf_dir: str):
         return corpus.not_topk(sf_dir, NOT_QUERY, k=10)
@@ -658,6 +670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": fuzzy,
         "did_you_mean": dym,
         "autocomplete": complete,
+        "significant_terms": sig_terms,
+        "explain_topk": explain,
         "balanced_shards": bshards,
         "not_topk": notq,
         "more_like_this": mlt,
@@ -975,6 +989,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df
             FROM toks WHERE term LIKE '{COMPLETE_PREFIX}%'
             GROUP BY term ORDER BY df DESC, term LIMIT 10
+        """,
+        "significant_terms": f"""
+            WITH toks AS ({_TOKS}),
+            qt(term) AS (VALUES ('hash'), ('join')),
+            fg AS (SELECT DISTINCT doc_id FROM toks JOIN qt USING (term)),
+            nfg AS (SELECT count(*)::DOUBLE AS v FROM fg),
+            nd AS (SELECT count(*)::DOUBLE AS v FROM documents),
+            bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df_bg
+                   FROM toks GROUP BY term),
+            f AS (SELECT term, count(DISTINCT t.doc_id)::DOUBLE AS df_fg
+                  FROM toks t JOIN fg USING (doc_id) GROUP BY term),
+            scored AS (
+                SELECT f.term, f.df_fg, bg.df_bg,
+                       round((f.df_fg / (SELECT v FROM nfg)
+                              - bg.df_bg / (SELECT v FROM nd))
+                             * ((f.df_fg / (SELECT v FROM nfg))
+                                / (bg.df_bg / (SELECT v FROM nd))), 6)
+                           AS score
+                FROM f JOIN bg USING (term)
+                WHERE f.df_fg >= {SIG_MIN_FG_DF}
+                  AND f.term NOT IN (SELECT term FROM qt)
+            )
+            SELECT term, df_fg::BIGINT AS df_fg, df_bg::BIGINT AS df_bg,
+                   score
+            FROM scored ORDER BY score DESC, term LIMIT 25
+        """,
+        "explain_topk": f"""
+            WITH toks AS ({_TOKS}),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks
+                   GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT avg(dl) FROM dl) AS avgdl),
+            qterms(term) AS {_BM25_VALUES},
+            tf AS (
+                SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+                FROM toks t JOIN qterms q USING (term)
+                GROUP BY t.term, t.doc_id
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                   GROUP BY term),
+            contrib AS (
+                SELECT tf.doc_id, tf.term, df.df, tf.tf, dl.dl,
+                       ln((SELECT n FROM stats) / df.df) AS idf,
+                       (tf.tf * 2.2) /
+                       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                        (dl.dl / (SELECT avgdl FROM stats)))) AS tfn
+                FROM tf
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                WHERE df.df < (SELECT n FROM stats)
+            ),
+            scored AS (SELECT doc_id, sum(idf * tfn) AS score
+                       FROM contrib GROUP BY doc_id),
+            topd AS (SELECT doc_id FROM scored WHERE score > 0
+                     ORDER BY score DESC, doc_id LIMIT 10)
+            SELECT c.doc_id, c.term, c.df::BIGINT AS df,
+                   c.tf::BIGINT AS tf, c.dl::BIGINT AS dl,
+                   round(c.idf, 6) AS idf, round(c.tfn, 6) AS tf_norm,
+                   round(c.idf * c.tfn, 6) AS contribution
+            FROM contrib c JOIN topd USING (doc_id)
         """,
         "balanced_shards": f"""
             WITH toks AS ({_TOKS}),

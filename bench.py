@@ -152,6 +152,34 @@ def run_bench() -> dict:
         engine.topk_pruned(q, 10)
     results["query_pruned_ms"] = round(100 * (time.perf_counter() - t0), 3)
 
+    # query-combiner + autocomplete + explain warm latencies (the r3
+    # request-surface ops share the same cached decodes as topk)
+    t0 = time.perf_counter()
+    for q in BENCH_QUERIES:
+        engine.topk_dismax(q, 10, tie=0.3)
+        engine.topk_msm(q, 10, min_should_match=2)
+    results["query_combiner_ms"] = round(
+        1000 * (time.perf_counter() - t0) / (2 * len(BENCH_QUERIES)), 3
+    )
+    t0 = time.perf_counter()
+    for _ in range(20):
+        engine.autocomplete("se", 10)
+    results["autocomplete_ms"] = round(
+        1000 * (time.perf_counter() - t0) / 20, 3
+    )
+    t0 = time.perf_counter()
+    for q in BENCH_QUERIES:
+        engine.explain(q, 10)
+    results["explain_ms"] = round(
+        1000 * (time.perf_counter() - t0) / len(BENCH_QUERIES), 3
+    )
+
+    # significant-terms: one pruned distributed pass over the segments
+    from zensearch_ray.pipelines.export import significant_terms
+
+    _, t = timed(lambda: significant_terms(index_dir, "search engine", k=25))
+    results["significant_terms_sec"] = round(t, 3)
+
     # batch scoring through the actor pool (throughput shape)
     qds = rd.from_items(
         [{"query_id": i, "query": BENCH_QUERIES[i % len(BENCH_QUERIES)]} for i in range(500)]
@@ -586,6 +614,15 @@ def run_bench() -> dict:
     results["ccnet_buckets_sec"] = round(t, 3)
     _, t = timed(lambda: events_anomaly(SF_DIR).count())
     results["events_anomaly_sec"] = round(t, 3)
+
+    from zensearch_ray.pipelines.corpus import balanced_shards
+
+    def _run_bshards():
+        r = balanced_shards(SF_DIR, n_shards=32)
+        return r.count() if isinstance(r, rd.Dataset) else r
+
+    _, t = timed(_run_bshards)
+    results["balanced_shards_sec"] = round(t, 3)
 
     # -- r2 session-10 operators: fsck / sigstore / near-dedup ------------
     import pyarrow as pa

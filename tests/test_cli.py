@@ -57,6 +57,23 @@ def test_cli_suggest_and_query_modes(cli_index, capsys):
     assert excluded.isdisjoint({r["doc_id"] for r in the["results"]})
 
 
+def test_cli_significant(cli_index, capsys):
+    d, _ = cli_index
+    (out,) = _run(
+        capsys,
+        ["significant", "--index", d, "-k", "5", "--min-fg-df", "2",
+         "search", "engine"],
+    )
+    assert out["query"] == "search engine"
+    rows = out["significant"]
+    assert 0 < len(rows) <= 5
+    # the query's own terms never appear; lift ordering is monotone
+    assert not {"search", "engine"} & {r["term"] for r in rows}
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["df_fg"] >= 2 and r["df_fg"] <= r["df_bg"] for r in rows)
+
+
 def test_cli_percolate(ray_session, tmp_path, capsys):
     import json as _json
 

@@ -126,6 +126,27 @@ def test_complete_endpoint(server, http_index):
     assert status == 400 and "prefix" in body["error"]
 
 
+def test_explain_endpoint(server, http_index):
+    engine = QueryEngine(http_index)
+    q = "data stream"
+    status, body = _get(server, "/explain", q=q, k=5)
+    assert status == 200 and body["query"] == q and body["k"] == 5
+    want = engine.explain(q, k=5)
+    assert json.loads(json.dumps(body["explain"])) == json.loads(
+        json.dumps(want)
+    )
+    # single-doc form: explain the top hit directly
+    top_doc = want[0]["doc_id"]
+    status, body = _get(server, "/explain", q=q, doc=top_doc)
+    assert status == 200
+    assert body["explain"][0]["doc_id"] == top_doc
+    assert body["explain"][0]["terms"] == json.loads(
+        json.dumps(want[0]["terms"])
+    )
+    status, body = _get(server, "/explain")  # missing q
+    assert status == 400 and "q" in body["error"]
+
+
 def test_health_and_errors(server):
     status, body = _get(server, "/healthz")
     assert status == 200 and body == {"ok": True, "replicas": 2}

@@ -241,6 +241,27 @@ def cmd_complete(args) -> int:
     return 0
 
 
+def cmd_significant(args) -> int:
+    """Significant-terms aggregation ("related searches"): terms
+    over-represented in the query's matching docs vs the corpus —
+    a distributed scan over the committed segments (analytics-grade,
+    not warm-serving; see pipelines/export.py:significant_terms)."""
+    from zensearch_ray.pipelines.export import significant_terms
+
+    df = significant_terms(
+        args.index, " ".join(args.query), k=args.k, min_fg_df=args.min_fg_df
+    )
+    print(
+        json.dumps(
+            {
+                "query": " ".join(args.query),
+                "significant": df.to_dict(orient="records"),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_batch(args) -> int:
     """Offline bulk scoring job: a queries file (one query per line, or
     a parquet with query_id/query columns) streams through the warm
@@ -770,6 +791,16 @@ def main(argv=None) -> int:
     ac.add_argument("-k", type=int, default=10)
     ac.add_argument("prefix", nargs="+")
     ac.set_defaults(fn=cmd_complete)
+
+    st = sub.add_parser(
+        "significant",
+        help="significant terms: fg-vs-corpus term lift for a query",
+    )
+    st.add_argument("--index", required=True)
+    st.add_argument("-k", type=int, default=25)
+    st.add_argument("--min-fg-df", type=int, default=3)
+    st.add_argument("query", nargs="+")
+    st.set_defaults(fn=cmd_significant)
 
     pr = sub.add_parser(
         "prep",

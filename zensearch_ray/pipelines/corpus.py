@@ -1143,6 +1143,45 @@ def autocomplete_terms(sf_dir: str, prefix: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def explain_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Per-term BM25 score breakdown for the top-k docs (the
+    Lucene-Explanation surface; see ``QueryEngine.explain``), flattened
+    to one row per (doc, term) with the floats rounded half-away at 6
+    decimals exactly like every other oracle-checked score column.
+    Columns: (doc_id, term, df, tf, dl, idf, tf_norm, contribution)."""
+    rows = QueryEngine(index_dir_for(sf_dir)).explain(query, k=k)
+    flat = [(r["doc_id"], t) for r in rows for t in r["terms"]]
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([d for d, _ in flat], dtype=np.int64),
+            "term": [t["term"] for _, t in flat],
+            "df": np.array([t["df"] for _, t in flat], dtype=np.int64),
+            "tf": np.array([t["tf"] for _, t in flat], dtype=np.int64),
+            "dl": np.array([t["dl"] for _, t in flat], dtype=np.int64),
+            "idf": np.array(
+                [round6(t["idf"]) for _, t in flat], dtype=np.float64
+            ),
+            "tf_norm": np.array(
+                [round6(t["tf_norm"]) for _, t in flat], dtype=np.float64
+            ),
+            "contribution": np.array(
+                [round6(t["contribution"]) for _, t in flat], dtype=np.float64
+            ),
+        }
+    )
+
+
+def significant_terms(
+    sf_dir: str, query: str, k: int = 25, min_fg_df: int = 3
+) -> pd.DataFrame:
+    """Significant-terms aggregation over the shared corpus index —
+    see ``pipelines/export.py:significant_terms`` for the distributed
+    shape. Columns: (term, df_fg, df_bg, score)."""
+    from zensearch_ray.pipelines.export import significant_terms as _sig
+
+    return _sig(index_dir_for(sf_dir), query, k=k, min_fg_df=min_fg_df)
+
+
 def dismax_topk(
     sf_dir: str, query: str, k: int = 10, tie: float = 0.3
 ) -> pd.DataFrame:

@@ -131,3 +131,194 @@ def export_postings(index_dir: str, output_dir: str) -> dict:
         "output": output_dir,
         "files": len(glob.glob(f"{output_dir}/*.parquet")),
     }
+
+
+def significant_terms(
+    index_dir: str,
+    query: str,
+    k: int = 25,
+    min_fg_df: int = 3,
+) -> "pd.DataFrame":
+    """Significant-terms aggregation (the Elasticsearch
+    ``significant_terms`` genre): which index terms are over-represented
+    in the documents matching ``query`` (the FOREGROUND — the union of
+    the query terms' posting lists) relative to the whole corpus (the
+    BACKGROUND)? The reference's user-facing analog is the "related
+    searches" affordance a search page derives from result contents;
+    its engine re-scans full text per query
+    (``search-engine/internal/query/query.go``), whereas here both
+    frequencies come from the already-committed segments — the corpus
+    text is never touched.
+
+    Score is JLH: ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` with
+    ``fg_rate = df_fg / n_fg`` and ``bg_rate = df_bg / n_docs``; the
+    query's own terms are excluded (they are trivially maximal) and
+    terms with ``df_fg < min_fg_df`` are dropped as noise. Returns the
+    top-``k`` rows ``(term, df_fg, df_bg, score)`` ordered by
+    (round6(score) DESC, term ASC) — rounded BEFORE ordering so the
+    boundary is float-reproducible against the SQL oracle.
+
+    Distributed shape (scale notes):
+
+    - The foreground doc-id set is derived on the driver from the
+      query terms' postings (the same cached decodes ``topk`` uses) and
+      broadcast ONCE via ``ray.put`` as a sorted int64 array — 8 bytes
+      per matching doc. For web-scale foregrounds (≥ ~10^8 docs) swap
+      the exact probe for the repo's bloom stage (``stages/bloom.py``)
+      at the cost of a bounded false-positive df inflation; the exact
+      array is the right default for query-shaped foregrounds.
+    - One schema-pruned scan over the segment files reads ONLY the
+      ``term`` + ``docs`` columns — the tf/dl/position blobs never
+      leave parquet. Each row's doc-id stream decodes vectorized
+      (``delta_decode_docids``), tombstones drop via the broadcast
+      sorted probe, and fg membership is one ``searchsorted`` over the
+      concatenated batch.
+    - Per-row partials ``(term, df_fg, df_bg)`` combine in the
+      repo-standard bucketed groupby-sum (vocabulary-scale metadata
+      exchange — same shape as ``term_df``; salted sub-partitions and
+      append generations sum exactly as ``QueryEngine.lookup`` merges).
+    - Scoring is vectorized per block and each block emits only its
+      local top-``k``; the driver merges k x blocks candidate rows —
+      never the vocabulary.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+    from zensearch_ray.functions.rounding import round6
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    engine = QueryEngine(index_dir)
+    qterms = list(dict.fromkeys(tokenize(query)))
+    fg_parts = []
+    for tok in qterms:
+        p = engine.lookup(tok)
+        if p is not None:
+            fg_parts.append(p.decode_all()[0])
+    empty = pd.DataFrame(
+        {
+            "term": pd.Series([], dtype=str),
+            "df_fg": pd.Series([], dtype=np.int64),
+            "df_bg": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not fg_parts:
+        return empty
+    fg = np.unique(np.concatenate(fg_parts))
+    n_fg = len(fg)
+    n_docs = engine.n_docs
+    if n_fg == 0:
+        return empty
+    fg_ref = ray.put(fg)
+
+    layout = IndexLayout(index_dir)
+    files = _segment_files(layout)
+    ds = rd.read_parquet(files, columns=["term", "docs"])
+    counted = ds.map_batches(
+        _FgDfCount,
+        fn_constructor_kwargs={"index_dir": index_dir, "fg_ref": fg_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    summed = bucketed_groupby_sum(counted, keys=["term"], sum_cols=["df_fg", "df_bg"])
+
+    qset = set(qterms)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        fgc = batch["df_fg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bgc = batch["df_bg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = fgc >= min_fg_df
+        if qset:
+            keep &= np.array([t not in qset for t in terms], dtype=bool)
+        terms, fgc, bgc = terms[keep], fgc[keep], bgc[keep]
+        if len(terms) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "df_fg": pa.array([], type=pa.int64()),
+                    "df_bg": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        fr = fgc / n_fg
+        br = bgc / n_docs
+        score = round6((fr - br) * (fr / br))
+        order = np.lexsort((terms.astype(str), -score))[:k]
+        return pa.table(
+            {
+                "term": pa.array(terms[order].astype(str)),
+                "df_fg": pa.array(fgc[order].astype(np.int64)),
+                "df_bg": pa.array(bgc[order].astype(np.int64)),
+                "score": pa.array(score[order]),
+            }
+        )
+
+    cand = summed.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return empty
+    cand = cand.sort_values(
+        ["score", "term"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return cand.reset_index(drop=True)
+
+
+class _FgDfCount:
+    """Actor-pool map_batches body for ``significant_terms``: segment
+    rows → ``(term, df_fg, df_bg)`` live-doc count partials.
+
+    Stateful for the two broadcast arrays (tombstones + foreground
+    set), fetched once per actor. Per batch: every row's doc-id blob
+    decodes vectorized, the rows concatenate into ONE id stream with a
+    repeat-index back-pointer, and both memberships (deleted, fg) are
+    single sorted ``searchsorted`` probes followed by ``bincount`` —
+    no Python loop over postings.
+    """
+
+    def __init__(self, index_dir: str, fg_ref):
+        import ray
+
+        from zensearch_ray.functions.codec import delta_decode_docids
+
+        self._decode = delta_decode_docids
+        self.deleted = IndexLayout(index_dir).read_deletes()
+        self.fg = ray.get(fg_ref)
+
+    @staticmethod
+    def _member(sorted_arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        j = np.searchsorted(sorted_arr, ids)
+        return (j < len(sorted_arr)) & (
+            sorted_arr[np.minimum(j, len(sorted_arr) - 1)] == ids
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["docs"].to_pylist()
+        parts = [self._decode(b) for b in blobs]
+        lens = np.array([len(p) for p in parts], dtype=np.int64)
+        n = len(parts)
+        if not lens.sum():
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "df_fg": pa.array([], type=pa.int64()),
+                    "df_bg": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = np.concatenate(parts)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if self.deleted is not None and len(self.deleted):
+            keep = ~self._member(self.deleted, ids)
+            ids, row_idx = ids[keep], row_idx[keep]
+        bg = np.bincount(row_idx, minlength=n)
+        hit = self._member(self.fg, ids)
+        fgc = np.bincount(row_idx[hit], minlength=n)
+        return pa.table(
+            {
+                "term": batch["term"],
+                "df_fg": pa.array(fgc.astype(np.int64)),
+                "df_bg": pa.array(bg.astype(np.int64)),
+            }
+        )

@@ -16,6 +16,9 @@ Endpoints:
         returns raw (doc_id, score) pairs.
   GET /facets?q=...&col=lang → {"query", "col", "facets"}
   GET /complete?prefix=...&k=10 → {"prefix", "completions"}
+  GET /explain?q=...&k=10[&doc=ID] → {"query", "k", "explain"} — the
+      Lucene-Explanation surface: per-term BM25 breakdown rows
+      (``QueryEngine.explain``) for the top-k docs or one given doc.
   GET /healthz → {"ok": true, "replicas": N}
 
 Scale note: one driver-side HTTP process round-robins over N warm
@@ -95,6 +98,8 @@ class SearchHTTPServer:
                         self._facets(qs)
                     elif url.path == "/complete":
                         self._complete(qs)
+                    elif url.path == "/explain":
+                        self._explain(qs)
                     else:
                         self._reply(404, {"error": f"no route {url.path}"})
                 except (ValueError, KeyError) as exc:
@@ -137,6 +142,17 @@ class SearchHTTPServer:
                         {"term": t, "df": df}
                         for t, df in svc.complete(prefix, k)
                     ],
+                })
+
+            def _explain(self, qs: dict) -> None:
+                q = qs.get("q", "").strip()
+                if not q:
+                    raise ValueError("missing required param q")
+                k = int(qs.get("k", default_k))
+                doc = int(qs["doc"]) if "doc" in qs else None
+                self._reply(200, {
+                    "query": q, "k": k,
+                    "explain": _jsonable(svc.explain(q, k=k, doc_id=doc)),
                 })
 
             def _facets(self, qs: dict) -> None:

@@ -111,6 +111,10 @@ class _EngineReplica:
         self._maybe_reload()
         return self.engine.autocomplete(prefix, k)
 
+    def explain(self, query: str, k: int, doc_id: int | None = None):
+        self._maybe_reload()
+        return self.engine.explain(query, k=k, doc_id=doc_id)
+
     def pid(self) -> int:
         import os
 
@@ -206,6 +210,13 @@ class QueryService:
         import ray
 
         return ray.get(self._next().complete.remote(prefix, k))
+
+    def explain(self, query: str, k: int = 10, doc_id: int | None = None):
+        """Per-term BM25 score breakdown through a warm replica — the
+        Lucene-Explanation surface (``QueryEngine.explain``)."""
+        import ray
+
+        return ray.get(self._next().explain.remote(query, k, doc_id))
 
     def replica_pids(self) -> list[int]:
         import ray
