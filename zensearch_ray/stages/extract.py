@@ -105,12 +105,17 @@ def extract_text_and_title_reference(html: bytes | str) -> tuple[str, str]:
 # quoted attributes, so '>' inside "..."/'...' doesn't end the tag),
 # comments, and declarations match; a bare '<' in text falls through
 # as text — the same tokenization HTMLParser produces for these cases.
+# The tag NAME is captured by the scan itself (group 1 = closing tag,
+# group 2 = opening tag) so the loop never runs a second name regex
+# per tag — measured ~1.3x on the fixture corpus, byte-identical
+# output (referee equality below and in tests/test_extract.py).
 _TOKEN_RE = re.compile(
-    r"""<!--.*?-->|</?[a-zA-Z][^>'"]*(?:"[^"]*"[^>'"]*|'[^']*'[^>'"]*)*>"""
+    r"""<!--.*?-->"""
+    r"""|</([a-zA-Z][a-zA-Z0-9]*)[^>'"]*(?:"[^"]*"[^>'"]*|'[^']*'[^>'"]*)*>"""
+    r"""|<([a-zA-Z][a-zA-Z0-9]*)[^>'"]*(?:"[^"]*"[^>'"]*|'[^']*'[^>'"]*)*>"""
     r"""|<![^>]*>|<\?[^>]*>""",
     re.DOTALL,
 )
-_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
     "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
@@ -144,15 +149,10 @@ def extract_text_and_title(html: bytes | str) -> tuple[str, str]:
             (title_tokens if d_title > 0 else tokens).extend(text.split())
         if m is None:
             break
-        tok = m.group(0)
+        close_name, open_name = m.group(1), m.group(2)
         pos = m.end()
-        if tok.startswith(("<!", "<?")):
-            continue
-        nm = _NAME_RE.match(tok)
-        if not nm:
-            continue
-        tag = nm.group(1).lower()
-        if tok.startswith("</"):
+        if close_name is not None:
+            tag = close_name.lower()
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i] == tag:
                     for popped in reversed(stack[i:]):
@@ -164,8 +164,9 @@ def extract_text_and_title(html: bytes | str) -> tuple[str, str]:
                             d_title -= 1
                     del stack[i:]
                     break
-        else:
-            if tag in _VOID_TAGS or tok.endswith("/>"):
+        elif open_name is not None:
+            tag = open_name.lower()
+            if tag in _VOID_TAGS or m.group(0).endswith("/>"):
                 continue
             if tag in _RAWTEXT_CLOSE:
                 mm = _RAWTEXT_CLOSE[tag].search(html, pos)
@@ -176,6 +177,7 @@ def extract_text_and_title(html: bytes | str) -> tuple[str, str]:
                 d_ext += 1
             elif tag == "title":
                 d_title += 1
+        # else: comment / declaration / processing instruction — skip
     return " ".join(tokens), " ".join(title_tokens)
 
 
