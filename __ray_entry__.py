@@ -66,6 +66,7 @@ DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 COMPLETE_PREFIX = "s"  # autocomplete probe prefix
 SIG_QUERY = "hash join"  # significant-terms foreground probe
 SIG_MIN_FG_DF = 3  # noise floor: candidate must hit >= 3 fg docs
+EXACT_SUBSTR_L = 10  # ExactSubstr duplicate-window length (tokens)
 N_BALANCED_SHARDS = 8  # token-balanced training-shard count
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
@@ -314,6 +315,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         return span_dedup(ds, w=8, n_buckets=32)
+
+    def exact_substr_docs(sf_dir: str):
+        import ray.data as rd
+
+        from zensearch_ray.stages.dedup import exact_substr_dedup
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return exact_substr_dedup(ds, l=EXACT_SUBSTR_L, n_buckets=32)
 
     def bpe_merges(sf_dir: str):
         import ray.data as rd
@@ -680,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": pmi,
         "dup_ngram_rate": ngram_rate,
         "span_dedup": span_dedup_docs,
+        "exact_substr_dedup": exact_substr_docs,
         "decontaminate": decon,
         # exact distributed quantiles (no-sort selection; scalar form
         # is the pre-existing lineitem_quantiles entry)
@@ -1145,6 +1157,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id, coalesce(k.text, '') AS text, s.n_spans,
                    (s.n_spans - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM stats s LEFT JOIN ka k USING (doc_id)
+        """,
+        "exact_substr_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKLIST} AS toks FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                FROM t,
+                     unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS r(i)
+            ),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(
+                           toks[CAST(i AS BIGINT):CAST(i + {EXACT_SUBSTR_L} - 1 AS BIGINT)],
+                           ' '
+                       ) AS gram
+                FROM t,
+                     unnest(range(1, CAST(len(toks) AS BIGINT)
+                                      - {EXACT_SUBSTR_L} + 2)) AS r(i)
+                WHERE len(toks) >= {EXACT_SUBSTR_L}
+            ),
+            m AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS cnt,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn
+                FROM g
+            ),
+            losers AS (SELECT doc_id, pos FROM m WHERE cnt > 1 AND rn > 1),
+            cov AS (
+                SELECT DISTINCT l.doc_id, l.pos + u.j AS cpos
+                FROM losers l, unnest(range(0, {EXACT_SUBSTR_L})) AS u(j)
+            ),
+            kept AS (
+                SELECT tk.doc_id, tk.pos, tk.tok
+                FROM tk LEFT JOIN cov
+                  ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+                WHERE cov.doc_id IS NULL
+            ),
+            ka AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+            )
+            SELECT s.doc_id, coalesce(k.text, '') AS text, s.n_tokens,
+                   (s.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM stats s LEFT JOIN ka k USING (doc_id)
         """,
         "price_quantiles_by_flag": f"""

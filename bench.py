@@ -615,6 +615,19 @@ def run_bench() -> dict:
     _, t = timed(lambda: events_anomaly(SF_DIR).count())
     results["events_anomaly_sec"] = round(t, 3)
 
+    from zensearch_ray.stages.dedup import exact_substr_dedup
+
+    _, t = timed(
+        lambda: exact_substr_dedup(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            l=10,
+            n_buckets=64,
+        ).count()
+    )
+    results["exact_substr_sec"] = round(t, 3)
+
     from zensearch_ray.pipelines.corpus import balanced_shards
 
     def _run_bshards():

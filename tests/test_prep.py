@@ -193,3 +193,42 @@ def test_gopher_and_repetition_gates(ray_session, tmp_path):
                 chunk_tokens=512, n_partitions=2, gopher=True,
                 repetition=True)
     assert urls_of(both) == ["https://a.example/good"]
+
+
+def test_exact_substr_stage_cuts_cross_doc_passage(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    passage = " ".join(f"boiler{i:02d}" for i in range(12))
+    a = " ".join(f"aw{i:02d}" for i in range(20)) + " " + passage
+    b = " ".join(f"bw{i:02d}" for i in range(20)) + " " + passage
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["https://x.example/a", "https://x.example/b"]
+                ),
+                "warc_ts": pa.array([1, 2], pa.int64()),
+                "text": pa.array([a, b]),
+                "lang": pa.array(["en", "en"]),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "es")
+    prep_corpus(src, out, lang="en", min_tokens=10, max_stop_ratio=0.9,
+                chunk_tokens=512, n_partitions=2, exact_substr=10)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    df = duckdb.sql(
+        f"SELECT url, chunk_text FROM read_parquet({files!r})"
+    ).df()
+    texts = dict(zip(df["url"], df["chunk_text"]))
+    # exactly one of the two docs keeps the passage (global first by
+    # doc_id = hash64(url), which varies) — the other is cut to its
+    # own 20 tokens
+    kept = [u for u, t in texts.items() if passage in t]
+    assert len(kept) == 1
+    cut = ({"https://x.example/a", "https://x.example/b"} - set(kept)).pop()
+    assert passage not in texts[cut]
+    assert len(texts[cut].split()) == 20

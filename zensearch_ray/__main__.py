@@ -312,6 +312,7 @@ def cmd_prep(args) -> int:
         canonical_dedup=args.canonical_dedup,
         gopher=args.gopher,
         repetition=args.repetition,
+        exact_substr=args.exact_substr,
     )
     print(json.dumps(stats))
     return 0
@@ -826,6 +827,11 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--repetition", action="store_true",
         help="apply the MassiveText n-gram repetition rules as a gate",
+    )
+    pr.add_argument(
+        "--exact-substr", type=int, default=None, metavar="L",
+        help="cut cross-corpus duplicated token windows of length >= L "
+             "(ExactSubstr; first occurrence kept)",
     )
     pr.set_defaults(fn=cmd_prep)
 

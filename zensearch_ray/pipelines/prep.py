@@ -50,6 +50,7 @@ def prep_corpus(
     canonical_dedup: bool = False,
     gopher: bool = False,
     repetition: bool = False,
+    exact_substr: int | None = None,
 ) -> dict:
     """Run the prep chain over ``source`` (pages parquet path(s) or a
     Dataset) into ``out_dir``. Returns the sink's
@@ -120,6 +121,16 @@ def prep_corpus(
             return batch.filter(keep)
 
         ds = ds.map_batches(repetition_gate, batch_format="pyarrow")
+    if exact_substr:
+        # ExactSubstr duplicate-passage removal (Lee et al. 2022 genre):
+        # rewrite each doc's text with cross-corpus duplicated token
+        # windows cut (first occurrence kept) BEFORE chunking, so a
+        # boilerplate passage never lands in two training chunks
+        from zensearch_ray.stages.dedup import exact_substr_dedup
+
+        ds = exact_substr_dedup(ds, l=int(exact_substr)).drop_columns(
+            ["n_tokens", "n_removed"]
+        )
 
     def chunk(batch: pa.Table) -> pa.Table:
         doc_ids, urls, chunk_ids, texts, lens = [], [], [], [], []

@@ -615,3 +615,142 @@ def span_dedup(ds, w: int = 8, n_buckets: int = 64, via: str = "broadcast"):
         tagged.groupby("__bucket")
         .map_groups(rebuild_group, batch_format="pandas")
     )
+
+
+def exact_substr_dedup(ds, l: int = 20, n_buckets: int = 64):
+    """ExactSubstr duplicate-substring removal — the sliding-window
+    generalization of ``span_dedup`` (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr operator, re-expressed over token windows): any token
+    substring of length ≥ ``l`` that occurs more than once in the
+    corpus keeps ONLY its globally-first occurrence (minimal
+    ``(doc_id, pos)``); every other occurrence's token interval
+    ``[pos, pos+l)`` is CUT from its document, with overlapping cuts
+    merging naturally (the removed set is the UNION of loser
+    intervals, so a long duplicated passage — which contributes one
+    loser window per position — is removed exactly once, not
+    re-counted per window). Output ``(doc_id, text, n_tokens,
+    n_removed)`` for every input doc; docs shorter than ``l`` tokens
+    pass through unchanged.
+
+    100-TB shape (text never rides the duplicate-detection exchange):
+
+    1. map: ``(window_hash, doc_id, pos)`` rows — 24 B per sliding
+       window via the shared vectorized rolling hash
+       (``_window_hash_stream``), ~24 B/token of corpus;
+    2. ONE bucket exchange on the hash; inside a bucket every
+       duplicated hash's occurrences order by ``(doc_id, pos)`` and
+       all but the first emit LOSER rows ``(doc_id, pos)`` — bounded
+       by the duplicated-token volume, not the corpus;
+    3. the loser sliver broadcasts once as two sorted arrays
+       (``ray.put``) and one streaming rebuild pass masks each doc's
+       loser intervals with a difference-array cumsum (O(tokens) per
+       doc, no per-window Python) — the ``span_dedup``
+       ``via="broadcast"`` pattern; for loser sets too big to
+       broadcast, co-bucket text and losers on ``doc_id`` exactly as
+       ``span_dedup(via="shuffle")`` does (same two-sided union
+       machinery applies verbatim).
+
+    Hash note: 64-bit window-hash collisions would cut a false
+    duplicate; expected collisions ~0 at realistic window counts
+    (the ``dup_ngram_rate`` stance).
+    """
+    import ray
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.stages.minhash import _TokenHasher
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        hasher = _HASHERS.setdefault("h", _TokenHasher())
+        stream = _window_hash_stream(
+            batch["text"].to_pylist(), batch["doc_id"].to_pylist(), l, hasher
+        )
+        if stream is None:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        dids, w_counts, hashes = stream
+        pos = np.arange(int(w_counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(w_counts)[:-1])), w_counts
+        )
+        return pa.table(
+            {
+                "h": pa.array(hashes.view(np.int64)),
+                "doc_id": pa.array(np.repeat(dids, w_counts)),
+                "pos": pa.array(pos),
+            }
+        )
+
+    windows = ds.map_batches(window_rows, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def bucket_losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id", "pos"])
+        dup = g.groupby("h")["h"].transform("size") > 1
+        first = ~g["h"].duplicated(keep="first")
+        losers = g[dup & ~first]
+        return losers[["doc_id", "pos"]]
+
+    losers = (
+        windows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_losers, batch_format="pandas")
+    )
+
+    ldf = losers.to_pandas()
+    if len(ldf):
+        ldf = ldf.sort_values(["doc_id", "pos"])
+        ld = np.ascontiguousarray(ldf["doc_id"].to_numpy(np.int64))
+        lp = np.ascontiguousarray(ldf["pos"].to_numpy(np.int64))
+    else:
+        ld = np.empty(0, dtype=np.int64)
+        lp = np.empty(0, dtype=np.int64)
+    loser_ref = ray.put((ld, lp))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ld, lp = ray.get(loser_ref)
+        texts, ntok, nrm = [], [], []
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for did, text in zip(dids, batch["text"].to_pylist()):
+            toks = tokenize(text)
+            n = len(toks)
+            lo = np.searchsorted(ld, did, "left")
+            hi = np.searchsorted(ld, did, "right")
+            if lo == hi or n == 0:
+                texts.append(" ".join(toks))
+                ntok.append(n)
+                nrm.append(0)
+                continue
+            # union of [p, p+l) via difference array + cumsum
+            diff = np.zeros(n + 1, dtype=np.int64)
+            starts = lp[lo:hi]
+            ends = np.minimum(starts + l, n)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, ends, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            texts.append(" ".join(kept))
+            ntok.append(n)
+            nrm.append(int(covered.sum()))
+        # pass-through columns survive (prep integration): replace
+        # text, append the two stat columns
+        out = batch.set_column(
+            batch.column_names.index("text"),
+            "text",
+            pa.array(texts, type=pa.string()),
+        )
+        return out.append_column(
+            "n_tokens", pa.array(ntok, type=pa.int64())
+        ).append_column("n_removed", pa.array(nrm, type=pa.int64()))
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
