@@ -161,6 +161,8 @@ def run_bench() -> dict:
     results["query_combiner_ms"] = round(
         1000 * (time.perf_counter() - t0) / (2 * len(BENCH_QUERIES)), 3
     )
+    _, t = timed(lambda: engine.autocomplete("se", 10))
+    results["autocomplete_cold_sec"] = round(t, 3)  # builds the df cache
     t0 = time.perf_counter()
     for _ in range(20):
         engine.autocomplete("se", 10)

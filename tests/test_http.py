@@ -147,6 +147,19 @@ def test_explain_endpoint(server, http_index):
     assert status == 400 and "q" in body["error"]
 
 
+def test_stats_endpoint(server, http_index):
+    from zensearch_ray.state.manifest import IndexLayout
+
+    layout = IndexLayout(http_index)
+    m = layout.read_manifest()
+    status, body = _get(server, "/stats")
+    assert status == 200
+    assert body["replicas"] == 2
+    assert body["n_docs"] == m["n_docs"]
+    assert body["total_posting_bytes"] == m["total_posting_bytes"]
+    assert body["version_token"] == layout.version_token()
+
+
 def test_health_and_errors(server):
     status, body = _get(server, "/healthz")
     assert status == 200 and body == {"ok": True, "replicas": 2}

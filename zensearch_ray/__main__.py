@@ -241,6 +241,34 @@ def cmd_complete(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Verified atomic snapshot of a committed index (fsck first,
+    tmp+rename publish, file inventory in SNAPSHOT.json)."""
+    from zensearch_ray.pipelines.snapshot import snapshot_index
+
+    m = snapshot_index(args.index, args.out)
+    print(
+        json.dumps(
+            {
+                "snapshot": args.out,
+                "n_files": m["n_files"],
+                "total_bytes": m["total_bytes"],
+                "version_token": m["version_token"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore a snapshot into a fresh index dir (inventory +
+    metadata-fsck verified before use)."""
+    from zensearch_ray.pipelines.snapshot import restore_index
+
+    print(json.dumps(restore_index(args.snapshot, args.out)))
+    return 0
+
+
 def cmd_significant(args) -> int:
     """Significant-terms aggregation ("related searches"): terms
     over-represented in the query's matching docs vs the corpus —
@@ -802,6 +830,20 @@ def main(argv=None) -> int:
     st.add_argument("--min-fg-df", type=int, default=3)
     st.add_argument("query", nargs="+")
     st.set_defaults(fn=cmd_significant)
+
+    sn = sub.add_parser(
+        "snapshot", help="verified atomic backup of a committed index"
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser(
+        "restore", help="restore a snapshot into a fresh index dir"
+    )
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     pr = sub.add_parser(
         "prep",

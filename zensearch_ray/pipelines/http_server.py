@@ -19,6 +19,9 @@ Endpoints:
   GET /explain?q=...&k=10[&doc=ID] → {"query", "k", "explain"} — the
       Lucene-Explanation surface: per-term BM25 breakdown rows
       (``QueryEngine.explain``) for the top-k docs or one given doc.
+  GET /stats → manifest core numbers + replica count + the live-reload
+      version token (changes when an append/compact commits a new
+      generation — what a dashboard polls).
   GET /healthz → {"ok": true, "replicas": N}
 
 Scale note: one driver-side HTTP process round-robins over N warm
@@ -100,6 +103,8 @@ class SearchHTTPServer:
                         self._complete(qs)
                     elif url.path == "/explain":
                         self._explain(qs)
+                    elif url.path == "/stats":
+                        self._stats()
                     else:
                         self._reply(404, {"error": f"no route {url.path}"})
                 except (ValueError, KeyError) as exc:
@@ -142,6 +147,23 @@ class SearchHTTPServer:
                         {"term": t, "df": df}
                         for t, df in svc.complete(prefix, k)
                     ],
+                })
+
+            def _stats(self) -> None:
+                from zensearch_ray.state.manifest import IndexLayout
+
+                layout = IndexLayout(index_dir)
+                m = layout.read_manifest() or {}
+                self._reply(200, {
+                    "replicas": len(svc._replicas),
+                    "version_token": layout.version_token(),
+                    "n_docs": m.get("n_docs"),
+                    "n_generations": m.get("n_generations"),
+                    "n_partitions": m.get("n_partitions"),
+                    "total_postings": m.get("total_postings"),
+                    "total_posting_bytes": m.get("total_posting_bytes"),
+                    "avgdl": m.get("avgdl"),
+                    "positions": m.get("positions"),
                 })
 
             def _explain(self, qs: dict) -> None:

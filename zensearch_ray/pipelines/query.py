@@ -245,6 +245,7 @@ class QueryEngine:
         self._cache: OrderedDict[str, _TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
         self._vocab: list[str] | None = None  # lazy, fuzzy expansion only
+        self._vocab_df = None  # lazy (terms, df) arrays, autocomplete only
         # tombstones (pipelines/delete.py): loaded once per engine;
         # deletes applied after construction need a reopen to be seen
         self.deleted = layout.read_deletes()
@@ -948,36 +949,60 @@ class QueryEngine:
             terms.update(t["term"].to_pylist())
         return sorted(terms)
 
+    def _term_df_arrays(self):
+        """(sorted unique term array, aligned summed df int64) — the
+        autocomplete serving structure, built ONCE per engine from a
+        (term, df)-columns-only scan of the posting segments (payload
+        bytes never read; salted sub-partitions and append generations
+        sum their partial dfs exactly as ``lookup`` merges them). Same
+        vocab-scale per-engine memory class as ``_all_terms`` and the
+        facet cache; warm completions are then a binary-searched slice
+        + one lexsort — microseconds, not file opens."""
+        if self._vocab_df is None:
+            import pandas as _pd
+
+            frames = []
+            for shard in range(self.num_shards):
+                for path in self._part_files(shard):
+                    frames.append(
+                        pq.read_table(path, columns=["term", "df"]).to_pandas()
+                    )
+            if frames:
+                s = _pd.concat(frames).groupby("term", sort=True)["df"].sum()
+                self._vocab_df = (
+                    s.index.to_numpy(dtype=object),
+                    s.to_numpy(np.int64),
+                )
+            else:
+                self._vocab_df = (
+                    np.empty(0, dtype=object),
+                    np.empty(0, dtype=np.int64),
+                )
+        return self._vocab_df
+
     def autocomplete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Search-box completion: dictionary terms starting with
         ``prefix`` ranked by (df DESC, term ASC), top-k — the query
-        suggestion dropdown of the reference's search page. Reads ONLY
-        the (term, df) columns of the posting segments under a term
-        range filter (prefix ≤ term < next-prefix) — never the posting
-        payload bytes; salted sub-partitions and append generations sum
-        their partial dfs exactly as ``lookup`` merges them. df is the
-        STORED count (tombstones included until compaction — the same
-        stats-at-merge contract every scoring path uses)."""
+        suggestion dropdown of the reference's search page. Served from
+        the per-engine ``_term_df_arrays`` cache (one pruned segment
+        scan on first use, binary-searched slices after — a warm
+        replica answers in microseconds). df is the STORED count
+        (tombstones included until compaction — the same stats-at-merge
+        contract every scoring path uses)."""
         from zensearch_ray.functions.text import normalize
 
         prefix = normalize(prefix)
         if not prefix:
             return []
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        agg: dict[str, int] = {}
-        for shard in range(self.num_shards):
-            for path in self._part_files(shard):
-                t = pq.read_table(
-                    path,
-                    columns=["term", "df"],
-                    filters=[("term", ">=", prefix), ("term", "<", hi)],
-                )
-                for term, df in zip(
-                    t["term"].to_pylist(), t["df"].to_pylist()
-                ):
-                    agg[term] = agg.get(term, 0) + int(df)
-        cands = sorted(agg.items(), key=lambda c: (-c[1], c[0]))
-        return cands[:k]
+        terms, dfs = self._term_df_arrays()
+        lo_i = int(np.searchsorted(terms, prefix, "left"))
+        hi_i = int(np.searchsorted(terms, hi, "left"))
+        if lo_i >= hi_i:
+            return []
+        sub_t, sub_d = terms[lo_i:hi_i], dfs[lo_i:hi_i]
+        order = np.lexsort((sub_t.astype(str), -sub_d))[:k]
+        return [(str(sub_t[i]), int(sub_d[i])) for i in order]
 
     def topk_prefix(self, prefix: str, k: int = 10) -> list[tuple[int, float]]:
         """Prefix (wildcard) search ``prefix*``: expand against the term
