@@ -104,7 +104,10 @@ def term_tf(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pa.array(rep_doc, type=pa.int64()),
-                "term": terms_col.flatten(),  # zero-copy
+                # tokenize now ships terms dictionary-encoded; cast back
+                # to plain string here so term_tf's public schema (and
+                # every pandas consumer downstream) stays stable
+                "term": terms_col.flatten().cast(pa.string()),
                 "tf": tfs_col.flatten().cast(pa.int64()),
             }
         )

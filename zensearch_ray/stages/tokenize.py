@@ -175,8 +175,9 @@ class TokenizeStage:
                     "poss": poss_arr,
                 }
             )
-        terms_col: list[list[str]] = []
-        tfs_col: list[list[int]] = []
+        all_terms: list[str] = []
+        tf_arrays: list[np.ndarray] = []
+        counts = np.empty(len(texts), dtype=np.int64)
         boost = self.title_boost
         stop = self.stopwords
         title_texts = titles.to_pylist() if boost else None
@@ -188,9 +189,26 @@ class TokenizeStage:
             if stop:
                 for s in stop:
                     tf.pop(s, None)
-            terms_col.append(list(tf.keys()))
-            tfs_col.append(list(tf.values()))
-            doc_lens[i] = sum(tf.values())
+            all_terms.extend(tf.keys())
+            v = np.fromiter(tf.values(), dtype=np.int32, count=len(tf))
+            tf_arrays.append(v)
+            counts[i] = len(tf)
+            doc_lens[i] = int(v.sum())
+        offs = np.zeros(len(texts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        flat_tfs = (
+            np.concatenate(tf_arrays) if tf_arrays else np.empty(0, np.int32)
+        )
+        # the tokenized table is MATERIALIZED into the object store and
+        # then re-read by pass 1 and pass 2 — its bytes are the build's
+        # biggest single memory mover. The term child ships
+        # dictionary-encoded (int32 codes + per-block vocab, ~2.5x
+        # smaller than repeated strings on web text); every consumer
+        # (df_partials value_counts, explode's dictionary_encode — a
+        # no-op on an already-dict array, docmeta's column projection)
+        # reads it natively.
+        flat_terms = pa.array(all_terms, type=pa.string()).dictionary_encode()
+        off_arr = pa.array(offs, type=pa.int32())
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -198,8 +216,10 @@ class TokenizeStage:
                 "title": titles,
                 **self._attr_cols(batch),
                 "doc_len": pa.array(doc_lens, type=pa.int64()),
-                "terms": pa.array(terms_col, type=pa.list_(pa.string())),
-                "tfs": pa.array(tfs_col, type=pa.list_(pa.int32())),
+                "terms": pa.ListArray.from_arrays(off_arr, flat_terms),
+                "tfs": pa.ListArray.from_arrays(
+                    off_arr, pa.array(flat_tfs, type=pa.int32())
+                ),
             }
         )
 
