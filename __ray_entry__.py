@@ -67,9 +67,11 @@ COMPLETE_PREFIX = "s"  # autocomplete probe prefix
 SIG_QUERY = "hash join"  # significant-terms foreground probe
 SIG_MIN_FG_DF = 3  # noise floor: candidate must hit >= 3 fg docs
 EXACT_SUBSTR_L = 10  # ExactSubstr duplicate-window length (tokens)
+SEM_K = 8  # SemDeDup cluster count at test scale
 N_BALANCED_SHARDS = 8  # token-balanced training-shard count
 DECON_BENCH_DOCS = 10  # docs 0..9 play the "benchmark/eval set" role
 NEAR_DUP_THRESHOLD = 0.4
+SEM_THRESHOLD = NEAR_DUP_THRESHOLD  # same bar as the near-dup family
 N_MULTI_PROBES = 5
 _STOPLIST_SQL = "['the','a','of','and','to','in','is','on','at','by']"
 
@@ -460,6 +462,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_components(ds, NEAR_DUP_THRESHOLD)
 
+    def semdedup(sf_dir: str):
+        # SemDeDup: k-means clusters then within-cluster cosine dedup
+        # (rows-only: the k-means assignment is iterative, not SQL)
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import semantic_dedup
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return semantic_dedup(ds, k_clusters=SEM_K, threshold=SEM_THRESHOLD)
+
     def jaccard(sf_dir: str):
         # index-backed serving path: candidates from the OR-union of
         # the probe terms' posting lists (provably complete for
@@ -805,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pagerank": analytics.event_pagerank,
         "term_pagerank": corpus.term_pagerank,
         "embedding_dup_components": embedding_dup_components,
+        "semantic_dedup": semdedup,
     }
 
 

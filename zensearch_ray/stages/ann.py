@@ -700,3 +700,105 @@ def kmeans_inertia(ds, centroids: np.ndarray, emb_col: str = "embedding") -> flo
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return float(parts["inertia"].sum())
+
+
+def semantic_dedup(
+    ds,
+    k_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    iters: int = 10,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with k-means, then deduplicate WITHIN each cluster —
+    pairs at cosine ≥ ``threshold`` merge into a duplicate group and
+    only one representative survives. Clustering first turns the
+    global O(N²) pair problem into k independent O((N/k)²) problems —
+    the paper's entire scaling argument — at the documented cost of
+    missing near-dup pairs that straddle a cluster boundary (use
+    ``dup_components`` for the exact global answer).
+
+    Deviation from the paper, pinned for determinism: the survivor is
+    the MIN ``id_col`` of its within-cluster duplicate component (the
+    repo-wide keep-first convention; the paper keeps the point with the
+    lowest similarity to the centroid — swap the representative choice
+    in ``dedup_cluster`` if training-data diversity matters more than
+    reproducibility).
+
+    Distributed shape: one ``kmeans_fit`` (broadcast centroids,
+    O(k·d) sufficient-stats partials), ONE cluster-keyed exchange of
+    (id, embedding) rows, then per-cluster vectorized work inside
+    ``map_groups`` — normalized matmul, threshold mask, union-find
+    over the group's pairs (group-local by construction: SemDeDup
+    never merges across clusters, so no global component pass).
+    ``k_clusters`` is the knob that bounds per-group memory:
+    (N/k)² · 8 bytes must fit a worker — at 10^9 vectors pick
+    k ≈ 10^4-10^5 exactly as the paper does.
+
+    Output Dataset: (id_col, cluster, rep, keep) — one row per input
+    vector; ``rep`` = its component's surviving id (its own id for
+    uniques), ``keep`` = 1 iff the row survives.
+    """
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            ds, k_clusters, emb_col=emb_col, iters=iters
+        )
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        dots = m @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+                "cluster": pa.array(np.argmax(dots, axis=1).astype(np.int64)),
+            }
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = normalize_rows(_matrix(group[emb_col]))[order]
+        n = len(ids)
+        cluster = group["cluster"][0].as_py() if n else -1
+        sim = m @ m.T
+        # union-find over threshold pairs (ids ascending -> path to min)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ai, bi = np.nonzero(np.triu(sim >= threshold, k=1))
+        for a, b in zip(ai, bi):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rep = np.array([ids[find(i)] for i in range(n)], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(np.full(n, cluster, dtype=np.int64)),
+                "rep": pa.array(rep),
+                "keep": pa.array((rep == ids).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
