@@ -35,8 +35,9 @@ def test_features_all_rows(ray_session):
     )
     assert len(out) == 60
     assert list(out.columns) == ["media_id", "n_bytes", "decoder", "feat_mean", "feat_std"]
-    # real formats decode for real; only video falls back to the stub
-    assert set(out["decoder"]) == {"wav", "ppm", "png", "stub"}
+    # every real format decodes for real; only the planted opaque
+    # video rows fall back to the declared stub
+    assert set(out["decoder"]) == {"wav", "ppm", "png", "jpeg", "mjpeg", "stub"}
     # deterministic across runs
     out2 = (
         _media_ds()
@@ -59,7 +60,12 @@ def test_resize_images(ray_session):
     ).to_pandas()
     assert len(out) > 0
     assert (out["width"] == 32).all() and (out["height"] == 16).all()
-    assert out["payload"].map(len).eq(32 * 16).all()
+    # every image format is decodable now → REAL resize → PNG thumbnails
+    from zensearch_ray.stages.multimodal import decode_png
+
+    assert (out["mime"] == "image/png").all()
+    for p in out["payload"]:
+        assert decode_png(p).shape[:2] == (16, 32)
 
 
 def test_resize_rejects_non_images(ray_session):
@@ -85,17 +91,26 @@ def test_frame_sampling_counts_and_cap(ray_session):
         batch_format="pyarrow", batch_size=8, concurrency=(1, 2),
     ).to_pandas()
     counts = out.groupby("media_id").size()
-    for _, row in src.iterrows():
+    # stub (opaque) rows keep the duration-derived count contract
+    stub_src = src[src["mime"] == "video/x-fake"]
+    assert len(stub_src) > 0 and len(stub_src) < len(src)
+    for _, row in stub_src.iterrows():
         expect = min(max(1, -(-max(row["duration_ms"], 1) // 5000)), 8)
         assert counts[row["media_id"]] == expect, row["media_id"]
-    # cap is explicit, not silent
-    truncated_ids = set(out[out["truncated"]]["media_id"])
+    stub_out = out[~out["real"]]
+    assert set(stub_out["media_id"]) == set(stub_src["media_id"])
+    assert stub_out["payload"].map(len).eq(256).all()
+    # cap is explicit, not silent (stub rows)
+    truncated_ids = set(stub_out[stub_out["truncated"]]["media_id"])
     expect_trunc = {
-        r["media_id"] for _, r in src.iterrows()
+        r["media_id"] for _, r in stub_src.iterrows()
         if -(-max(r["duration_ms"], 1) // 5000) > 8
     }
     assert truncated_ids == expect_trunc
-    assert out["payload"].map(len).eq(256).all()
+    # real MJPEG rows emit genuine JPEG frame payloads
+    real_out = out[out["real"]]
+    assert len(real_out) > 0
+    assert real_out["payload"].map(lambda p: p[:2] == b"\xff\xd8").all()
 
 
 def test_real_wav_roundtrip():

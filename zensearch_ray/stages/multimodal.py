@@ -1,14 +1,16 @@
 """Multimodal (image/audio/video) column plumbing — REAL Ray-side
-pipeline; REAL stdlib codecs for WAV (PCM), netpbm, and PNG; a
-deterministic stub only where the container genuinely lacks a codec
-(JPEG, video).
+pipeline with REAL stdlib/numpy codecs for WAV (PCM), netpbm, PNG,
+baseline JPEG (:mod:`zensearch_ray.functions.jpeg`) and MJPEG-in-AVI
+video (:mod:`zensearch_ray.functions.riff`); a deterministic stub
+only for formats the container genuinely cannot decode (e.g.
+H.264/VP9 video — no ffmpeg here).
 
-The byte→pixels/samples step for the remaining formats is a
+The byte→pixels/samples step for undecodable formats is a
 deterministic fake behind ``decode_stub``; everything around it —
 Arrow ``binary`` payload columns with typed metadata, small-batch
-actor-pool stages, feature output schema — is real and tested, and is
-exactly what a model-backed implementation would keep (swap
-``decode_stub`` for the real codec in ``__init__``-loaded form).
+actor-pool stages, feature output schema — is identical to the real
+paths, so swapping in a full codec is a one-function change in
+``__init__``-loaded form.
 
 Design notes for 100 TB: media rows are WIDE (MBs per row) — these
 stages must run with small ``batch_size`` and rely on block splitting
@@ -222,11 +224,12 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
 
 
 def decode_media(payload: bytes, kind: str):
-    """Format-sniffing decoder: REAL for the stdlib-decodable formats
-    (RIFF/WAVE audio, binary netpbm images), deterministic stub for
-    everything else (PIL/ffmpeg are absent from this container — the
-    swap point is exactly here). Returns (float64 feature buffer,
-    decoder_name, meta dict with sample_rate/width/height where real).
+    """Format-sniffing decoder: REAL for every stdlib-decodable format
+    (RIFF/WAVE audio; netpbm, PNG and baseline JPEG images; MJPEG-AVI
+    video — features from its first decoded frame), deterministic stub
+    for the rest (no ffmpeg in this container — the swap point is
+    exactly here). Returns (float64 feature buffer, decoder_name,
+    meta dict with sample_rate/width/height/n_frames/fps where real).
     """
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, sr = decode_wav(payload)
@@ -244,6 +247,31 @@ def decode_media(payload: bytes, kind: str):
             img.astype(np.float64).ravel() / 255.0,
             "png",
             {"width": img.shape[1], "height": img.shape[0]},
+        )
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from zensearch_ray.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return (
+            img.astype(np.float64).ravel() / 255.0,
+            "jpeg",
+            {"width": img.shape[1], "height": img.shape[0]},
+        )
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from zensearch_ray.functions.jpeg import decode_jpeg
+        from zensearch_ray.functions.riff import extract_mjpeg_frames
+
+        frames, fps = extract_mjpeg_frames(payload)
+        first = decode_jpeg(frames[0][1]) if frames else np.zeros((1, 1))
+        return (
+            first.astype(np.float64).ravel() / 255.0,
+            "mjpeg",
+            {
+                "width": first.shape[1] if first.ndim > 1 else 1,
+                "height": first.shape[0],
+                "n_frames": len(frames),
+                "fps": fps,
+            },
         )
     return decode_stub(payload, kind), "stub", {}
 
@@ -307,35 +335,64 @@ def resize_stub(payload: bytes, w: int, h: int) -> bytes:
     return np.resize(src, w * h).tobytes()
 
 
+def resize_image(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """REAL nearest-neighbor resample to (h, w) — vectorized index
+    sampling, any channel count."""
+    sh, sw = img.shape[:2]
+    ys = np.minimum((np.arange(h) * sh) // h, sh - 1)
+    xs = np.minimum((np.arange(w) * sw) // w, sw - 1)
+    return img[ys][:, xs]
+
+
 class ImageResizeStage:
     """Actor-pool map_batches: image rows → fixed-size thumbnails.
 
-    Input rows in MEDIA_SCHEMA (pre-filter to kind == 'image' upstream
-    — the stage asserts, it does not silently skip); output keeps the
-    schema with payload/width/height replaced. Wide rows → run with
-    small batch_size; the codec swap point is ``__init__``.
+    REAL for every decodable format (netpbm/PNG/JPEG): decode →
+    nearest-neighbor resample → re-encode as PNG (the repo's lossless
+    stdlib encoder), mime rewritten to image/png. Undecodable
+    payloads fall back to the declared ``resize_stub``. Input rows in
+    MEDIA_SCHEMA (pre-filter to kind == 'image' upstream — the stage
+    asserts, it does not silently skip); output keeps the schema with
+    payload/width/height/mime replaced. Wide rows → run with small
+    batch_size; the codec swap point is ``__init__``.
     """
 
     def __init__(self, width: int = 64, height: int = 64):
         self.w = int(width)
         self.h = int(height)
 
+    def _one(self, payload: bytes, mime: str) -> tuple[bytes, str]:
+        img = None
+        if payload[:2] in (b"P5", b"P6"):
+            img = decode_ppm(payload)
+        elif payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from zensearch_ray.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
+        if img is None:
+            return resize_stub(payload, self.w, self.h), mime
+        return encode_png(resize_image(img, self.w, self.h)), "image/png"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
         bad = [k for k in kinds if k != "image"]
         if bad:
             raise ValueError(f"ImageResizeStage got kind={bad[0]!r}; filter first")
-        payloads = [
-            resize_stub(p or b"", self.w, self.h)
-            for p in batch["payload"].to_pylist()
-        ]
+        payloads, mimes = [], []
+        for p, m in zip(batch["payload"].to_pylist(),
+                        batch["mime"].to_pylist()):
+            np_, nm = self._one(p or b"", m)
+            payloads.append(np_)
+            mimes.append(nm)
         n = batch.num_rows
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
                 "payload": pa.array(payloads, type=pa.binary()),
-                "mime": batch["mime"],
+                "mime": pa.array(mimes, type=pa.string()),
                 "width": pa.array([self.w] * n, type=pa.int32()),
                 "height": pa.array([self.h] * n, type=pa.int32()),
                 "duration_ms": batch["duration_ms"],
@@ -347,31 +404,66 @@ class FrameSampleStage:
     """Actor-pool map_batches: video rows → sampled frame rows (flat
     explode — one output row per sampled timestamp).
 
-    Frames at 0, every_ms, 2·every_ms, … < duration_ms, capped at
-    ``max_frames`` per video (cap logged in the output via
-    ``truncated``, never silent). The frame 'decode' is a stub slice
-    of the payload; a real build swaps in ffmpeg/pyav seek+decode per
-    actor. Output: (media_id, frame_idx, ts_ms, payload, truncated).
+    REAL path for MJPEG-in-AVI payloads (the one video format this
+    container can demux + decode end-to-end, via
+    :mod:`zensearch_ray.functions.riff`): the container is demuxed
+    once per row and, for each tick 0, every_ms, 2·every_ms, …, the
+    latest frame at-or-before the tick is emitted with its ACTUAL
+    container timestamp and JPEG bytes (decodable downstream by
+    ``decode_jpeg``). Other containers fall back to the declared
+    deterministic stub slice (ffmpeg/pyav are absent — that swap
+    point is here). Caps at ``max_frames`` per video, logged via
+    ``truncated``, never silent.
+    Output: (media_id, frame_idx, ts_ms, payload, real, truncated).
     """
 
     def __init__(self, every_ms: int = 1000, max_frames: int = 32):
         self.every_ms = int(every_ms)
         self.max_frames = int(max_frames)
 
+    def _sample_avi(self, payload: bytes) -> tuple[list[int], list[bytes], bool]:
+        from zensearch_ray.functions.riff import extract_mjpeg_frames
+
+        frames, fps = extract_mjpeg_frames(payload)
+        if not frames:
+            return [], [], False
+        dur_ms = len(frames) * 1000.0 / fps
+        tss, outs = [], []
+        tick, fi = 0, 0
+        while tick < max(dur_ms, 1) and len(outs) < self.max_frames:
+            while fi + 1 < len(frames) and frames[fi + 1][0] <= tick:
+                fi += 1
+            tss.append(frames[fi][0])
+            outs.append(frames[fi][1])
+            tick += self.every_ms
+        truncated = tick < dur_ms
+        return tss, outs, truncated
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, idxs, tss, frames, trunc = [], [], [], [], []
+        ids, idxs, tss, frames, real, trunc = [], [], [], [], [], []
         for mid, kind, payload, dur in zip(
             batch["media_id"].to_pylist(),
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
             batch["duration_ms"].to_pylist(),
         ):
+            payload = payload or b"\x00"
             if kind != "video":
                 raise ValueError(f"FrameSampleStage got kind={kind!r}; filter first")
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                f_ts, f_payloads, truncated = self._sample_avi(payload)
+                for fi, (ts, fp) in enumerate(zip(f_ts, f_payloads)):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    tss.append(ts)
+                    frames.append(fp)
+                    real.append(True)
+                    trunc.append(truncated)
+                continue
             n_frames = max(1, -(-max(dur, 1) // self.every_ms))
             truncated = n_frames > self.max_frames
             n_frames = min(n_frames, self.max_frames)
-            src = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            src = np.frombuffer(payload, dtype=np.uint8)
             for fi in range(n_frames):
                 ids.append(mid)
                 idxs.append(fi)
@@ -379,6 +471,7 @@ class FrameSampleStage:
                 # stub frame: a deterministic 256-byte slice per index
                 start = (fi * 257) % max(len(src), 1)
                 frames.append(np.resize(src[start:], 256).tobytes())
+                real.append(False)
                 trunc.append(truncated)
         return pa.table(
             {
@@ -386,6 +479,7 @@ class FrameSampleStage:
                 "frame_idx": pa.array(idxs, type=pa.int32()),
                 "ts_ms": pa.array(tss, type=pa.int32()),
                 "payload": pa.array(frames, type=pa.binary()),
+                "real": pa.array(real, type=pa.bool_()),
                 "truncated": pa.array(trunc, type=pa.bool_()),
             }
         )
@@ -415,12 +509,54 @@ def _make_ppm(rng, w: int, h: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
+def _make_jpeg(rng, w: int, h: int) -> bytes:
+    """A REAL baseline JPEG payload (smooth gradient + sinusoid —
+    compresses like a photograph, unlike uniform noise)."""
+    from zensearch_ray.functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    p0, p1 = float(rng.uniform(2, 9)), float(rng.uniform(2, 9))
+    img = np.stack(
+        [
+            xx * 255.0 / max(w - 1, 1),
+            yy * 255.0 / max(h - 1, 1),
+            128 + 100 * np.sin(xx / p0) * np.cos(yy / p1),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    return encode_jpeg(
+        img,
+        quality=int(rng.integers(60, 96)),
+        subsample=bool(rng.integers(0, 2)),
+    )
+
+
+def _make_avi(rng) -> tuple[bytes, int, int, int]:
+    """A REAL MJPEG-in-AVI payload: → (bytes, width, height, dur_ms)."""
+    from zensearch_ray.functions.jpeg import encode_jpeg
+    from zensearch_ray.functions.riff import encode_avi_mjpeg
+
+    w, h = int(rng.integers(12, 33)), int(rng.integers(12, 33))
+    fps = float(rng.integers(5, 26))
+    n = int(rng.integers(3, 13))
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        img = np.stack(
+            [(xx * 8 + t * 17) % 256, (yy * 6) % 256, ((xx + yy) * 3 + t * 9) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(encode_jpeg(img, quality=80))
+    return encode_avi_mjpeg(frames, fps=fps), w, h, int(round(n * 1000 / fps))
+
+
 def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA: REAL bytes for
-    the stdlib-decodable formats (16-bit PCM WAV audio, binary P6 PPM
-    images) and opaque fake bytes for video (no container parser in
-    this environment) — so the feature stage exercises genuine decode
-    paths AND the stub fallback in one table."""
+    every stdlib-decodable format (16-bit PCM WAV audio; P6 PPM, PNG
+    and baseline JPEG images; MJPEG-in-AVI video) plus opaque fake
+    video bytes for a fraction of rows — so the feature/frame stages
+    exercise every genuine decode path AND the declared stub fallback
+    in one table."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -434,15 +570,22 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             mime = "audio/wav"
         elif kind == "image":
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
-            if int(rng.integers(0, 2)):
+            pick = int(rng.integers(0, 3))
+            if pick == 0:
                 payload = _make_ppm(rng, w, h)
                 mime = "image/x-portable-pixmap"
-            else:
+            elif pick == 1:
                 pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload = encode_png(pixels, filters=[0, 1, 2, 3, 4])
                 mime = "image/png"
+            else:
+                payload = _make_jpeg(rng, w, h)
+                mime = "image/jpeg"
             dur = -1
-        else:
+        elif int(rng.integers(0, 4)):  # 3/4 of videos: real MJPEG AVI
+            payload, w, h, dur = _make_avi(rng)
+            mime = "video/x-msvideo"
+        else:  # declared stub-path coverage: opaque fake video bytes
             payload = rng.integers(
                 0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8
             ).tobytes()
