@@ -599,6 +599,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids, sims = VectorIndex(d).search(np.asarray(probe), k=10, nprobe=4)
         return pd.DataFrame({"vec_id": ids, "sim": sims})
 
+    def ann_sq8(sf_dir: str):
+        # int8 scalar-quantized IVF: 8x smaller partitions, asymmetric
+        # (approximate) distance — rows-only by construction
+        import os
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from zensearch_ray.functions.ids import hash64
+        from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
+
+        key = hash64(os.path.realpath(sf_dir)) % 10**12
+        d = os.path.join(tempfile.gettempdir(), f"zensearch_vsq8_v1_{key}")
+        build_vector_index(
+            f"{sf_dir}/embeddings.parquet", d, n_lists=16, n_partitions=8,
+            quant="sq8",
+        )
+        probe = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )["embedding"].to_pylist()[0]
+        ids, sims = VectorIndex(d).search(np.asarray(probe), k=10, nprobe=4)
+        return pd.DataFrame({"vec_id": ids, "sim": sims})
+
     def embedding_multi(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -745,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embedding_near_dup,
         "ann_ivf_topk": ann_ivf,
         "ann_ivf_persisted": ann_persisted,
+        "ann_ivf_sq8": ann_sq8,
         # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
         "lineitem_pricing": relational.lineitem_pricing,
         "shipping_priority": relational.shipping_priority,

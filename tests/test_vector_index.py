@@ -184,3 +184,106 @@ def test_vector_append_refuses_mixed_source(ray_session, tmp_path):
     # same source resumes fine
     m = build_vector_index(b, d, n_lists=4, n_partitions=2, append=True)
     assert m["n_generations"] == 2
+
+
+@pytest.fixture(scope="module")
+def sq8_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vsq8"))
+    manifest = build_vector_index(SRC, d, n_lists=8, n_partitions=4,
+                                  quant="sq8")
+    return d, manifest
+
+
+def test_sq8_manifest_codes_and_size(sq8_index, vindex, emb):
+    d, manifest = sq8_index
+    ids, _ = emb
+    assert manifest["quant"] == "sq8"
+    assert len(manifest["qmins"]) == manifest["dim"]
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    got = pq.read_table([os.path.join(d, f) for f in parts])
+    assert sorted(got["vec_id"].to_pylist()) == sorted(ids.tolist())
+    assert "code" in got.column_names and "embedding" not in got.column_names
+    # at-rest reduction: uint8 codes vs float32 lists
+    sq8_bytes = sum(
+        os.path.getsize(os.path.join(d, f)) for f in parts)
+    dflt, _ = vindex
+    flt_bytes = sum(
+        os.path.getsize(os.path.join(dflt, f))
+        for f in os.listdir(dflt) if f.startswith("part-"))
+    assert sq8_bytes < flt_bytes / 2, (sq8_bytes, flt_bytes)
+
+
+def test_sq8_recall_vs_exact(sq8_index, emb):
+    """Asymmetric SQ8 search at full probe: self-probe is always the
+    top hit and recall@10 vs the exact float ranking stays high (the
+    quantization error bound is ~1e-2 on unit vectors at dim 64)."""
+    d, _ = sq8_index
+    ids, vecs = emb
+    vi = VectorIndex(d)
+    m = normalize_rows(vecs)
+    hits = total = 0
+    for probe_row in (0, 7, 33, 120, 311):
+        q = vecs[probe_row]
+        qn = q / np.linalg.norm(q)
+        want = set(ids[np.lexsort((ids, -np.round(m @ qn, 6)))[:10]].tolist())
+        got_ids, got_sims = vi.search(q, k=10, nprobe=8)
+        assert got_ids[0] == ids[probe_row]  # self-sim ≈ 1, gap >> error
+        assert got_sims[0] > 0.99
+        hits += len(set(got_ids.tolist()) & want)
+        total += 10
+    assert hits / total >= 0.8, hits / total
+
+
+def test_sq8_planted_margin_membership_exact(ray_session, tmp_path):
+    """Where the gap exceeds the quantization error bound, SQ8 answers
+    EQUAL the exact float answer: with 4 tight, well-separated
+    clusters the top-50 of any probe is exactly its own cluster
+    (inter-cluster margin >> error; intra-cluster ORDER may differ —
+    those gaps are below the error bound by construction)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    hubs = normalize_rows(rng.normal(size=(4, 32)))
+    vecs = np.concatenate([
+        normalize_rows(h + 0.02 * rng.normal(size=(50, 32))) for h in hubs])
+    ids = np.arange(200, dtype=np.int64)
+    src = str(tmp_path / "planted.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    }), src)
+    d = str(tmp_path / "vidx")
+    build_vector_index(src, d, n_lists=4, n_partitions=2, quant="sq8")
+    vi = VectorIndex(d)
+    for probe_row in (0, 60, 199):
+        got_ids, _ = vi.search(vecs[probe_row], k=50, nprobe=4)
+        cluster = probe_row // 50
+        assert got_ids[0] == probe_row  # self-probe top-1 survives
+        assert set(got_ids.tolist()) == set(
+            range(cluster * 50, cluster * 50 + 50)), probe_row
+
+
+def test_sq8_append_frozen_grid(ray_session, tmp_path, emb):
+    """Appends encode under the FROZEN quantization grid: manifest
+    keeps quant params, search spans both generations, self-probe of
+    an appended vector still lands on itself."""
+    ids, vecs = emb
+    t = pq.read_table(SRC, columns=["vec_id", "embedding"])
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 250), a)
+    pq.write_table(t.slice(250), b)
+    d = str(tmp_path / "vidx")
+    m0 = build_vector_index(a, d, n_lists=8, n_partitions=4, quant="sq8")
+    m1 = build_vector_index(b, d, n_lists=8, n_partitions=4, append=True)
+    assert m1["quant"] == "sq8" and m1["qmins"] == m0["qmins"]
+    assert m1["n_vectors"] == len(ids)
+    vi = VectorIndex(d)
+    for probe_row in (10, 300, 499):  # spans both generations
+        got_ids, got_sims = vi.search(vecs[probe_row], k=5, nprobe=8)
+        assert got_ids[0] == ids[probe_row]
+        assert got_sims[0] > 0.99
+
+
+def test_sq8_rejects_unknown_quant(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="unknown quantization"):
+        build_vector_index(SRC, str(tmp_path / "x"), quant="pq4")

@@ -477,6 +477,7 @@ def cmd_vbuild(args) -> int:
         args.input, args.output,
         n_lists=args.lists, n_partitions=args.partitions,
         id_col=args.id_col, emb_col=args.emb_col, append=args.append,
+        quant="sq8" if args.sq8 else None,
     )
     print(json.dumps(manifest))
     return 0
@@ -960,6 +961,10 @@ def main(argv=None) -> int:
     vb.add_argument(
         "--append", action="store_true",
         help="add NEW vectors as a generation under the frozen centroids",
+    )
+    vb.add_argument(
+        "--sq8", action="store_true",
+        help="store int8 scalar-quantized codes (8x smaller, approximate)",
     )
     vb.set_defaults(fn=cmd_vbuild)
 

@@ -22,6 +22,19 @@ Same deterministic kernels as the ad-hoc path (``_kmeans_centroids``,
 cosine ordering, round6), so a persisted query with the same training
 sample is RESULT-IDENTICAL to ``ivf_topk_dist`` — asserted in
 ``tests/test_vector_index.py``.
+
+**SQ8 scalar quantization** (``quant="sq8"``, the Faiss
+IVF-ScalarQuantizer shape): per-dimension min/max bounds trained on
+the same sample as the centroids; every NORMALIZED vector is stored
+as one uint8 per dimension (``code`` fixed-size-list column) instead
+of a float64 list — an 8× at-rest and in-flight reduction, which at
+10⁹×1024-dim is the difference between 8 TB and 1 TB of vector
+payload crossing the cluster. Queries run asymmetric distance: the
+float query against reconstructed (mid-rise dequantized) vectors —
+approximate by construction, with per-component error ≤ scale/510;
+the planted-margin and recall tests pin how that error may surface.
+The quantization bounds freeze with the centroids, so appends encode
+under the same grid and generations stay comparable.
 """
 
 from __future__ import annotations
@@ -41,6 +54,28 @@ _MANIFEST = "vector_manifest.json"
 _CENTROIDS = "centroids.parquet"
 
 
+def _sq8_train(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (mins, scales) over a NORMALIZED sample. A zero
+    span (constant dimension) gets scale 1 so encode/decode stay
+    well-defined."""
+    mins = m.min(axis=0)
+    scales = m.max(axis=0) - mins
+    scales[scales == 0.0] = 1.0
+    return mins, scales
+
+
+def _sq8_encode(m: np.ndarray, mins: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Normalized float rows → uint8 codes (values outside the trained
+    bounds clip — by construction rare and small for unit vectors)."""
+    return np.clip(
+        np.round((m - mins[None, :]) / scales[None, :] * 255.0), 0, 255
+    ).astype(np.uint8)
+
+
+def _sq8_decode(codes: np.ndarray, mins: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    return mins[None, :] + codes.astype(np.float64) * (scales[None, :] / 255.0)
+
+
 def build_vector_index(
     source,
     out_dir: str,
@@ -51,15 +86,20 @@ def build_vector_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     append: bool = False,
+    quant: str | None = None,
 ) -> dict:
     """Build (or resume) the persisted IVF index. ``source``: parquet
     path(s) or a Dataset of (id, embedding). Returns the manifest.
     ``append=True`` adds NEW vectors as a new generation under the
     FROZEN centroids (standard IVF growth — retraining would
     invalidate every existing assignment; compact by rebuilding when
-    drift warrants it), exactly the text index's generation scheme."""
+    drift warrants it), exactly the text index's generation scheme.
+    ``quant="sq8"`` stores int8 scalar-quantized codes instead of the
+    float embeddings (8× smaller partitions; approximate search)."""
     import ray.data as rd
 
+    if quant not in (None, "sq8"):
+        raise ValueError(f"unknown quantization {quant!r}")
     if append:
         return _append_vector_index(source, out_dir, id_col, emb_col)
     mpath = os.path.join(out_dir, _MANIFEST)
@@ -76,16 +116,25 @@ def build_vector_index(
     m_s = normalize_rows(np.array(sample[emb_col].tolist(), dtype=np.float64))
     centroids = _kmeans_centroids(m_s, n_lists, seed, iters=10)
     n_lists = len(centroids)  # clamped when the sample is tiny
+    qmins, qscales = _sq8_train(m_s) if quant == "sq8" else (None, None)
 
     import ray
 
     cref = ray.put(centroids)
+    qref = ray.put((qmins, qscales))
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cref)
         m = normalize_rows(_matrix(batch[emb_col]))
         lists = np.argmax(m @ cents.T, axis=1).astype(np.int64)
-        return batch.append_column("list_id", pa.array(lists))
+        out = batch.append_column("list_id", pa.array(lists))
+        if quant == "sq8":
+            mins, scales = ray.get(qref)
+            codes = _sq8_encode(m, mins, scales)
+            code_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), codes.shape[1])
+            out = out.drop_columns([emb_col]).append_column("code", code_col)
+        return out
 
     tagged = ds.map_batches(assign, batch_format="pyarrow")
     stats = write_partitioned(
@@ -117,6 +166,9 @@ def build_vector_index(
         "n_vectors": int(stats["rows"]) if not stats["skipped"] else None,
         "id_col": id_col,
         "emb_col": emb_col,
+        "quant": quant,
+        "qmins": qmins.tolist() if qmins is not None else None,
+        "qscales": qscales.tolist() if qscales is not None else None,
     }
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
@@ -168,12 +220,24 @@ def _append_vector_index(source, out_dir: str, id_col: str, emb_col: str) -> dic
         else ds_select(source, id_col, emb_col)
     )
     cref = ray.put(centroids)
+    quant = manifest.get("quant")
+    qref = ray.put(
+        (np.asarray(manifest["qmins"]), np.asarray(manifest["qscales"]))
+        if quant == "sq8" else (None, None)
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cref)
         m = normalize_rows(_matrix(batch[emb_col]))
         lists = np.argmax(m @ cents.T, axis=1).astype(np.int64)
-        return batch.append_column("list_id", pa.array(lists))
+        out = batch.append_column("list_id", pa.array(lists))
+        if quant == "sq8":  # the grid froze with the centroids
+            mins, scales = ray.get(qref)
+            codes = _sq8_encode(m, mins, scales)
+            code_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), codes.shape[1])
+            out = out.drop_columns([emb_col]).append_column("code", code_col)
+        return out
 
     stats = write_partitioned(
         ds.map_batches(assign, batch_format="pyarrow"),
@@ -223,22 +287,35 @@ class VectorIndex:
 
     def search(self, q: np.ndarray, k: int = 10, nprobe: int = 4):
         """(ids, sims) of the top-k by cosine among the probed lists —
-        ordering and rounding identical to ``ivf_topk_dist``."""
+        ordering and rounding identical to ``ivf_topk_dist``. On an
+        SQ8 index this is asymmetric distance (float query against
+        dequantized codes): approximate, error ≤ Σ|q_d|·scale_d/510."""
         q = np.asarray(q, dtype=np.float64)
         q = q / (np.linalg.norm(q) or 1.0)
         probe = np.argsort(-(self.centroids @ q))[:nprobe]
         files = self._probe_files(probe)
         if not files:
             return np.empty(0, dtype=np.int64), np.empty(0)
+        quant = self.manifest.get("quant")
+        vec_col = "code" if quant == "sq8" else self.emb_col
         t = pq.read_table(
             files,
-            columns=[self.id_col, self.emb_col],
+            columns=[self.id_col, vec_col],
             filters=[("list_id", "in", probe.tolist())],
         )
         if t.num_rows == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = normalize_rows(_matrix(t[self.emb_col])) @ q
+        if quant == "sq8":
+            col = t[vec_col].combine_chunks()
+            # flatten() (not .values) so any slice offset is honored
+            codes = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(ids), -1)
+            m = _sq8_decode(codes, np.asarray(self.manifest["qmins"]),
+                            np.asarray(self.manifest["qscales"]))
+            sims = m @ q  # stored rows were normalized pre-quantization
+        else:
+            sims = normalize_rows(_matrix(t[self.emb_col])) @ q
         sims = round6(sims)
         order = np.lexsort((ids, -sims))[:k]
         return ids[order], sims[order]
