@@ -462,6 +462,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_components(ds, NEAR_DUP_THRESHOLD)
 
+    def warc_ingest(sf_dir: str):
+        # WARC crawl-archive ingestion: a deterministic member-gzipped
+        # WARC is synthesized ONCE from the documents table (tmp+rename
+        # commit), then read back through the Ray WARC source — the
+        # oracle checks the writer→gzip→reader→HTTP-parse round trip
+        # against the table the bytes came from
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from zensearch_ray.functions.ids import hash64
+        from zensearch_ray.sources.warc import documents_to_warc, read_warc
+
+        key = hash64(os.path.realpath(sf_dir)) % 10**12
+        path = os.path.join(
+            tempfile.gettempdir(), f"zensearch_warc_v1_{key}.warc.gz")
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp{os.getpid()}"
+            documents_to_warc(sf_dir, tmp)
+            os.replace(tmp, path)
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": t["url"],
+                "status": t["status"].cast(pa.int64()),
+                "mime": t["mime"],
+                "n_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+            })
+
+        return read_warc(path).map_batches(project, batch_format="pyarrow")
+
     def semdedup(sf_dir: str):
         # SemDeDup: k-means clusters then within-cluster cosine dedup
         # (rows-only: the k-means assignment is iterative, not SQL)
@@ -773,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf,
         "ann_ivf_persisted": ann_persisted,
         "ann_ivf_sq8": ann_sq8,
+        "warc_ingest": warc_ingest,
         # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
         "lineitem_pricing": relational.lineitem_pricing,
         "shipping_priority": relational.shipping_priority,
@@ -1356,6 +1390,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
+        "warc_ingest": """
+            SELECT 'https://docs.example.com/' || doc_id::VARCHAR AS url,
+                   200::BIGINT AS status,
+                   'text/html' AS mime,
+                   octet_length(encode(
+                       '<html><body><p>' || text || '</p></body></html>'
+                   ))::BIGINT AS n_bytes
+            FROM documents
+        """,
         "jaccard_topk": f"""
             WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS})),
             probe AS (SELECT term FROM toks WHERE doc_id = 0),

@@ -1,0 +1,115 @@
+"""WARC source: writer→reader round trip (plain + member-gzip),
+multi-member gzip walk, HTTP response parse, torn-file loudness, Ray
+Dataset read, and the pages-schema coercion into the prep pipelines."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from zensearch_ray.sources.warc import (
+    parse_warc,
+    read_warc,
+    read_warc_pages,
+    write_warc,
+)
+
+RECORDS = [
+    {"url": "https://a.example.com/x", "date": "2026-01-02T03:04:05Z",
+     "status": 200, "mime": "text/html",
+     "payload": "<html><body><p>héllo wörld</p></body></html>".encode()},
+    {"url": "https://b.example.com/y", "date": "2026-01-02T03:04:06Z",
+     "status": 404, "mime": "text/plain", "payload": b"gone"},
+    {"url": "https://c.example.com/z", "date": "2026-01-02T03:04:07Z",
+     "status": 200, "mime": "image/png",
+     "payload": b"\x89PNG\r\n\x1a\n" + bytes(range(64))},  # binary-safe
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip(tmp_path, gz):
+    path = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    assert write_warc(RECORDS, path, gzip_members=gz) == 3
+    with open(path, "rb") as f:
+        rows = parse_warc(f.read())
+    assert len(rows) == 3  # warcinfo lead record skipped
+    for r, want in zip(rows, RECORDS):
+        assert r["url"] == want["url"]
+        assert r["warc_ts"] == want["date"]
+        assert r["status"] == want["status"]
+        assert r["mime"] == want["mime"]
+        assert r["html"] == want["payload"]
+
+
+def test_gzip_members_are_seekable_units(tmp_path):
+    """Each record is its own gzip member: any member boundary is a
+    valid parse start (the CDX-offset splitting contract)."""
+    path = str(tmp_path / "a.warc.gz")
+    write_warc(RECORDS, path, gzip_members=True)
+    payload = open(path, "rb").read()
+    # member boundaries = every gzip magic occurrence here (the 2-byte
+    # magic inside compressed data is possible in general, but these
+    # fixtures are tiny and checked)
+    bounds = [i for i in range(len(payload) - 1)
+              if payload[i] == 0x1F and payload[i + 1] == 0x8B]
+    assert len(bounds) == 4  # warcinfo + 3 responses
+    # parse starting from the THIRD member: yields the last two records
+    rows = parse_warc(payload[bounds[2]:])
+    assert [r["url"] for r in rows] == [RECORDS[1]["url"], RECORDS[2]["url"]]
+
+
+def test_deterministic_bytes(tmp_path):
+    a, b = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc(RECORDS, a)
+    write_warc(RECORDS, b)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_truncated_record_raises(tmp_path):
+    path = str(tmp_path / "a.warc")
+    write_warc(RECORDS, path, gzip_members=False)
+    payload = open(path, "rb").read()
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(payload[:-20])
+    with pytest.raises(ValueError, match="bad WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_foreign_gzip_warc_parses(tmp_path):
+    """A WARC gzipped as ONE stream (not per-member) still parses —
+    readers must accept both layouts."""
+    plain = str(tmp_path / "a.warc")
+    write_warc(RECORDS, plain, gzip_members=False)
+    blob = gzip.compress(open(plain, "rb").read())
+    rows = parse_warc(blob)
+    assert [r["url"] for r in rows] == [r["url"] for r in RECORDS]
+
+
+def test_ray_read_warc_multiple_files(ray_session, tmp_path):
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc(RECORDS, p1)
+    write_warc(
+        [{"url": "https://d.example.com", "date": "2026-01-03T00:00:00Z",
+          "status": 200, "mime": "text/html", "payload": b"<p>d</p>"}],
+        p2,
+    )
+    df = read_warc([p1, p2]).to_pandas().sort_values("url",
+                                                     ignore_index=True)
+    assert len(df) == 4
+    assert list(df["status"]) == [200, 404, 200, 200]
+    assert df["html"].iloc[0] == RECORDS[0]["payload"]
+
+
+def test_read_warc_pages_feeds_prep(ray_session, tmp_path):
+    """Pages coercion: only 200 + HTML records survive, timestamps
+    parse, and the canonical schema plugs into the HTML extractor."""
+    path = str(tmp_path / "a.warc.gz")
+    write_warc(RECORDS, path)
+    ds = read_warc_pages(path)
+    from zensearch_ray.stages.extract import extract_batch
+
+    out = ds.map_batches(extract_batch, batch_format="pyarrow").to_pandas()
+    assert list(out["url"]) == ["https://a.example.com/x"]  # 404/png dropped
+    assert out["warc_ts"].iloc[0].isoformat().startswith("2026-01-02T03:04:05")
+    assert "héllo wörld" in out["text"].iloc[0]
