@@ -37,7 +37,8 @@ def test_features_all_rows(ray_session):
     assert list(out.columns) == ["media_id", "n_bytes", "decoder", "feat_mean", "feat_std"]
     # every real format decodes for real; only the planted opaque
     # video rows fall back to the declared stub
-    assert set(out["decoder"]) == {"wav", "ppm", "png", "jpeg", "mjpeg", "stub"}
+    assert set(out["decoder"]) == {
+        "wav", "ppm", "png", "jpeg", "gif", "mjpeg", "stub"}
     # deterministic across runs
     out2 = (
         _media_ds()

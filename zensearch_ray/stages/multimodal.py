@@ -257,6 +257,16 @@ def decode_media(payload: bytes, kind: str):
             "jpeg",
             {"width": img.shape[1], "height": img.shape[0]},
         )
+    if kind == "image" and (payload[:4] == b"GIF8" or payload[:2] == b"BM"):
+        from zensearch_ray.functions.gif import decode_bmp, decode_gif
+
+        dec = "gif" if payload[:4] == b"GIF8" else "bmp"
+        img = decode_gif(payload) if dec == "gif" else decode_bmp(payload)
+        return (
+            img.astype(np.float64).ravel() / 255.0,
+            dec,
+            {"width": img.shape[1], "height": img.shape[0]},
+        )
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from zensearch_ray.functions.jpeg import decode_jpeg
         from zensearch_ray.functions.riff import extract_mjpeg_frames
@@ -371,6 +381,14 @@ class ImageResizeStage:
             from zensearch_ray.functions.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
+        elif payload[:4] == b"GIF8":
+            from zensearch_ray.functions.gif import decode_gif
+
+            img = decode_gif(payload)
+        elif payload[:2] == b"BM":
+            from zensearch_ray.functions.gif import decode_bmp
+
+            img = decode_bmp(payload)
         if img is None:
             return resize_stub(payload, self.w, self.h), mime
         return encode_png(resize_image(img, self.w, self.h)), "image/png"
@@ -570,7 +588,7 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             mime = "audio/wav"
         elif kind == "image":
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
-            pick = int(rng.integers(0, 3))
+            pick = int(rng.integers(0, 4))
             if pick == 0:
                 payload = _make_ppm(rng, w, h)
                 mime = "image/x-portable-pixmap"
@@ -578,9 +596,16 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
                 pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload = encode_png(pixels, filters=[0, 1, 2, 3, 4])
                 mime = "image/png"
-            else:
+            elif pick == 2:
                 payload = _make_jpeg(rng, w, h)
                 mime = "image/jpeg"
+            else:
+                from zensearch_ray.functions.gif import encode_gif
+
+                pixels = (rng.integers(0, 8, size=(h, w, 1)).repeat(3, axis=2)
+                          * 36).astype(np.uint8)
+                payload = encode_gif(pixels)
+                mime = "image/gif"
             dur = -1
         elif int(rng.integers(0, 4)):  # 3/4 of videos: real MJPEG AVI
             payload, w, h, dur = _make_avi(rng)
