@@ -700,6 +700,68 @@ def run_bench() -> dict:
     results["near_dedup_check_sec"] = round(t, 3)
     results["near_dedup_dropped"] = len(nd_dropped)
 
+    # -- r3 session-7 operators: semdedup / SQ8 IVF / WARC / media -------
+    from zensearch_ray.stages.ann import semantic_dedup
+
+    _, t = timed(
+        lambda: semantic_dedup(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            k_clusters=16, threshold=0.8,
+        ).count()
+    )
+    results["semantic_dedup_sec"] = round(t, 3)
+
+    from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
+
+    sq8_dir = f"/tmp/zensearch_bench_vsq8_{NUM_CPUS}"
+    shutil.rmtree(sq8_dir, ignore_errors=True)
+    _, t = timed(
+        build_vector_index, f"{SF_DIR}/embeddings.parquet", sq8_dir,
+        n_lists=16, n_partitions=8, quant="sq8",
+    )
+    results["vbuild_sq8_sec"] = round(t, 3)
+    vi_sq8 = VectorIndex(sq8_dir)
+    probe_vec = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )["embedding"].to_pylist()[0]
+    import numpy as _np
+
+    vi_sq8.search(_np.asarray(probe_vec), k=10, nprobe=4)  # warm page cache
+    t0 = time.perf_counter()
+    for _ in range(50):
+        vi_sq8.search(_np.asarray(probe_vec), k=10, nprobe=4)
+    results["vquery_sq8_warm_ms"] = round(
+        1000 * (time.perf_counter() - t0) / 50, 3)
+
+    from zensearch_ray.sources.warc import documents_to_warc, read_warc
+
+    warc_path = f"/tmp/zensearch_bench_{NUM_CPUS}.warc.gz"
+    n_warc, t = timed(documents_to_warc, SF_DIR, warc_path)
+    results["warc_write_sec"] = round(t, 3)
+    cnt, t = timed(lambda: read_warc(warc_path).count())
+    assert cnt == n_warc
+    results["warc_read_sec"] = round(t, 3)
+
+    from zensearch_ray.stages.multimodal import (
+        MediaFeatureStage,
+        synthesize_media_table,
+    )
+
+    media_tbl = synthesize_media_table(400, seed=11)
+
+    def media_decode():
+        return (
+            rd.from_arrow(media_tbl)
+            .map_batches(MediaFeatureStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=(1, 8))
+            .count()
+        )
+
+    _, t = timed(media_decode)
+    results["media_decode_400_sec"] = round(t, 3)
+
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
     from zensearch_ray.pipelines.compact import compact_index
