@@ -113,3 +113,44 @@ def test_read_warc_pages_feeds_prep(ray_session, tmp_path):
     assert list(out["url"]) == ["https://a.example.com/x"]  # 404/png dropped
     assert out["warc_ts"].iloc[0].isoformat().startswith("2026-01-02T03:04:05")
     assert "héllo wörld" in out["text"].iloc[0]
+
+
+def test_cdx_indexed_read_matches_plain(ray_session, tmp_path):
+    """CDX-split read ≡ whole-file read; ranges genuinely split the
+    file (multiple tasks) and each range parses independently."""
+    from zensearch_ray.sources.warc import build_warc_cdx, read_warc_indexed
+
+    path = str(tmp_path / "a.warc.gz")
+    many = [
+        {"url": f"https://e.example.com/{i}", "date": "2026-01-04T00:00:00Z",
+         "status": 200, "mime": "text/html",
+         "payload": f"<p>doc {i}</p>".encode()}
+        for i in range(40)
+    ]
+    write_warc(many, path)
+    cdx = build_warc_cdx(path)
+    import pyarrow.parquet as pq_
+
+    idx = pq_.read_table(cdx)
+    assert idx.num_rows == 40  # warcinfo excluded
+    assert idx["offset"].to_pylist() == sorted(idx["offset"].to_pylist())
+    whole = read_warc(path).to_pandas().sort_values("url", ignore_index=True)
+    split = (read_warc_indexed(path, records_per_task=7)
+             .to_pandas().sort_values("url", ignore_index=True))
+    assert split.equals(whole)
+    # a mid-file range really is independently parseable
+    off = idx["offset"][20].as_py()
+    ln = idx["length"][20].as_py()
+    with open(path, "rb") as f:
+        f.seek(off)
+        rows = parse_warc(f.read(ln))
+    assert rows[0]["url"] == "https://e.example.com/20"
+
+
+def test_cdx_requires_member_gzip(tmp_path):
+    from zensearch_ray.sources.warc import build_warc_cdx
+
+    plain = str(tmp_path / "a.warc")
+    write_warc(RECORDS, plain, gzip_members=False)
+    with pytest.raises(ValueError, match="member-gzipped"):
+        build_warc_cdx(plain)
