@@ -154,3 +154,72 @@ def test_cdx_requires_member_gzip(tmp_path):
     write_warc(RECORDS, plain, gzip_members=False)
     with pytest.raises(ValueError, match="member-gzipped"):
         build_warc_cdx(plain)
+
+
+def _english_warc(path: str, n: int = 30) -> None:
+    docs = [
+        f"<html><body><p>the quick brown fox and the lazy dog walk in "
+        f"the park with a map of "
+        f"{'zebra trail' if i % 6 == 0 else 'plain road'} {i} on it"
+        f"</p></body></html>"
+        for i in range(n)
+    ]
+    write_warc(
+        [{"url": f"https://w.example.com/{i}",
+          "date": "2026-01-05T00:00:00Z", "status": 200,
+          "mime": "text/html", "payload": d.encode()}
+         for i, d in enumerate(docs)],
+        path,
+    )
+
+
+def test_build_index_from_warc(ray_session, tmp_path):
+    """resolve_pages_source makes a WARC a first-class build input:
+    extraction + language-ID fill, then the NORMAL en-filtered build,
+    and queries hit the archived pages."""
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+    from zensearch_ray.pipelines.query import QueryEngine, resolve_docs
+    from zensearch_ray.sources import resolve_pages_source
+
+    path = str(tmp_path / "crawl.warc.gz")
+    _english_warc(path)
+    idx = str(tmp_path / "idx")
+    manifest = build_index(
+        resolve_pages_source(path), idx,
+        BuildConfig(num_shards=4, salt_subs=2))  # default lang="en" kept
+    assert manifest["n_docs"] == 30
+    eng = QueryEngine(idx)
+    hits = eng.topk("zebra trail", 5)
+    assert len(hits) == 5
+    urls = {r["url"] for r in resolve_docs(eng.layout, hits)}
+    # the zebra docs are exactly i % 6 == 0
+    assert urls == {f"https://w.example.com/{i}" for i in (0, 6, 12, 18, 24)}
+
+
+def test_watch_ingests_warc_drop(ray_session, tmp_path):
+    """A .warc.gz renamed into the drop dir appends like any delta."""
+    import os
+
+    from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+    from zensearch_ray.pipelines.query import QueryEngine
+    from zensearch_ray.pipelines.watch import ingest_once, ingested_files
+    from zensearch_ray.sources import resolve_pages_source
+
+    base = str(tmp_path / "base.warc.gz")
+    _english_warc(base, n=10)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, sig_store=True)
+    build_index(resolve_pages_source(base), idx, cfg)
+
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    delta_tmp = str(tmp_path / "delta.part")
+    _english_warc(delta_tmp, n=5)
+    os.replace(delta_tmp, os.path.join(drop, "delta.warc.gz"))
+    # the delta's pages reuse base urls 0..4 → near-dedup must drop them
+    out = ingest_once(idx, drop, cfg, near_dedup=True, threshold=0.5)
+    assert len(out) == 1
+    assert ingested_files(drop) == ["delta.warc.gz"]
+    eng = QueryEngine(idx)
+    assert eng.layout.read_manifest()["n_docs"] == 10  # all 5 were dups
+    assert ingest_once(idx, drop, cfg) == []  # marker → idempotent

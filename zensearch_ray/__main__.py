@@ -49,19 +49,21 @@ def _cfg_of(args):
 
 def cmd_build(args) -> int:
     from zensearch_ray.pipelines.build_index import build_index
+    from zensearch_ray.sources import resolve_pages_source
 
     _ensure_ray()
     cfg = _cfg_of(args)
+    source = resolve_pages_source(args.input)
     if args.near_dedup:
         from zensearch_ray.pipelines.build_index import append_index_dedup
 
         if not args.append:
             raise SystemExit("--near-dedup requires --append")
         manifest = append_index_dedup(
-            args.input, args.output, cfg, threshold=args.dedup_threshold
+            source, args.output, cfg, threshold=args.dedup_threshold
         )
     else:
-        manifest = build_index(args.input, args.output, cfg, append=args.append)
+        manifest = build_index(source, args.output, cfg, append=args.append)
     print(json.dumps(manifest))
     return 0
 
@@ -701,7 +703,8 @@ def main(argv=None) -> int:
         )
 
     b = sub.add_parser("build", help="build (or resume) an inverted index")
-    b.add_argument("--input", required=True, help="pages parquet file/dir")
+    b.add_argument("--input", required=True,
+                   help="pages parquet file/dir, .jsonl dump, or .warc[.gz]")
     b.add_argument("--output", required=True, help="index directory")
     add_cfg_flags(b)
     b.add_argument(

@@ -33,7 +33,7 @@ import os
 import time
 
 _MARKER_DIR = "_ingested"
-_EXTS = (".parquet", ".jsonl")
+_EXTS = (".parquet", ".jsonl", ".warc", ".warc.gz")
 
 
 def _marker_path(drop_dir: str, name: str) -> str:
@@ -69,12 +69,9 @@ def _append_one(index_dir: str, path: str, cfg, near_dedup: bool,
         build_index,
     )
 
-    if path.endswith(".jsonl"):
-        from zensearch_ray.sources.jsonl import read_pages_jsonl
+    from zensearch_ray.sources import resolve_pages_source
 
-        source = read_pages_jsonl(path)
-    else:
-        source = path
+    source = resolve_pages_source(path)
     if near_dedup:
         return append_index_dedup(source, index_dir, cfg, threshold=threshold)
     return build_index(source, index_dir, cfg, append=True)
