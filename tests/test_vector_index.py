@@ -287,3 +287,31 @@ def test_sq8_append_frozen_grid(ray_session, tmp_path, emb):
 def test_sq8_rejects_unknown_quant(ray_session, tmp_path):
     with pytest.raises(ValueError, match="unknown quantization"):
         build_vector_index(SRC, str(tmp_path / "x"), quant="pq4")
+
+
+def test_vcompact_merges_generations(ray_session, tmp_path, emb):
+    """Compaction folds generations into one artifact with IDENTICAL
+    answers (assignments/codes reused verbatim) and no gen dirs."""
+    from zensearch_ray.pipelines.vector import compact_vector_index
+
+    ids, vecs = emb
+    t = pq.read_table(SRC, columns=["vec_id", "embedding"])
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 250), a)
+    pq.write_table(t.slice(250), b)
+    d = str(tmp_path / "vidx")
+    build_vector_index(a, d, n_lists=8, n_partitions=4, quant="sq8")
+    build_vector_index(b, d, n_lists=8, n_partitions=4, append=True)
+    out = str(tmp_path / "vidx_c")
+    m = compact_vector_index(d, out)
+    assert "n_generations" not in m
+    assert m["n_vectors"] == len(ids) and m["quant"] == "sq8"
+    assert not any(f.startswith("gen-") for f in os.listdir(out))
+    vi_old, vi_new = VectorIndex(d), VectorIndex(out)
+    for probe_row in (0, 123, 400):
+        got_o = vi_old.search(vecs[probe_row], k=10, nprobe=8)
+        got_n = vi_new.search(vecs[probe_row], k=10, nprobe=8)
+        assert got_o[0].tolist() == got_n[0].tolist()
+        np.testing.assert_array_equal(got_o[1], got_n[1])
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_vector_index(d, d)

@@ -357,6 +357,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_vcompact(args) -> int:
+    from zensearch_ray.pipelines.vector import compact_vector_index
+
+    _ensure_ray()
+    manifest = compact_vector_index(args.index, args.output)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from zensearch_ray.pipelines.compact import merge_indexes
 
@@ -980,6 +989,14 @@ def main(argv=None) -> int:
     vq.add_argument("-k", type=int, default=10)
     vq.add_argument("--nprobe", type=int, default=4)
     vq.set_defaults(fn=cmd_vquery)
+
+    vc = sub.add_parser(
+        "vcompact",
+        help="rewrite a multi-generation vector index as one generation",
+    )
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--output", required=True)
+    vc.set_defaults(fn=cmd_vcompact)
 
     so = sub.add_parser(
         "sort",

@@ -256,6 +256,54 @@ def _append_vector_index(source, out_dir: str, id_col: str, emb_col: str) -> dic
     return manifest
 
 
+def compact_vector_index(index_dir: str, out_dir: str) -> dict:
+    """Rewrite a multi-generation vector index as a single-generation
+    artifact at ``out_dir`` — the vector twin of the text index's
+    ``compact_index``. Assignments and (for SQ8) codes are REUSED
+    verbatim (centroids/grid are frozen across generations by
+    construction, so compaction is a pure partition-wise merge: one
+    streaming read per partition id across generations, one write —
+    no re-assignment, no re-quantization, no full-table shuffle).
+    Refuses a same-dir compact (the artifact is immutable)."""
+    import ray.data as rd
+
+    if os.path.realpath(index_dir) == os.path.realpath(out_dir):
+        raise ValueError("compact into a NEW directory, then swap")
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    n_parts = int(manifest["n_partitions"])
+    gens = [index_dir] + [
+        os.path.join(index_dir, f"gen-{g}")
+        for g in range(1, int(manifest.get("n_generations", 1)))
+    ]
+    files = [
+        os.path.join(d, f"part-{p:05d}.parquet")
+        for p in range(n_parts)
+        for d in gens
+    ]
+    files = [p for p in files if os.path.exists(p)]
+    # list_id is preserved row-wise, so the resumable partition sink
+    # re-derives the same partition for every row (pure merge)
+    stats = write_partitioned(
+        rd.read_parquet(files), out_dir, key_col="list_id",
+        n_partitions=n_parts,
+    )
+    import shutil
+
+    shutil.copyfile(os.path.join(index_dir, _CENTROIDS),
+                    os.path.join(out_dir, _CENTROIDS))
+    new_manifest = dict(manifest)
+    new_manifest.pop("n_generations", None)
+    if not stats["skipped"]:
+        new_manifest["n_vectors"] = int(stats["rows"])
+    mpath = os.path.join(out_dir, _MANIFEST)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(new_manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    return new_manifest
+
+
 class VectorIndex:
     """Query side: centroids load once (metadata-scale); each search
     reads only the partitions that can hold the probed lists."""
