@@ -189,3 +189,48 @@ def test_concurrent_requests(server, http_index):
         for f in futs:
             status, body = f.result()
             assert status == 200 and body["results"] == want
+
+
+def test_vsearch_endpoint(ray_session, http_index, tmp_path_factory):
+    """GET/POST /vsearch serve the warm VectorService — bit-identical
+    to a local VectorIndex; absent vector index → explicit 400."""
+    import numpy as np
+
+    from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
+
+    root = tmp_path_factory.mktemp("vhttp")
+    vidx = str(root / "vidx")
+    build_vector_index(
+        "/root/testdata/sf0.001/embeddings.parquet", vidx,
+        n_lists=8, n_partitions=4)
+    probe = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 3)])["embedding"].to_pylist()[0]
+    want_ids, want_sims = VectorIndex(vidx).search(
+        np.asarray(probe), k=5, nprobe=4)
+
+    with SearchHTTPServer(http_index, replicas=1, k=10,
+                          vector_index_dir=vidx) as srv:
+        vec_csv = ",".join(str(float(x)) for x in probe)
+        code, body = _get(srv, "/vsearch", vec=vec_csv, k=5, nprobe=4)
+        assert code == 200
+        assert [r["vec_id"] for r in body["results"]] == want_ids.tolist()
+        assert [r["sim"] for r in body["results"]] == [
+            float(s) for s in want_sims]
+        # POST form (the high-dimensional-probe path)
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/vsearch",
+            data=json.dumps(
+                {"vec": [float(x) for x in probe], "k": 5, "nprobe": 4}
+            ).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            post_body = json.loads(resp.read())
+        assert post_body["results"] == body["results"]
+        code, err = _get(srv, "/vsearch", k=5)
+        assert code == 400 and "vec" in err["error"]
+
+    with SearchHTTPServer(http_index, replicas=1, k=10) as srv:
+        code, err = _get(srv, "/vsearch", vec="1.0,2.0")
+        assert code == 400 and "no vector index" in err["error"]

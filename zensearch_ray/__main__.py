@@ -602,6 +602,7 @@ def cmd_serve(args) -> int:
             args.index, host=args.host, port=args.http,
             replicas=args.replicas, k=args.k, mode=args.mode or "pruned",
             reload_secs=args.reload_secs,
+            vector_index_dir=args.vector_index,
         )
         print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}),
               flush=True)
@@ -1051,6 +1052,10 @@ def main(argv=None) -> int:
              "instead of the stdin loop; 0 binds an ephemeral port",
     )
     s.add_argument("--host", default="127.0.0.1")
+    s.add_argument(
+        "--vector-index", default=None, metavar="DIR",
+        help="also serve ANN /vsearch over this persisted vector index",
+    )
     s.set_defaults(fn=cmd_serve)
 
     w = sub.add_parser(

@@ -23,6 +23,10 @@ Endpoints:
       version token (changes when an append/compact commits a new
       generation — what a dashboard polls).
   GET /healthz → {"ok": true, "replicas": N}
+  GET /vsearch?vec=f1,f2,...&k=10&nprobe=4  (requires a
+      ``vector_index_dir``) → ANN top-k over the warm ``VectorService``
+      replicas; POST /vsearch with body {"vec": [...], "k", "nprobe"}
+      is the same for high-dimensional probes that outgrow a URL.
 
 Scale note: one driver-side HTTP process round-robins over N warm
 replica actors (each ``num_cpus=1``); on a cluster you run one such
@@ -64,14 +68,22 @@ class SearchHTTPServer:
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1",
                  port: int = 0, replicas: int = 2, k: int = 10,
-                 mode: str = "pruned", reload_secs: float | None = None):
+                 mode: str = "pruned", reload_secs: float | None = None,
+                 vector_index_dir: str | None = None):
         from zensearch_ray.pipelines.service import QueryService
 
         self.service = QueryService(
             index_dir, replicas=replicas, k=k, mode=mode,
             reload_secs=reload_secs,
         )
+        self.vservice = None
+        if vector_index_dir is not None:
+            from zensearch_ray.pipelines.vector import VectorService
+
+            self.vservice = VectorService(
+                vector_index_dir, replicas=replicas, k=k)
         svc = self.service
+        vsvc = self.vservice
         default_k, default_mode = k, mode
 
         class Handler(BaseHTTPRequestHandler):
@@ -105,10 +117,45 @@ class SearchHTTPServer:
                         self._explain(qs)
                     elif url.path == "/stats":
                         self._stats()
+                    elif url.path == "/vsearch":
+                        if "vec" not in qs:
+                            raise ValueError("missing required param vec")
+                        self._vsearch(
+                            [float(x) for x in qs["vec"].split(",")], qs)
                     else:
                         self._reply(404, {"error": f"no route {url.path}"})
                 except (ValueError, KeyError) as exc:
                     self._reply(400, {"error": str(exc)})
+
+            def do_POST(self):  # noqa: N802  (stdlib handler contract)
+                url = urlparse(self.path)
+                try:
+                    if url.path != "/vsearch":
+                        self._reply(404, {"error": f"no route {url.path}"})
+                        return
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    vec = body.get("vec")
+                    if not isinstance(vec, list) or not vec:
+                        raise ValueError("body must carry a non-empty vec")
+                    self._vsearch([float(x) for x in vec], body)
+                except (ValueError, KeyError) as exc:
+                    self._reply(400, {"error": str(exc)})
+
+            def _vsearch(self, vec: list, params: dict) -> None:
+                if vsvc is None:
+                    raise ValueError(
+                        "no vector index attached (serve --vector-index)")
+                k = int(params.get("k", default_k))
+                nprobe = int(params.get("nprobe", 4))
+                ids, sims = vsvc.search(vec, k=k, nprobe=nprobe)
+                self._reply(200, {
+                    "k": k, "nprobe": nprobe,
+                    "results": [
+                        {"rank": i + 1, "vec_id": int(d), "sim": float(s)}
+                        for i, (d, s) in enumerate(zip(ids, sims))
+                    ],
+                })
 
             def _search(self, qs: dict) -> None:
                 q = qs.get("q", "").strip()
@@ -209,6 +256,8 @@ class SearchHTTPServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         self.service.shutdown()
+        if self.vservice is not None:
+            self.vservice.shutdown()
 
     def __enter__(self):
         return self.start()
