@@ -38,6 +38,12 @@ BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
+# ranking-quality eval probes: the two standing queries, a rare-term
+# conjunction ('dup' df ≈ 5% — exercises the n_rel<k ideal-DCG
+# truncation), and a vocabulary-miss probe (n_rel must be 0 even
+# though hits rank)
+EVAL_QUERIES = [BM25_QUERY, PHRASE_QUERY, "dup stream table",
+                "stream nosuchtermxyz"]
 NEAR_WINDOW = 5
 SEQ_GAP = 4  # ordered-proximity chain gap for seq_topk
 PREFIX_QUERY = "s"
@@ -462,6 +468,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_components(ds, NEAR_DUP_THRESHOLD)
 
+    def ranking_eval(sf_dir: str):
+        # search-quality scorecard: hits/MRR/nDCG@10 of the engine's
+        # own rankings against the conjunctive-containment relevance
+        # oracle (doc relevant iff it contains EVERY query term)
+        from zensearch_ray.pipelines.corpus import index_dir_for
+        from zensearch_ray.pipelines.evaluate import ranking_metrics
+
+        return ranking_metrics(index_dir_for(sf_dir), EVAL_QUERIES, k=10)
+
     def warc_ingest(sf_dir: str):
         # WARC crawl-archive ingestion: a deterministic member-gzipped
         # WARC is synthesized ONCE from the documents table (tmp+rename
@@ -807,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": ann_persisted,
         "ann_ivf_sq8": ann_sq8,
         "warc_ingest": warc_ingest,
+        "ranking_eval": ranking_eval,
         # relational / streaming-shaped (SURVEY.md §2.4/2.6/2.7)
         "lineitem_pricing": relational.lineitem_pricing,
         "shipping_priority": relational.shipping_priority,
@@ -1390,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, text FROM documents GROUP BY text"
         ),
+        "ranking_eval": _ranking_eval_sql(),
         "warc_ingest": """
             SELECT 'https://docs.example.com/' || doc_id::VARCHAR AS url,
                    200::BIGINT AS status,
@@ -3759,6 +3776,83 @@ def _bm25_dismax_sql() -> str:
         FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 10
     """
+
+
+def _ranking_eval_sql(k: int = 10) -> str:
+    """hits/MRR/nDCG@k per probe query, from the SAME BM25 ranking CTE
+    as ``_bm25_sql`` plus the conjunctive-containment relevance set
+    (docs carrying EVERY query term). One UNION ALL block per query
+    (each needs its own qterms CTE), ordered by query text."""
+    from zensearch_ray.functions.text import tokenize
+
+    blocks = []
+    for q in sorted(EVAL_QUERIES):
+        terms = sorted(set(tokenize(q)))
+        values = "(VALUES " + ", ".join(f"('{t}')" for t in terms) + ")"
+        blocks.append(f"""
+        SELECT * FROM (
+            WITH toks AS ({_TOKS}),
+            qterms(term) AS {values},
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                             (SELECT avg(dl) FROM dl) AS avgdl),
+            tf AS (
+                SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+                FROM toks t JOIN qterms q USING (term)
+                GROUP BY t.term, t.doc_id
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            contrib AS (
+                SELECT tf.doc_id,
+                       ln((SELECT n FROM stats) / df.df) *
+                       (tf.tf * 2.2) /
+                       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                       AS c
+                FROM tf
+                JOIN df USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id
+            ),
+            scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+            ranked AS (
+                SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+                       doc_id
+                FROM scored WHERE score > 0
+                ORDER BY score DESC, doc_id LIMIT {k}
+            ),
+            rel AS (
+                SELECT doc_id
+                FROM (SELECT DISTINCT doc_id, term FROM toks JOIN qterms USING (term))
+                GROUP BY doc_id
+                HAVING count(*) = (SELECT count(*) FROM qterms)
+            ),
+            nrel AS (SELECT count(*)::BIGINT AS n_rel FROM rel),
+            lab AS (
+                SELECT r.rank,
+                       CASE WHEN r.doc_id IN (SELECT doc_id FROM rel)
+                            THEN 1 ELSE 0 END AS rel
+                FROM ranked r
+            ),
+            m AS (
+                SELECT coalesce(sum(rel), 0)::BIGINT AS hits,
+                       coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0) AS mrr,
+                       coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1.0) END), 0) AS dcg
+                FROM lab
+            ),
+            ideal AS (
+                SELECT coalesce(sum(1.0 / log2(i + 1.0)), 0) AS idcg
+                FROM generate_series(1, {k}) AS t(i)
+                WHERE i <= least((SELECT n_rel FROM nrel), {k})
+            )
+            SELECT '{q}' AS query,
+                   (SELECT n_rel FROM nrel) AS n_rel,
+                   m.hits AS hits_at_k,
+                   round(m.mrr, 6) AS mrr_at_k,
+                   round(CASE WHEN (SELECT idcg FROM ideal) > 0
+                              THEN m.dcg / (SELECT idcg FROM ideal)
+                              ELSE 0 END, 6) AS ndcg_at_k
+            FROM m
+        )""")
+    return " UNION ALL ".join(blocks) + " ORDER BY query"
 
 
 def _bm25_sql() -> str:

@@ -223,3 +223,24 @@ def test_watch_ingests_warc_drop(ray_session, tmp_path):
     eng = QueryEngine(idx)
     assert eng.layout.read_manifest()["n_docs"] == 10  # all 5 were dups
     assert ingest_once(idx, drop, cfg) == []  # marker → idempotent
+
+
+def test_prep_cli_accepts_warc(ray_session, tmp_path):
+    """`prep --input crawl.warc.gz` runs the full prep chain over an
+    archive (resolver fills text+lang) and writes partitioned parquet."""
+    import pyarrow.parquet as pq_
+
+    from zensearch_ray.pipelines.prep import prep_corpus
+    from zensearch_ray.sources import resolve_pages_source
+
+    path = str(tmp_path / "crawl.warc.gz")
+    _english_warc(path, n=24)
+    out = str(tmp_path / "prepped")
+    stats = prep_corpus(
+        resolve_pages_source(path), out,
+        min_tokens=5, n_partitions=4)
+    assert stats["rows"] > 0
+    got = pq_.ParquetDataset(out).read()
+    assert got.num_rows == stats["rows"]
+    assert "chunk_text" in got.column_names
+    assert all(got["n_tokens"].to_numpy() >= 1)

@@ -328,10 +328,11 @@ def cmd_batch(args) -> int:
 
 def cmd_prep(args) -> int:
     from zensearch_ray.pipelines.prep import prep_corpus
+    from zensearch_ray.sources import resolve_pages_source
 
     _ensure_ray()
     stats = prep_corpus(
-        args.input,
+        resolve_pages_source(args.input),
         args.output,
         lang=args.lang if args.lang != "any" else None,
         extract_from_html=args.extract_html,
