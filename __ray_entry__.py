@@ -125,6 +125,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
 
+    def federated(sf_dir: str):
+        # doc-sharded scatter-gather federation over two INDEPENDENTLY
+        # built half-corpus artifacts (exact global idf/avgdl via the
+        # dfs_query_then_fetch two-phase protocol) — same oracle as
+        # bm25_topk, proving federation == one-shot union build
+        return corpus.federated_topk(sf_dir, BM25_QUERY, k=10)
+
     def bm25_page2(sf_dir: str):
         # stateless search_after cursor pagination: page 2 (global
         # ranks 11..20) reached via page 1's last (score, doc_id) hit
@@ -734,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,
         "term_tf": corpus.term_tf,
         "bm25_topk": bm25,
+        "federated_topk": federated,
         "bm25_topk_pruned": bm25_pruned,
         "bm25_topk_and": bm25_and,
         "bm25_topk_page2": bm25_page2,
@@ -997,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_TOKS}) GROUP BY doc_id, term
         """,
         "bm25_topk": _bm25_sql(),
+        "federated_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
         "bm25_topk_page2": _bm25_page2_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),

@@ -607,6 +607,57 @@ def index_dir_for(sf_dir: str, positions: bool = False) -> str:
     return d
 
 
+def federated_shard_dirs(sf_dir: str, n_shards: int = 2) -> list[str]:
+    """``n_shards`` INDEPENDENTLY BUILT index artifacts, shard i over
+    the ``doc_id % n_shards == i`` document subset (same ``_INDEX_CFG``,
+    global ``doc_id`` ids — disjoint across shards, so federation needs
+    no id relocation). Cached/fingerprint-validated per shard exactly
+    like ``index_dir_for``."""
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    dirs = []
+    for i in range(n_shards):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            f"zensearch_idx_v3_{key}_fed{i}of{n_shards}",
+        )
+
+        def build(i=i, d=d):
+            def part(t, i=i):
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % n_shards == i))
+
+            src = _documents_for_index(sf_dir).map_batches(
+                part, batch_format="pyarrow"
+            )
+            build_index(src, d, _INDEX_CFG)
+
+        _locked_build(d, build, expect_fp=_expected_fp(_INDEX_CFG))
+        dirs.append(d)
+    return dirs
+
+
+def federated_topk(sf_dir: str, query: str, k: int = 10,
+                   n_shards: int = 2) -> pd.DataFrame:
+    """BM25 top-k via doc-sharded scatter-gather federation
+    (``pipelines/federate.FederatedEngine``) over independently built
+    per-shard artifacts — value-identical to ``bm25_topk`` (one-shot
+    union index) and to the SQL oracle, proving the two-phase global-
+    stats protocol exact. Columns (rank, doc_id, score), score
+    round6'd like every scored entry."""
+    from zensearch_ray.pipelines.federate import FederatedEngine
+
+    hits = FederatedEngine(federated_shard_dirs(sf_dir, n_shards)).topk(
+        query, k
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 # deterministic tombstone set for the deletion-lifecycle oracle entries:
 # every ~17th doc (doc_id % 17 == 3) — expressible in SQL on both sides
 DELETE_MOD, DELETE_RESIDUE = 17, 3
