@@ -204,6 +204,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lm(sf_dir: str):
         return corpus.doc_lm_score(sf_dir)
 
+    def _dsir(sf_dir: str):
+        # DSIR importance weights (unigram+bigram bag features, Laplace
+        # α=1, target = lang='en' slice) — the data-selection signal
+        from zensearch_ray.pipelines.selection import dsir_weights_for
+
+        return dsir_weights_for(sf_dir)
+
     def syn(sf_dir: str):
         # query-time synonym expansion over the shared index
         return corpus.synonyms_topk(sf_dir, SYN_QUERY, k=10)
@@ -763,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_syn": syn,
         "per_facet_topk": per_facet,
         "doc_lm_score": lm,
+        "dsir_weights": _dsir,
         "doc_bigram_lm": corpus.doc_bigram_lm,
         "match_stats": mstats,
         "dump_postings": dump,
@@ -1023,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_syn": _synonyms_sql(),
         "per_facet_topk": _per_facet_sql(),
         "doc_lm_score": _lm_score_sql(),
+        "dsir_weights": _dsir_sql(),
         "ccnet_buckets": f"""
             SELECT doc_id, lm_score,
                    ntile(3) OVER (ORDER BY lm_score DESC, doc_id)::BIGINT
@@ -2805,6 +2814,49 @@ def _lm_score_sql() -> str:
                round(avg(ln(cf.c / (SELECT t FROM tot))), 6) AS lm_score
         FROM toks JOIN cf USING (term)
         GROUP BY toks.doc_id
+    """
+
+
+def _dsir_sql() -> str:
+    """DSIR importance-weight oracle (pipelines/selection.py spec):
+    unigram+bigram bag features, Laplace α=1 multinomials over the raw
+    feature vocabulary, target = lang='en', per-doc Σ ln(p_t/p_r).
+    Empty-feature docs keep log_weight 0 via the LEFT JOIN."""
+    return f"""
+        WITH tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        ),
+        feats AS (
+            SELECT doc_id, term AS f FROM tp
+            UNION ALL
+            SELECT a.doc_id, a.term || ' ' || b.term AS f
+            FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        ),
+        tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        counts AS (
+            SELECT f, count(*)::DOUBLE AS c_r,
+                   sum(CASE WHEN doc_id IN (SELECT doc_id FROM tgt)
+                            THEN 1 ELSE 0 END)::DOUBLE AS c_t
+            FROM feats GROUP BY f
+        ),
+        tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t,
+                       count(*)::DOUBLE AS v FROM counts),
+        model AS (
+            SELECT f,
+                   ln((c_t + 1.0) / ((SELECT n_t FROM tot) + (SELECT v FROM tot)))
+                 - ln((c_r + 1.0) / ((SELECT n_r FROM tot) + (SELECT v FROM tot))) AS r
+            FROM counts
+        ),
+        dw AS (
+            SELECT feats.doc_id, sum(model.r) AS lw
+            FROM feats JOIN model USING (f)
+            GROUP BY feats.doc_id
+        )
+        SELECT d.doc_id, round(coalesce(dw.lw, 0), 6) AS log_weight
+        FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+        ORDER BY d.doc_id
     """
 
 
