@@ -737,6 +737,43 @@ def run_bench() -> dict:
 
     from zensearch_ray.sources.warc import documents_to_warc, read_warc
 
+    # -- federated scatter-gather serving (doc-sharded artifacts) --------
+    from zensearch_ray.pipelines.corpus import federated_shard_dirs, index_dir_for
+    from zensearch_ray.pipelines.federate import FederatedService
+
+    fed_queries = [
+        "spark window merge stream table",
+        "hash join",
+        "dup stream table",
+        "partition shuffle",
+    ]
+    fed_dirs, t = timed(federated_shard_dirs, SF_DIR, 2)
+    results["federated_shards_ready_sec"] = round(t, 3)  # cached after run 1
+    with FederatedService(fed_dirs) as fed:
+        for q in fed_queries:  # warm shard caches
+            fed.topk(q, 10)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            for q in fed_queries:
+                fed.topk(q, 10)
+        results["federated_warm_ms"] = round(
+            1000 * (time.perf_counter() - t0) / (20 * len(fed_queries)), 3
+        )
+        batch = [fed_queries[i % len(fed_queries)] for i in range(200)]
+        _, t = timed(lambda: fed.topk_batch(batch, 10))
+        results["federated_batch_200_sec"] = round(t, 3)
+
+    # -- data-selection + ranking-quality surfaces ------------------------
+    from zensearch_ray.pipelines.evaluate import ranking_metrics
+    from zensearch_ray.pipelines.selection import dsir_weights_for
+
+    _, t = timed(lambda: dsir_weights_for(SF_DIR).count())
+    results["dsir_weights_sec"] = round(t, 3)
+    _, t = timed(
+        lambda: ranking_metrics(index_dir_for(SF_DIR), fed_queries, k=10)
+    )
+    results["ranking_eval_sec"] = round(t, 3)
+
     warc_path = f"/tmp/zensearch_bench_{NUM_CPUS}.warc.gz"
     n_warc, t = timed(documents_to_warc, SF_DIR, warc_path)
     results["warc_write_sec"] = round(t, 3)
