@@ -211,6 +211,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dsir_weights_for(sf_dir)
 
+    def fvf(sf_dir: str):
+        # ES function_score / field_value_factor: BM25 × ln(1+doc_len)
+        return corpus.fvf_topk(sf_dir, BM25_QUERY, k=10)
+
+    def rescored(sf_dir: str):
+        # ES rescore: BM25 window of 30 over the match query, window
+        # re-sorted by 1.0·bm25 + 2.0·positional-phrase score
+        return corpus.rescored_topk(
+            sf_dir, BM25_QUERY, PHRASE_QUERY, k=10, window=30
+        )
+
     def syn(sf_dir: str):
         # query-time synonym expansion over the shared index
         return corpus.synonyms_topk(sf_dir, SYN_QUERY, k=10)
@@ -767,6 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
         "bm25_topk_range": rng,
+        "bm25_topk_fvf": fvf,
+        "bm25_topk_rescored": rescored,
         "bm25_topk_syn": syn,
         "per_facet_topk": per_facet,
         "doc_lm_score": lm,
@@ -1028,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_range": _range_sql(),
+        "bm25_topk_fvf": _fvf_sql(),
+        "bm25_topk_rescored": _rescore_sql(),
         "bm25_topk_syn": _synonyms_sql(),
         "per_facet_topk": _per_facet_sql(),
         "doc_lm_score": _lm_score_sql(),
@@ -2777,6 +2792,79 @@ def _range_sql() -> str:
             WHERE dl.dl BETWEEN {RANGE_LO} AND {RANGE_HI}
         )
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _fvf_sql() -> str:
+    """Function-score oracle: exhaustive BM25, each matching doc's
+    score multiplied by ln(1 + doc_len) (ES field_value_factor with
+    the log1p modifier); order by the raw product, round after —
+    the engine orders unrounded too (same as bm25_topk)."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY fscore DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(fscore, 6) AS score
+        FROM (
+            SELECT s.doc_id, s.score * ln(1 + dl.dl) AS fscore
+            FROM scored s JOIN dl USING (doc_id)
+        )
+        ORDER BY fscore DESC, doc_id LIMIT 10
+    """
+
+
+def _rescore_sql(window: int = 30) -> str:
+    """Two-phase rescore oracle: BM25 window of ``window`` docs over
+    the match query (scores round6'd BEFORE the window cut, mirroring
+    the engine), then final = round6(1.0·bm25 + 2.0·phrase_score)
+    where phrase_score is the phrase terms' conjunctive BM25 sum for
+    docs containing the contiguous phrase (the `_phrase_sql` LIKE
+    trick over single-space token text), 0 otherwise."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()},
+        win AS (
+            SELECT doc_id, s FROM (
+                SELECT doc_id, round(score, 6) AS s,
+                       row_number() OVER (
+                           ORDER BY round(score, 6) DESC, doc_id
+                       ) AS rn
+                FROM scored
+            ) WHERE rn <= {window}
+        ),
+        pterms(term) AS {_PHRASE_VALUES},
+        ptf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN pterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+        phrased AS (
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% {PHRASE_QUERY} %'
+        ),
+        pcontrib AS (
+            SELECT ptf.doc_id,
+                   ln((SELECT n FROM stats) / pdf.df) *
+                   (ptf.tf * 2.2) /
+                   (ptf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM ptf
+            JOIN pdf USING (term)
+            JOIN dl ON ptf.doc_id = dl.doc_id
+            WHERE ptf.doc_id IN (SELECT doc_id FROM phrased)
+        ),
+        pscored AS (SELECT doc_id, round(sum(c), 6) AS ps FROM pcontrib GROUP BY doc_id),
+        final AS (
+            SELECT w.doc_id,
+                   round(1.0 * w.s + 2.0 * coalesce(p.ps, 0.0), 6) AS f
+            FROM win w LEFT JOIN pscored p USING (doc_id)
+        )
+        SELECT row_number() OVER (ORDER BY f DESC, doc_id)::BIGINT AS rank,
+               doc_id, f AS score
+        FROM final ORDER BY f DESC, doc_id LIMIT 10
     """
 
 

@@ -177,6 +177,42 @@ def cmd_query(args) -> int:
             )
             print(json.dumps({"query": q, "filter": args.filter, "results": rows}))
             continue
+        if args.fvf:
+            # function_score/field_value_factor is exhaustive by design
+            # (the factor can promote any matching doc into the top-k,
+            # so BM25-only pruning bounds don't hold)
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--fvf serves exhaustive mode only")
+            hits = engine.topk_fvf(q, args.fvf, args.k)
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({"query": q, "fvf": args.fvf, "results": rows}))
+            continue
+        if args.rescore_phrase:
+            if args.mode not in (None, "exhaustive"):
+                raise SystemExit("--rescore-phrase serves exhaustive mode only")
+            hits = engine.topk_rescored(
+                q, args.rescore_phrase, k=args.k, window=args.rescore_window
+            )
+            rows = (
+                resolve_docs(engine.layout, hits)
+                if args.urls
+                else [
+                    {"rank": i + 1, "doc_id": d, "score": s}
+                    for i, (d, s) in enumerate(hits)
+                ]
+            )
+            print(json.dumps({
+                "query": q, "rescore_phrase": args.rescore_phrase,
+                "results": rows,
+            }))
+            continue
         if args.urls:
             rows = engine.topk_docs(
                 q, k=args.k, mode=mode, window=args.window
@@ -768,6 +804,22 @@ def main(argv=None) -> int:
         help="ranking function over the same index (Lucene Similarity "
              "plug): bm25 (default), tfidf (SMART ltn), lmd "
              "(LM Dirichlet mu=2000); exhaustive evaluation",
+    )
+    q.add_argument(
+        "--fvf", metavar="COL", default=None,
+        help="function_score field_value_factor: multiply every "
+             "matching doc's BM25 score by ln(1 + docmeta[COL]) "
+             "(e.g. doc_len); exhaustive evaluation",
+    )
+    q.add_argument(
+        "--rescore-phrase", metavar="PHRASE", default=None,
+        help="two-phase rescore: re-sort the BM25 top --rescore-window "
+             "docs by 1.0*bm25 + 2.0*positional-phrase score "
+             "(requires an index built with --positions)",
+    )
+    q.add_argument(
+        "--rescore-window", type=int, default=30,
+        help="phase-1 window size for --rescore-phrase (default 30)",
     )
     q.add_argument("--urls", action="store_true", help="resolve doc_ids to urls")
     q.add_argument(

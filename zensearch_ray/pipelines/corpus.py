@@ -1110,6 +1110,40 @@ def bm25_topk(
     )
 
 
+def fvf_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """Function-scored top-k (ES ``field_value_factor``): BM25 ×
+    ln(1 + doc_len) over the same cached index — a static document
+    prior folded into the rank at query time. Columns
+    (rank, doc_id, score), score round6'd like every scored entry."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_fvf(query, "doc_len", k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
+def rescored_topk(
+    sf_dir: str, query: str, phrase: str, k: int = 10, window: int = 30
+) -> pd.DataFrame:
+    """Two-phase rescored top-k (ES ``rescore``): exhaustive BM25
+    window over ``query``, the top ``window`` docs re-sorted by
+    ``1.0·bm25 + 2.0·phrase_score`` where the phrase score comes from
+    the POSITIONAL index (0 unless the doc contains ``phrase`` as a
+    contiguous token run). Columns (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+    hits = engine.topk_rescored(query, phrase, k=k, window=window)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 def sim_topk(
     sf_dir: str, query: str, similarity: str, k: int = 10
 ) -> pd.DataFrame:

@@ -607,6 +607,104 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[keep], scores[keep], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_fvf(
+        self, query: str, col: str = "doc_len", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Function scoring — Elasticsearch's ``function_score`` with a
+        ``field_value_factor`` (modifier ``log1p``, boost-mode
+        ``multiply``): every matching doc's BM25 score is multiplied by
+        ``ln(1 + docmeta[col])``, folding a static document signal
+        (length, link count, freshness bucket — any numeric attr the
+        build carried) into the rank without re-indexing. The reference
+        ranks purely lexically (``search-engine/internal/bm25/
+        score.go:19-95``); this is how real engines mix in document
+        priors. Match set, zero-score filter and tie order are the
+        checked BM25 ones; docs missing the attribute keep factor 0
+        (ES's ``missing: 0``)."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        mask = scores > 0.0
+        uniq, scores = uniq[mask], scores[mask]
+        v = self._numeric_values(uniq, col)
+        factor = np.log1p(np.where(np.isnan(v), 0.0, v))
+        top_ids, top_sc = topk_order(uniq, scores * factor, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_rescored(
+        self,
+        query: str,
+        phrase: str,
+        k: int = 10,
+        window: int = 30,
+        query_weight: float = 1.0,
+        rescore_weight: float = 2.0,
+    ) -> list[tuple[int, float]]:
+        """Two-phase rescoring — Elasticsearch's ``rescore`` API shape:
+        phase 1 ranks the corpus with the cheap exhaustive BM25 union
+        over ``query``; phase 2 re-scores ONLY the top ``window`` docs
+        with the expensive signal — the exact PHRASE query
+        (``topk_phrase`` semantics: the phrase terms' conjunctive BM25
+        sum where the positional index verifies adjacency, 0 otherwise)
+        — and the window re-sorts by::
+
+            final = query_weight * bm25 + rescore_weight * phrase_score
+
+        Docs outside the window are never rescored (that is the point:
+        the expensive query runs on ``window`` docs, not the corpus —
+        at 10^12 docs the phrase machinery touches exactly ``window``
+        candidate rows per query). Scores are rounded to 6 dp BEFORE
+        windowing and combining so the window boundary and the combined
+        order are exactly reproducible against the SQL oracle (the
+        ``topk_after`` cursor lesson). Requires the positional index."""
+        from zensearch_ray.functions.rounding import round_half_away
+
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        mask = scores > 0.0
+        uniq, scores = uniq[mask], round_half_away(scores[mask], 6)
+        w_ids, w_sc = topk_order(uniq, scores, window)
+        if len(w_ids) == 0:
+            return []
+        # phase 2: phrase score over WINDOW docs only — conjunctive
+        # membership, positional adjacency verify, same contribution
+        # kernels as topk_phrase (idf==0 terms constrain, add 0).
+        toks = tokenize(phrase)
+        cand = np.sort(w_ids)
+        postings = []
+        for tok in set(toks):
+            p = self.lookup(tok)
+            if p is None:
+                cand = cand[:0]
+                break
+            postings.append(p)
+        for p in sorted(postings, key=lambda p: p.df):
+            if len(cand) == 0:
+                break
+            cand = cand[np.isin(cand, p.decode_all()[0], assume_unique=True)]
+        phrase_sc = np.zeros(len(w_ids), dtype=np.float64)
+        if len(cand) and toks:
+            verified = self._verify_phrase(toks, cand)
+            if verified:
+                vdocs = np.sort(np.fromiter(verified, dtype=np.int64))
+                sc = np.zeros(len(vdocs), dtype=np.float64)
+                for p, w in self._term_plan(phrase):
+                    ids, tfs, dls = p.decode_all()
+                    pos = np.searchsorted(ids, vdocs)
+                    sc += w * tf_norm(tfs[pos], dls[pos], self.avgdl, self.params)
+                lut = {int(d): s for d, s in zip(vdocs, round_half_away(sc, 6))}
+                phrase_sc = np.array(
+                    [lut.get(int(d), 0.0) for d in w_ids], dtype=np.float64
+                )
+        final = round_half_away(
+            query_weight * w_sc + rescore_weight * phrase_sc, 6
+        )
+        top_ids, top_sc = topk_order(w_ids, final, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def explain(self, query: str, k: int = 10,
                 doc_id: int | None = None) -> list[dict]:
         """Per-term BM25 breakdown for the top-k docs (or one given
