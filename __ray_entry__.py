@@ -304,6 +304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-balanced contiguous training shards (data-loader balance)
         return corpus.balanced_shards(sf_dir, n_shards=N_BALANCED_SHARDS)
 
+    def shuffled(sf_dir: str):
+        # deterministic seeded training shuffle: md5 keys, nibble shard,
+        # in-shard position
+        return corpus.seeded_shuffle(sf_dir, seed="r3", n_shards=8)
+
     def sig_terms(sf_dir: str):
         # fg = union of the probe terms' postings; JLH lift vs corpus
         return corpus.significant_terms(
@@ -802,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": sig_terms,
         "explain_topk": explain,
         "balanced_shards": bshards,
+        "docs_shuffled": shuffled,
         "not_topk": notq,
         "more_like_this": mlt,
         "search_snippets": snippets,
@@ -1187,6 +1193,25 @@ def oracle_sql() -> dict[str, str]:
                    round(c.idf, 6) AS idf, round(c.tfn, 6) AS tf_norm,
                    round(c.idf * c.tfn, 6) AS contribution
             FROM contrib c JOIN topd USING (doc_id)
+        """,
+        "docs_shuffled": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5('r3:' || doc_id::VARCHAR) AS shuffle_key
+                FROM documents
+            ),
+            sharded AS (
+                SELECT doc_id, shuffle_key,
+                       ((strpos('0123456789abcdef',
+                                substr(shuffle_key, 32, 1)) - 1) % 8)::BIGINT
+                           AS shard
+                FROM keyed
+            )
+            SELECT doc_id, shuffle_key, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY shuffle_key, doc_id
+                   )::BIGINT AS pos
+            FROM sharded
         """,
         "balanced_shards": f"""
             WITH toks AS ({_TOKS}),

@@ -14,6 +14,7 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ray.data.aggregate import Sum
@@ -375,6 +376,69 @@ def pack_sequences(
         )
 
     return dl_ds.groupby("bucket").map_groups(explode_spans, batch_format="pandas")
+
+
+def seeded_shuffle(sf_dir: str, seed: str = "r3", n_shards: int = 8):
+    """Deterministic seeded global shuffle — the training-loader
+    shuffle every data pipeline needs before writing shards: every doc
+    gets a content-independent pseudo-random key ``md5(seed:doc_id)``,
+    a shard from the key's last hex nibble, and a position within its
+    shard in key order. Same (seed, corpus) → bit-identical layout on
+    every rerun (resumable exports, reproducible training runs);
+    changing ``seed`` re-deals everything.
+
+    Scale shape: the pass reads doc_id ONLY (8 B/row pruned read); the
+    one exchange moves (doc_id, 32-char key) metadata, never text —
+    the writer that materializes shard files joins text back per shard
+    partition. A shard group must fit a worker, which is the same
+    constraint the training loader imposes on its files: pick
+    ``n_shards`` ≈ corpus_bytes / desired_file_size (10⁴–10⁵ at web
+    scale), exactly like ``balanced_shards``. md5 is pinned so the SQL
+    oracle reproduces the values; a production variant would swap in a
+    vectorized 64-bit mixer (splitmix64 over doc_id ⊕ hash(seed)) with
+    identical plumbing.
+
+    Columns: (doc_id, shuffle_key, shard, pos) — pos is 1-based within
+    the shard, ordered by (shuffle_key, doc_id)."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids
+        ]
+        shard = np.fromiter(
+            (int(k[-1], 16) % n_shards for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_key": pa.array(keys, pa.string()),
+                "shard": pa.array(shard),
+            }
+        )
+
+    def order(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(idx)
+        return g.append_column(
+            "pos", pa.array(np.arange(1, g.num_rows + 1), pa.int64())
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pyarrow")
+    )
 
 
 def balanced_shards(
