@@ -417,6 +417,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).filter(expr=f"doc_id >= {DECON_BENCH_DOCS}")
         return decontaminate(ds, bench, n=8)
 
+    def embedding_mmr(sf_dir: str):
+        # MMR diversified rerank over the probe's top-50 ANN candidates
+        # (rows-only: the greedy selection isn't SQL-expressible; a
+        # brute-force referee pins it in tests/test_mmr.py)
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        probe = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )
+        vec = probe["embedding"].to_pylist()[0]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        from zensearch_ray.stages.ann import mmr_topk
+
+        return mmr_topk(ds, vec, k=10, fetch_n=50, lam=0.7)
+
     def embedding_topk(sf_dir: str):
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -851,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
+        "embedding_mmr_topk": embedding_mmr,
         "embedding_kmeans": embedding_kmeans,
         "embedding_near_dup": embedding_near_dup,
         "ann_ivf_topk": ann_ivf,

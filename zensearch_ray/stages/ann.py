@@ -121,6 +121,102 @@ def cosine_topk_multi(ds, probe_mat: np.ndarray, probe_ids: np.ndarray, k: int =
     return cand
 
 
+def mmr_topk(ds, probe_vec: np.ndarray, k: int = 10, fetch_n: int = 50,
+             lam: float = 0.7, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the result-diversification rerank retrieval
+    stacks run after ANN: fetch the ``fetch_n`` most-relevant
+    candidates, then greedily select ``k`` of them by::
+
+        argmax_c  lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)
+
+    (diversity term 0 for the first pick, so it is the plain top-1;
+    ties break by id ASC). lam=1 reduces to the undiversified top-k,
+    lam→0 maximizes spread.
+
+    Scale shape: phase 1 is the ``cosine_topk`` distributed partial
+    scan, extended to carry each candidate's VECTOR alongside its
+    score — (k×n_batches) rows × d floats reach the driver, never the
+    corpus; phase 2 is the O(fetch_n²·d) greedy on the driver, the
+    same k-sized post-processing tier as every top-k merge. rel and
+    pairwise sims are cosine; rel is round6'd before selection so the
+    greedy's tie behavior is reproducible.
+
+    Columns: (rank, id_col, rel, marginal) — ``marginal`` is the
+    round6'd objective value at selection time (rank 1 row reports
+    lam·rel)."""
+    import ray
+
+    q = np.asarray(probe_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        take = min(fetch_n, len(sims))
+        part = (
+            np.argpartition(-sims, take - 1)[:take]
+            if take else np.empty(0, int)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[part], type=pa.int64()),
+                "sim": pa.array(sims[part], type=pa.float64()),
+                emb_col: pa.array(
+                    [m[i].tolist() for i in part],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand["sim"] = round6(cand["sim"].to_numpy())
+    cand = (
+        cand.sort_values(["sim", id_col], ascending=[False, True])
+        .head(fetch_n)
+        .reset_index(drop=True)
+    )
+    ids = cand[id_col].to_numpy()
+    rel = cand["sim"].to_numpy()
+    mat = np.asarray(cand[emb_col].tolist(), dtype=np.float64)  # normalized
+    pair = mat @ mat.T  # candidate-candidate cosine
+    n = len(ids)
+    selected: list[int] = []
+    marginals: list[float] = []
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if selected:
+            div = pair[:, selected].max(axis=1)
+        else:
+            div = np.zeros(n)
+        obj = lam * rel - (1.0 - lam) * div
+        obj_r = round6(obj)
+        # argmax with (obj DESC, id ASC) ties among remaining
+        best, best_key = -1, None
+        idxs = np.nonzero(remaining)[0]
+        for i in idxs:
+            key = (-obj_r[i], ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = i, key
+        selected.append(best)
+        marginals.append(float(obj_r[best]))
+        remaining[best] = False
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+            id_col: ids[selected].astype(np.int64),
+            "rel": rel[selected],
+            "marginal": np.array(marginals, dtype=np.float64),
+        }
+    )
+
+
 def near_dup_pairs(ds, threshold: float, id_col: str = "vec_id",
                    emb_col: str = "embedding", target_block_rows: int = 8192):
     """All (a, b) pairs, a < b, with cosine ≥ threshold — exact,
