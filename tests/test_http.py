@@ -62,6 +62,7 @@ MODE_CALLS = {
     "boosted": lambda eng, q, k: eng.topk_boosted(q, k),
     "msm": lambda eng, q, k: eng.topk_msm(q, k),
     "dismax": lambda eng, q, k: eng.topk_dismax(q, k),
+    "fvf": lambda eng, q, k: eng.topk_fvf(q, "doc_len", k),
 }
 MODE_QUERY = {
     "prefix": "se",
@@ -106,6 +107,32 @@ def test_filter_param_serves_faceted_search(server, http_index):
     want = [[int(d), float(s)]
             for d, s in engine.topk_filtered("search engine", "lang", lang, 10)]
     assert body["results"] == want
+
+
+def test_rescore_param(server, http_index, ray_session, tmp_path_factory):
+    # a positionless index surfaces the engine's error as a 400
+    status, body = _get(server, "/search", q="search engine",
+                        rescore="search engine", docs=0)
+    assert status == 400 and "positions" in body["error"]
+    # a positional index serves the two-phase rescore bit-identically
+    root = tmp_path_factory.mktemp("http_pos")
+    src = str(root / "pages.parquet")
+    pq.write_table(generate_pages_table(200, seed=48), src, row_group_size=64)
+    pidx = str(root / "idx")
+    build_index(
+        src, pidx,
+        BuildConfig(num_shards=4, salt_subs=2, lang=None, positions=True),
+    )
+    with SearchHTTPServer(pidx, replicas=1, k=10) as srv:
+        status, body = _get(srv, "/search", q="search engine ranking",
+                            rescore="search engine", docs=0)
+        assert status == 200
+        assert body["rescore"] == "search engine"
+        eng = QueryEngine(pidx)
+        want = [[int(d), float(s)]
+                for d, s in eng.topk_rescored(
+                    "search engine ranking", "search engine", k=10)]
+        assert body["results"] == want
 
 
 def test_facets_endpoint(server, http_index):

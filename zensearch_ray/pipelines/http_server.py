@@ -44,7 +44,7 @@ from urllib.parse import parse_qs, urlparse
 _MODES = (
     "exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix",
     "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm",
-    "dismax",
+    "dismax", "fvf",
 )
 
 
@@ -175,13 +175,20 @@ class SearchHTTPServer:
                         raise ValueError("filter expects col=value")
                     filt = (col, value)
                     mode = "exhaustive"  # filter serves exhaustive only
+                rescore = qs.get("rescore") or None
+                if rescore is not None:
+                    mode = "exhaustive"  # phase 1 is the exhaustive union
                 results = svc.search(
-                    q, k=k, mode=mode, docs=docs, filter=filt
+                    q, k=k, mode=mode, docs=docs, filter=filt,
+                    rescore=rescore,
                 )
-                self._reply(200, {
+                reply = {
                     "query": q, "mode": mode, "k": k,
                     "results": _jsonable(results),
-                })
+                }
+                if rescore is not None:
+                    reply["rescore"] = rescore
+                self._reply(200, reply)
 
             def _complete(self, qs: dict) -> None:
                 prefix = qs.get("prefix", "").strip()

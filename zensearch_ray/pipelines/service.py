@@ -68,8 +68,18 @@ class _EngineReplica:
             self.refresh()
 
     def search(self, query: str, k: int, mode: str, docs: bool,
-               filter: tuple | None = None):
+               filter: tuple | None = None, rescore: str | None = None):
         self._maybe_reload()
+        if rescore is not None:
+            # two-phase phrase rescore (needs the positional index);
+            # window stays the engine default — serving knobs beyond
+            # that go through the engine API
+            hits = self.engine.topk_rescored(query, rescore, k=k)
+            if not docs:
+                return hits
+            from zensearch_ray.pipelines.query import resolve_docs
+
+            return resolve_docs(self.engine.layout, hits)
         if filter is not None:
             col, value = filter
             hits = self.engine.topk_filtered(query, col, value, k)
@@ -96,6 +106,7 @@ class _EngineReplica:
             "boosted": self.engine.topk_boosted,
             "msm": self.engine.topk_msm,
             "dismax": self.engine.topk_dismax,
+            "fvf": lambda q, kk: self.engine.topk_fvf(q, "doc_len", kk),
         }[mode]
         return fn(query, k)
 
@@ -162,15 +173,19 @@ class QueryService:
         return a
 
     def search(self, query: str, k: int | None = None, mode: str | None = None,
-               docs: bool = False, filter: tuple | None = None):
+               docs: bool = False, filter: tuple | None = None,
+               rescore: str | None = None):
         """``filter=(col, value)`` serves faceted search (exhaustive
         evaluation, Lucene filter-query semantics) through the warm
-        replicas; each replica's facet lookup loads once and stays."""
+        replicas; each replica's facet lookup loads once and stays.
+        ``rescore=phrase`` serves the two-phase phrase rescore (needs
+        an index built with positions)."""
         import ray
 
         return ray.get(
             self._next().search.remote(
-                query, k or self._k, mode or self._mode, docs, filter
+                query, k or self._k, mode or self._mode, docs, filter,
+                rescore,
             )
         )
 
