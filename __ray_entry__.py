@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def bm25_pruned(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, pruned=True)
 
+    def bm25_bmw(sf_dir: str):
+        # Block-Max WAND evaluation — rank-identical to topk by
+        # contract, so it shares the bm25 oracle
+        return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, pruned="bmw")
+
     def bm25_and(sf_dir: str):
         return corpus.bm25_topk(sf_dir, BM25_QUERY, k=10, conjunctive=True)
 
@@ -786,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25,
         "federated_topk": federated,
         "bm25_topk_pruned": bm25_pruned,
+        "bm25_topk_bmw": bm25_bmw,
         "bm25_topk_and": bm25_and,
         "bm25_topk_page2": bm25_page2,
         "bm25_topk_boosted": bm25_boosted,
@@ -1055,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "federated_topk": _bm25_sql(),
         "bm25_topk_pruned": _bm25_sql(),
+        "bm25_topk_bmw": _bm25_sql(),
         "bm25_topk_page2": _bm25_page2_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),
         "bm25_topk_msm": _bm25_msm_sql(),

@@ -63,6 +63,7 @@ MODE_CALLS = {
     "msm": lambda eng, q, k: eng.topk_msm(q, k),
     "dismax": lambda eng, q, k: eng.topk_dismax(q, k),
     "fvf": lambda eng, q, k: eng.topk_fvf(q, "doc_len", k),
+    "bmw": lambda eng, q, k: eng.topk_bmw(q, k),
 }
 MODE_QUERY = {
     "prefix": "se",

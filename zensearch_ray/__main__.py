@@ -238,6 +238,7 @@ def cmd_query(args) -> int:
                 "dismax": lambda qq, kk: engine.topk_dismax(
                     qq, kk, tie=args.tie
                 ),
+                "bmw": engine.topk_bmw,
             }[mode]
             if args.after is not None:
                 if mode not in ("exhaustive", "pruned"):
@@ -775,7 +776,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax", "bmw"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(

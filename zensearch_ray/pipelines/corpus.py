@@ -1163,6 +1163,8 @@ def bm25_topk(
     engine = QueryEngine(index_dir_for(sf_dir))
     if conjunctive:
         hits = engine.topk_and(query, k)
+    elif pruned == "bmw":
+        hits = engine.topk_bmw(query, k)
     else:
         hits = engine.topk_pruned(query, k) if pruned else engine.topk(query, k)
     return pd.DataFrame(

@@ -44,7 +44,7 @@ from urllib.parse import parse_qs, urlparse
 _MODES = (
     "exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix",
     "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm",
-    "dismax", "fvf",
+    "dismax", "fvf", "bmw",
 )
 
 

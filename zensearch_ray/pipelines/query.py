@@ -1721,6 +1721,145 @@ class QueryEngine:
         top_ids, top_sc = topk_order(acc_ids[mask], acc_scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_bmw(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-Max WAND (Ding & Suel 2011 shape) — rank-identical to
+        ``topk``, evaluated document-space-first instead of
+        term-space-first (``topk_pruned``'s TAAT MaxScore): the doc-id
+        axis is decomposed into the elementary intervals induced by
+        every term's posting-block boundaries; each interval's upper
+        bound is the sum of the covering blocks' (idf-weighted)
+        block-max values — the same per-block maxima BMW pivots on.
+        Intervals are processed in descending-bound order, each one
+        scored EXACTLY (every term skip-decodes only its blocks that
+        intersect the interval chunk), and evaluation stops once the
+        running k-th score beats the next interval's bound: every
+        remaining doc is provably below the top-k. This is WAND's
+        pivot-and-skip at block granularity, vectorized — numpy scans
+        replace the per-doc cursor walk, which is the right trade on
+        Arrow-decoded arrays.
+
+        Best case (a rare term alongside stopwords): only the
+        intervals around the rare term's blocks have competitive
+        bounds, so the stopword lists decode a handful of blocks
+        instead of everything. Worst case degrades to ``topk`` plus
+        the metadata pass. Safety mirrors ``topk_pruned``: bounds are
+        ≥ true contributions (block_max is nextafter-inflated at
+        encode, ``_bound_scale`` corrects stale-avgdl segments) and
+        processing stops only on a STRICT bound-vs-θ inequality, so
+        θ-ties are still scored and id-ASC tie order is preserved."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        merged: dict[int, list] = {}
+        for p, w in plan:
+            e = merged.setdefault(id(p), [p, 0.0])
+            e[1] += w
+        entries = list(merged.values())
+
+        # per-fragment block tables: (row, weight, last_doc[], wbmax[])
+        frags = []
+        edges = [np.array([0], dtype=np.int64)]
+        for p, w in entries:
+            for r in p.rows:
+                last = np.asarray(r["block_last_doc"], dtype=np.int64)
+                if len(last) == 0:
+                    continue
+                bmax = (
+                    np.asarray(r["block_max"], dtype=np.float64)
+                    * r.get("_bound_scale", 1.0)
+                    * w
+                )
+                frags.append((r, last, bmax))
+                edges.append(last + 1)
+        if not frags:
+            return []
+        # elementary intervals [starts[i], starts[i+1]) over doc space
+        starts = np.unique(np.concatenate(edges))
+        ub = np.zeros(len(starts), dtype=np.float64)
+        for _, last, bmax in frags:
+            j = np.searchsorted(last, starts, side="left")
+            cov = j < len(last)
+            ub[cov] += bmax[j[cov]]
+        live = ub > 0.0
+        order = np.argsort(-ub[live], kind="stable")
+        istarts = starts[live][order]
+        iends = np.concatenate((starts[1:], [np.iinfo(np.int64).max]))[
+            live
+        ][order]
+        iub = ub[live][order]
+
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        pos = 0
+        chunk = 64
+        while pos < len(iub):
+            if len(acc_scores) >= k:
+                theta = np.partition(acc_scores, len(acc_scores) - k)[
+                    len(acc_scores) - k
+                ]
+                if iub[pos] < theta:
+                    break  # every remaining interval is provably out
+                # everything with bound >= theta must be scored anyway
+                # under the CURRENT theta — take it in one round rather
+                # than paying per-round decode overhead (theta can only
+                # grow, so this forfeits at most the growth's pruning)
+                chunk = max(
+                    chunk,
+                    int(np.searchsorted(-iub, -theta, side="right")) - pos,
+                )
+            lo = np.sort(istarts[pos : pos + chunk])
+            hi = np.sort(iends[pos : pos + chunk])
+            pos += chunk
+            chunk *= 4
+            for p, w in entries:
+                ids_l, tfs_l, dls_l = [], [], []
+                for r in p.rows:
+                    last = np.asarray(r["block_last_doc"], dtype=np.int64)
+                    if len(last) == 0:
+                        continue
+                    first = np.empty_like(last)
+                    first[0] = 0
+                    first[1:] = last[:-1] + 1
+                    # block [first, last] intersects some range
+                    # [lo_i, hi_i) iff the first range with hi > first
+                    # starts at or before last (ranges disjoint+sorted)
+                    j = np.searchsorted(hi, first, side="right")
+                    jj = np.minimum(j, len(lo) - 1)
+                    sel = (j < len(lo)) & (lo[jj] <= last)
+                    blocks = np.flatnonzero(sel)
+                    if len(blocks):
+                        i_, t_, d_ = decode_posting_blocks(r, blocks)
+                        ids_l.append(i_)
+                        tfs_l.append(t_)
+                        dls_l.append(d_)
+                if not ids_l:
+                    continue
+                ids = np.concatenate(ids_l)
+                tfs = np.concatenate(tfs_l)
+                dls = np.concatenate(dls_l)
+                # keep only docs inside the chunk's intervals
+                j = np.searchsorted(lo, ids, side="right") - 1
+                member = (j >= 0) & (ids < hi[np.maximum(j, 0)])
+                ids, tfs, dls = ids[member], tfs[member], dls[member]
+                if self.deleted is not None and len(self.deleted) and len(ids):
+                    dj = np.searchsorted(self.deleted, ids)
+                    hit = (dj < len(self.deleted)) & (
+                        self.deleted[np.minimum(dj, len(self.deleted) - 1)]
+                        == ids
+                    )
+                    if hit.any():
+                        keep = ~hit
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if len(ids) == 0:
+                    continue
+                contrib = w * tf_norm(tfs, dls, self.avgdl, self.params)
+                acc_ids, acc_scores = _merge_accumulate(
+                    acc_ids, acc_scores, ids, contrib
+                )
+        mask = acc_scores > 0.0
+        top_ids, top_sc = topk_order(acc_ids[mask], acc_scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
 
 def _merge_accumulate(
     acc_ids: np.ndarray,

@@ -107,6 +107,7 @@ class _EngineReplica:
             "msm": self.engine.topk_msm,
             "dismax": self.engine.topk_dismax,
             "fvf": lambda q, kk: self.engine.topk_fvf(q, "doc_len", kk),
+            "bmw": self.engine.topk_bmw,
         }[mode]
         return fn(query, k)
 
