@@ -53,6 +53,31 @@ def test_jsonl_matches_parquet_build(ray_session, dump, tmp_path):
         assert e_j.topk(q, 10) == e_p.topk(q, 10), q
 
 
+def test_gzipped_jsonl_resolves_and_matches(ray_session, dump, tmp_path):
+    """A .jsonl.gz crawl dump goes through resolve_pages_source and
+    builds the same index as the plain dump (Arrow decompresses by
+    extension)."""
+    import gzip
+    import shutil
+
+    from zensearch_ray.sources import resolve_pages_source
+
+    jl, _ = dump
+    gz = str(tmp_path / "crawl.jsonl.gz")
+    with open(jl, "rb") as f_in, gzip.open(gz, "wb") as f_out:
+        shutil.copyfileobj(f_in, f_out)
+    idx_g = str(tmp_path / "idx_gz")
+    idx_j = str(tmp_path / "idx_plain")
+    m_g = build_index(resolve_pages_source(gz), idx_g, _cfg())
+    m_j = build_index(resolve_pages_source(jl), idx_j, _cfg())
+    assert m_g["n_docs"] == m_j["n_docs"] > 0
+    assert m_g["total_postings"] == m_j["total_postings"]
+    e_g, e_j = QueryEngine(idx_g), QueryEngine(idx_j)
+    assert e_g.topk("search engine ranking", 10) == e_j.topk(
+        "search engine ranking", 10
+    )
+
+
 def test_coerce_fills_missing_columns(ray_session):
     from zensearch_ray.sources.jsonl import coerce_pages_batch
 

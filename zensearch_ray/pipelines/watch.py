@@ -33,7 +33,7 @@ import os
 import time
 
 _MARKER_DIR = "_ingested"
-_EXTS = (".parquet", ".jsonl", ".warc", ".warc.gz")
+_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".warc", ".warc.gz")
 
 
 def _marker_path(drop_dir: str, name: str) -> str:
