@@ -176,6 +176,22 @@ def run_bench() -> dict:
         1000 * (time.perf_counter() - t0) / len(BENCH_QUERIES), 3
     )
 
+    # function scoring + Block-Max WAND warm latencies (r3 surfaces;
+    # BMW pays interval overhead on this uniform corpus — the skewed
+    # case where it skips blocks is pinned in tests/test_bmw.py)
+    t0 = time.perf_counter()
+    for q in BENCH_QUERIES:
+        engine.topk_fvf(q, "doc_len", 10)
+    results["query_fvf_ms"] = round(
+        1000 * (time.perf_counter() - t0) / len(BENCH_QUERIES), 3
+    )
+    t0 = time.perf_counter()
+    for q in BENCH_QUERIES:
+        engine.topk_bmw(q, 10)
+    results["query_bmw_ms"] = round(
+        1000 * (time.perf_counter() - t0) / len(BENCH_QUERIES), 3
+    )
+
     # significant-terms: one pruned distributed pass over the segments
     from zensearch_ray.pipelines.export import significant_terms
 
@@ -225,6 +241,14 @@ def run_bench() -> dict:
             engine_pos.topk_phrase(p, 10)
     results["phrase_warm_ms"] = round(
         1000 * (time.perf_counter() - t0) / (10 * len(phrases)), 3
+    )
+    # two-phase rescore: exhaustive window + positional phrase boost
+    engine_pos.topk_rescored("search engine ranking", "search engine", 10)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        engine_pos.topk_rescored("search engine ranking", "search engine", 10)
+    results["rescore_warm_ms"] = round(
+        1000 * (time.perf_counter() - t0) / 10, 3
     )
 
     # -- representative pipelines over the sf tables ----------------------
@@ -501,6 +525,16 @@ def run_bench() -> dict:
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     _, t = timed(lambda: cosine_topk(emb, probe, k=10))
     results["ann_topk_sec"] = round(t, 3)
+    from zensearch_ray.stages.ann import mmr_topk
+
+    _, t = timed(lambda: mmr_topk(emb, probe, k=10, fetch_n=50, lam=0.7))
+    results["ann_mmr_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import seeded_shuffle
+
+    _, t = timed(
+        lambda: seeded_shuffle(SF_DIR, seed="bench", n_shards=8).count()
+    )
+    results["seeded_shuffle_sec"] = round(t, 3)
 
     # -- r2 session-5 operators ---------------------------------------------
     from zensearch_ray.pipelines.corpus import (

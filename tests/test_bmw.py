@@ -134,4 +134,14 @@ def test_bmw_served_everywhere(gen_index, capsys):
     svc = QueryService(gen_index, replicas=1)
     got = svc.search("search engine ranking", mode="bmw", docs=False)
     assert _r6(got) == _r6(want)
+    got_docs = svc.search("search engine ranking", mode="bmw", docs=True)
+    assert [r["doc_id"] for r in got_docs] == [d for d, _ in want]
     svc.shutdown()
+    # --urls with a combiner/pruning mode resolves docs for THAT
+    # strategy (it used to KeyError through topk_docs' smaller map)
+    for mode in ("bmw", "boosted", "msm", "dismax"):
+        assert main(["query", "--index", gen_index, "--mode", mode,
+                     "--urls", "search engine ranking"]) == 0
+        (out,) = [json.loads(ln)
+                  for ln in capsys.readouterr().out.splitlines() if ln]
+        assert out["results"] and "url" in out["results"][0]

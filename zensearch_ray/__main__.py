@@ -213,44 +213,47 @@ def cmd_query(args) -> int:
                 "results": rows,
             }))
             continue
-        if args.urls:
-            rows = engine.topk_docs(
-                q, k=args.k, mode=mode, window=args.window
+        # ONE mode→strategy map for both output shapes, so --urls can
+        # never silently serve a different strategy or drop --msm/--tie
+        # (it used to route through topk_docs' smaller map)
+        fn = {
+            "exhaustive": engine.topk,
+            "pruned": engine.topk_pruned,
+            "and": engine.topk_and,
+            "phrase": engine.topk_phrase,
+            "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
+            "seq": lambda qq, kk: engine.topk_seq(qq, args.window, kk),
+            "prefix": engine.topk_prefix,
+            "fuzzy": engine.topk_fuzzy,
+            "not": engine.topk_not,
+            "bool": engine.topk_bool,
+            "wildcard": engine.topk_wildcard,
+            "regex": engine.topk_regex,
+            "boosted": engine.topk_boosted,
+            "msm": lambda qq, kk: engine.topk_msm(
+                qq, kk, min_should_match=args.msm
+            ),
+            "dismax": lambda qq, kk: engine.topk_dismax(
+                qq, kk, tie=args.tie
+            ),
+            "bmw": engine.topk_bmw,
+        }[mode]
+        if args.after is not None:
+            if mode not in ("exhaustive", "pruned"):
+                raise SystemExit("--after serves the bm25 union modes only")
+            score_s, _, doc_s = args.after.partition(",")
+            fn = lambda qq, kk: engine.topk_after(  # noqa: E731
+                qq, kk, after=(float(score_s), int(doc_s))
             )
-        else:
-            fn = {
-                "exhaustive": engine.topk,
-                "pruned": engine.topk_pruned,
-                "and": engine.topk_and,
-                "phrase": engine.topk_phrase,
-                "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
-                "seq": lambda qq, kk: engine.topk_seq(qq, args.window, kk),
-                "prefix": engine.topk_prefix,
-                "fuzzy": engine.topk_fuzzy,
-                "not": engine.topk_not,
-                "bool": engine.topk_bool,
-                "wildcard": engine.topk_wildcard,
-                "regex": engine.topk_regex,
-                "boosted": engine.topk_boosted,
-                "msm": lambda qq, kk: engine.topk_msm(
-                    qq, kk, min_should_match=args.msm
-                ),
-                "dismax": lambda qq, kk: engine.topk_dismax(
-                    qq, kk, tie=args.tie
-                ),
-                "bmw": engine.topk_bmw,
-            }[mode]
-            if args.after is not None:
-                if mode not in ("exhaustive", "pruned"):
-                    raise SystemExit("--after serves the bm25 union modes only")
-                score_s, _, doc_s = args.after.partition(",")
-                fn = lambda qq, kk: engine.topk_after(  # noqa: E731
-                    qq, kk, after=(float(score_s), int(doc_s))
-                )
-            rows = [
+        hits = fn(q, args.k)
+        rows = (
+            resolve_docs(engine.layout, hits)
+            if args.urls
+            else [
                 {"rank": i + 1, "doc_id": d, "score": s}
-                for i, (d, s) in enumerate(fn(q, args.k))
+                for i, (d, s) in enumerate(hits)
             ]
+        )
         print(json.dumps({"query": q, "results": rows}))
     return 0
 

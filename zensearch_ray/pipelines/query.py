@@ -1654,6 +1654,11 @@ class QueryEngine:
             "bool": self.topk_bool,
             "wildcard": self.topk_wildcard,
             "regex": self.topk_regex,
+            "boosted": self.topk_boosted,
+            "msm": self.topk_msm,
+            "dismax": self.topk_dismax,
+            "bmw": self.topk_bmw,
+            "fvf": lambda q, kk: self.topk_fvf(q, "doc_len", kk),
         }[mode]
         return resolve_docs(self.layout, fn(query, k))
 
