@@ -84,6 +84,14 @@ def test_exactly_once_and_contiguous_pos(sf_dir):
     ).all()
 
 
+def test_rejects_biased_shard_count(sf_dir):
+    with pytest.raises(ValueError, match="divide 16"):
+        seeded_shuffle(sf_dir, n_shards=5)
+    with pytest.raises(ValueError, match="divide 16"):
+        seeded_shuffle(sf_dir, n_shards=32)
+    assert len(_frame(sf_dir, n_shards=16)) == N  # 16 itself is fine
+
+
 def test_shards_are_reasonably_balanced(sf_dir):
     got = _frame(sf_dir)
     sizes = got.groupby("shard").size()

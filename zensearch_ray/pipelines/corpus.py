@@ -404,6 +404,14 @@ def seeded_shuffle(sf_dir: str, seed: str = "r3", n_shards: int = 8):
 
     import ray.data as rd
 
+    if 16 % n_shards != 0:
+        # one hex nibble yields 16 equiprobable values; any other
+        # modulus would bias shard sizes (and >16 would leave shards
+        # permanently empty) — widen the key slice if you need more
+        raise ValueError(
+            "n_shards must divide 16 (1/2/4/8/16); for more shards "
+            "derive the shard from more key nibbles"
+        )
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def keyed(t: pa.Table) -> pa.Table:

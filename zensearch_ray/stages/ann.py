@@ -182,7 +182,11 @@ def mmr_topk(ds, probe_vec: np.ndarray, k: int = 10, fetch_n: int = 50,
     )
     ids = cand[id_col].to_numpy()
     rel = cand["sim"].to_numpy()
-    mat = np.asarray(cand[emb_col].tolist(), dtype=np.float64)  # normalized
+    mat = (
+        np.asarray(cand[emb_col].tolist(), dtype=np.float64)  # normalized
+        if len(cand)
+        else np.zeros((0, 1))
+    )
     pair = mat @ mat.T  # candidate-candidate cosine
     n = len(ids)
     selected: list[int] = []
