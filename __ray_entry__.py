@@ -38,6 +38,9 @@ BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
+# all-plural twin of BM25_QUERY: the stem analyzer folds it onto the
+# singular corpus vocabulary (sparks→spark, ..., tables→table)
+STEM_QUERY = "sparks windows merges streams tables"
 # ranking-quality eval probes: the two standing queries, a rare-term
 # conjunction ('dup' df ≈ 5% — exercises the n_rel<k ideal-DCG
 # truncation), and a vocabulary-miss probe (n_rel must be 0 even
@@ -243,6 +246,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analyzer config: stopword-filtered index; the leading 'the'
         # in the query is inert (no postings), doc lengths exclude stops
         return corpus.stopword_topk(sf_dir, "the " + BM25_QUERY, k=10)
+
+    def stemq(sf_dir: str):
+        # analyzer config: S-stemmed index + query-side stemming via
+        # the manifest flag — the all-plural query folds onto the
+        # singular corpus terms
+        return corpus.stem_topk(sf_dir, STEM_QUERY, k=10)
 
     def percolate_docs(sf_dir: str):
         # reverse search: the standing boolean-query registry matched
@@ -808,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_topk": regexq,
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
+        "bm25_topk_stem": stemq,
         "bm25_topk_range": rng,
         "bm25_topk_fvf": fvf,
         "bm25_topk_rescored": rescored,
@@ -1074,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_topk": _regex_sql(REGEX_QUERY),
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
+        "bm25_topk_stem": _stem_sql(),
         "bm25_topk_range": _range_sql(),
         "bm25_topk_fvf": _fvf_sql(),
         "bm25_topk_rescored": _rescore_sql(),
@@ -3037,6 +3048,40 @@ def _match_stats_sql() -> str:
                round(min(dl.dl), 6) AS min_len,
                round(max(dl.dl), 6) AS max_len
         FROM scored JOIN dl USING (doc_id)
+    """
+
+
+_STEM_CASE = """CASE
+            WHEN term LIKE '%sses'
+                THEN substr(term, 1, length(term) - 2)
+            WHEN term LIKE '%ies' AND length(term) > 4
+                THEN substr(term, 1, length(term) - 3) || 'y'
+            WHEN term LIKE '%ss' OR term LIKE '%us' OR term LIKE '%is'
+                THEN term
+            WHEN term LIKE '%s' AND length(term) > 3
+                THEN substr(term, 1, length(term) - 1)
+            ELSE term END"""
+
+
+def _stem_sql() -> str:
+    """Stem-analyzer oracle: the exhaustive-BM25 body over the
+    S-STEMMED token stream (the exact CASE translation of
+    functions/text.s_stem — first-match-wins suffix rules), with the
+    query terms stemmed by the same Python function at generation
+    time. Token count (dl) is invariant; tf/df mass merges onto
+    stems."""
+    from zensearch_ray.functions.text import s_stem
+
+    qvals = ", ".join(f"('{s_stem(t)}')" for t in STEM_QUERY.split())
+    return f"""
+        WITH raw AS ({_TOKS}),
+        toks AS (SELECT doc_id, {_STEM_CASE} AS term FROM raw),
+        qterms(term) AS (VALUES {qvals}),
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
     """
 
 

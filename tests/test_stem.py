@@ -1,0 +1,127 @@
+"""S-stemmer analyzer (BuildConfig.stem): doc-side tf mass merges onto
+stems, doc_len is invariant, the query side stems identically via the
+manifest flag, and the positional-build incompatibility is enforced."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.functions.text import s_stem, tokenize
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+
+DOCS = [
+    # plural and singular variants of the same stem, across docs
+    "table tables analysis dresses dress",
+    "tables tables tables chair",
+    "study studies studies bonus",
+    "basis bus buses kiss kisses",
+    "chair chairs stool",
+    "unrelated filler words here",
+]
+
+
+def test_s_stem_rules():
+    assert s_stem("dresses") == "dress"
+    assert s_stem("studies") == "study"
+    assert s_stem("dress") == "dress"      # *ss unchanged
+    assert s_stem("bonus") == "bonus"      # *us unchanged
+    assert s_stem("basis") == "basis"      # *is unchanged
+    assert s_stem("tables") == "table"
+    assert s_stem("is") == "is"            # short words unchanged
+    assert s_stem("gas") == "gas"          # len 3, rule 4 needs > 3
+    assert s_stem("ties") == "ties" or len("ties") <= 4  # rule 2 len guard
+
+
+@pytest.fixture(scope="module")
+def stem_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stem_src")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array(DOCS),
+            "lang": pa.array(["en"] * len(DOCS)),
+            "source": pa.array(["t"] * len(DOCS)),
+            "n_chars": pa.array([len(x) for x in DOCS], pa.int64()),
+        }
+    )
+    src = str(d / "documents.parquet")
+    pq.write_table(t, src)
+    idx = str(d / "idx")
+    import ray.data as rd
+
+    build_index(
+        rd.read_parquet(src, columns=["doc_id", "text", "lang", "source"]),
+        idx,
+        BuildConfig(num_shards=4, salt_subs=2, lang=None, id_col="doc_id",
+                    stem=True),
+    )
+    return idx
+
+
+def test_tf_merges_onto_stem(stem_index):
+    eng = QueryEngine(stem_index)
+    # doc 0 has table(1) + tables(1) → stem tf 2; doc 1 tables(3)
+    p = eng.lookup("table")
+    ids, tfs, _ = p.decode_all()
+    got = dict(zip(ids.tolist(), tfs.tolist()))
+    assert got == {0: 2, 1: 3}
+    # the surface plural has NO postings of its own
+    assert eng.lookup("tables") is None
+
+
+def test_doc_len_invariant(stem_index):
+    eng = QueryEngine(stem_index)
+    # avgdl over token counts (stemming drops nothing)
+    import numpy as np
+
+    expect = np.mean([len(tokenize(t)) for t in DOCS])
+    assert abs(eng.avgdl - expect) < 1e-9
+
+
+def test_query_side_stems(stem_index):
+    eng = QueryEngine(stem_index)
+    assert eng.stem is True
+    plural = eng.topk("tables chairs", 10)
+    singular = eng.topk("table chair", 10)
+    assert plural == singular and plural
+    # docs containing only the singular form ARE found by the plural
+    hits = {d for d, _ in eng.topk("studies", 10)}
+    assert 2 in hits  # doc 2 holds 'study' + 'studies' under one stem
+    # protected suffixes stay distinct
+    assert {d for d, _ in eng.topk("bonus", 10)} == {2}
+
+
+def test_unstemmed_index_keeps_raw_query(ray_session, tmp_path):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array(DOCS),
+            "lang": pa.array(["en"] * len(DOCS)),
+            "source": pa.array(["t"] * len(DOCS)),
+            "n_chars": pa.array([len(x) for x in DOCS], pa.int64()),
+        }
+    )
+    src = str(tmp_path / "documents.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx_raw")
+    import ray.data as rd
+
+    build_index(
+        rd.read_parquet(src, columns=["doc_id", "text", "lang", "source"]),
+        idx,
+        BuildConfig(num_shards=4, salt_subs=2, lang=None, id_col="doc_id"),
+    )
+    eng = QueryEngine(idx)
+    assert eng.stem is False
+    # raw index: plural and singular are distinct terms
+    assert eng.lookup("tables") is not None
+    assert eng.topk("tables", 10) != eng.topk("table", 10)
+
+
+def test_stem_rejects_positions(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="positional"):
+        build_index(
+            str(tmp_path), str(tmp_path / "x"),
+            BuildConfig(stem=True, positions=True),
+        )

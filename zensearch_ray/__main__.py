@@ -43,6 +43,7 @@ def _cfg_of(args):
         attrs=tuple(args.attrs),
         title_boost=args.title_boost,
         stopwords=tuple(s for s in args.stopwords.split(",") if s),
+        stem=args.stem,
         sig_store=args.sigstore,
     )
 
@@ -746,6 +747,11 @@ def main(argv=None) -> int:
             help="comma-separated terms dropped at index time (Lucene "
                  "StopFilter semantics: removed from tf and doc_len; "
                  "not with --positions)",
+        )
+        p.add_argument(
+            "--stem", action="store_true",
+            help="plural S-stemmer at index time (query side stems "
+                 "automatically via the manifest; not with --positions)",
         )
         p.add_argument(
             "--sigstore", action="store_true",

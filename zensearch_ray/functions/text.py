@@ -38,6 +38,28 @@ def doc_length(text: str) -> int:
     return len(tokenize(text))
 
 
+def s_stem(tok: str) -> str:
+    """Plural S-stemmer (Harman 1991 family), PINNED exactly so the
+    whole analyzer is SQL-expressible (Porter is not):
+
+      1. ``*sses``             → drop ``es``   (dresses → dress)
+      2. ``*ies`` and len > 4  → ``*y``        (studies → study)
+      3. ``*ss`` | ``*us`` | ``*is`` → unchanged (dress, bonus, basis)
+      4. ``*s``  and len > 3   → drop ``s``    (tables → table)
+
+    Rules apply first-match-wins on the already-normalized token.
+    Deterministic, pure — doc and query sides share it."""
+    if tok.endswith("sses"):
+        return tok[:-2]
+    if tok.endswith("ies") and len(tok) > 4:
+        return tok[:-3] + "y"
+    if tok.endswith(("ss", "us", "is")):
+        return tok
+    if tok.endswith("s") and len(tok) > 3:
+        return tok[:-1]
+    return tok
+
+
 def term_frequencies(text: str) -> dict[str, int]:
     """Per-document term → tf histogram (token-equality counting,
     replacing the reference's substring ``strings.Count`` at tf.go:21).

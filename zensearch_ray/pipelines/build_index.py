@@ -100,6 +100,12 @@ class BuildConfig:
     # term simply has no postings). Incompatible with positions=True
     # (token removal changes phrase adjacency).
     stopwords: tuple = ()
+    # analyzer config: index-time plural stemming (the pinned
+    # S-stemmer, functions/text.s_stem) — tf mass merges onto the
+    # stem, doc_len invariant; the QUERY side stems too (the engine
+    # reads the flag from the manifest). Incompatible with
+    # positions=True (a stem merge would splice position lists).
+    stem: bool = False
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0,
@@ -199,6 +205,10 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         # a filtered token stream is different index CONTENT (tf, dl,
         # df, avgdl all shift) — never mix with an unfiltered build
         spec["stopwords"] = sorted(cfg.stopwords)
+    if cfg.stem:
+        # stemmed terms are different index CONTENT (only-when-set so
+        # existing fingerprints stay stable)
+        spec["stem"] = True
     return hashlib.blake2s(
         json.dumps(spec, sort_keys=True).encode(), digest_size=8
     ).hexdigest()
@@ -452,6 +462,11 @@ def build_index(
             "stopwords are incompatible with a positional build "
             "(token removal changes phrase adjacency semantics)"
         )
+    if cfg.stem and cfg.positions:
+        raise ValueError(
+            "stem is incompatible with a positional build "
+            "(merging tokens onto stems would splice position lists)"
+        )
     layout = IndexLayout(index_dir)
     layout.ensure_dirs()
     t_start = time.perf_counter()
@@ -501,6 +516,7 @@ def build_index(
             "attrs": cfg.attrs,
             "title_boost": cfg.title_boost,
             "stopwords": cfg.stopwords,
+            "stem": cfg.stem,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
@@ -576,6 +592,7 @@ def build_index(
         "salt_subs": cfg.salt_subs,
         "positions": cfg.positions,
         "stopwords": sorted(cfg.stopwords),
+        "stem": cfg.stem,
         "k1": cfg.params.k1,
         "b": cfg.params.b,
         "heavy_df_threshold": stats["heavy_df_threshold"],
@@ -661,6 +678,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
             "attrs": cfg.attrs,
             "title_boost": cfg.title_boost,
             "stopwords": cfg.stopwords,
+            "stem": cfg.stem,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,

@@ -954,6 +954,36 @@ def stopword_index_dir_for(sf_dir: str) -> str:
     return d
 
 
+def stem_index_dir_for(sf_dir: str) -> str:
+    """Cached stem-analyzer index twin (separate dir — stemmed terms
+    are different index contents; fingerprint-enforced)."""
+    import dataclasses
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}_stem")
+    cfg = dataclasses.replace(_INDEX_CFG, stem=True)
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg),
+                  expect_fp=_expected_fp(cfg))
+    return d
+
+
+def stem_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k over the S-stemmed index: surface plural/singular
+    variants share one posting list (tf mass merges onto the stem,
+    doc_len invariant), and the engine stems the query identically via
+    the manifest flag — "tables" finds "table" docs and vice versa.
+    Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(stem_index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def stopword_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     """BM25 top-k over the stopword-filtered index: stop terms carry no
     postings and doc lengths count surviving tokens only (Lucene

@@ -249,6 +249,25 @@ class QueryEngine:
         # tombstones (pipelines/delete.py): loaded once per engine;
         # deletes applied after construction need a reopen to be seen
         self.deleted = layout.read_deletes()
+        # analyzer config echoed from the manifest: a stem-built index
+        # stores stems, so the QUERY tokens must stem identically or
+        # surface forms would silently miss ("tables" vs stored "table")
+        self.stem = bool(self.manifest.get("stem", False))
+
+    def _qtokens(self, text: str) -> list[str]:
+        """Query-side analysis: the pinned tokenizer plus, iff the
+        index was stem-built, the same pinned S-stemmer — doc and query
+        sides MUST share the analyzer (Lucene's search-analyzer rule).
+        Serves the scoring family (topk/pruned/bmw/and/sim/boosted/
+        msm/dismax/not/explain); pattern modes (prefix/wildcard/regex/
+        fuzzy) match the stored dictionary directly and positional
+        modes are build-incompatible with stemming."""
+        toks = tokenize(text)
+        if self.stem:
+            from zensearch_ray.functions.text import s_stem
+
+            toks = [s_stem(t) for t in toks]
+        return toks
 
     # -- lookup -----------------------------------------------------------
     def _part_files(self, shard: int) -> list[str]:
@@ -372,7 +391,7 @@ class QueryEngine:
         """tokens (with multiplicity) → [(postings, idf)] skipping
         df=0 / idf=0 terms, mirroring the oracle's term loop."""
         plan = []
-        for tok in tokenize(query):
+        for tok in self._qtokens(query):
             p = self.lookup(tok)
             if p is None:
                 continue
@@ -444,7 +463,7 @@ class QueryEngine:
             raise ValueError(f"unknown similarity: {similarity!r}")
         total = self.avgdl * self.n_docs
         all_ids, all_contrib = [], []
-        for tok in dict.fromkeys(tokenize(query)):
+        for tok in dict.fromkeys(self._qtokens(query)):
             p = self.lookup(tok)
             if p is None:
                 continue
@@ -527,7 +546,7 @@ class QueryEngine:
             if "^" in part:
                 part, _, suffix = part.rpartition("^")
                 boost = float(suffix)
-            for tok in tokenize(part):
+            for tok in self._qtokens(part):
                 p = self.lookup(tok)
                 if p is None:
                     continue
@@ -549,7 +568,7 @@ class QueryEngine:
         score) — mirroring the SQL oracle's count(term-matches) over
         the tf relation."""
         all_ids, all_contrib = [], []
-        for tok in dict.fromkeys(tokenize(query)):
+        for tok in dict.fromkeys(self._qtokens(query)):
             p = self.lookup(tok)
             if p is None:
                 continue
@@ -583,7 +602,7 @@ class QueryEngine:
         score.go:19-95``). Per-term contributions, zero-score filter
         and (score DESC, doc_id ASC) order are the checked BM25 ones."""
         all_ids, all_contrib = [], []
-        for tok in dict.fromkeys(tokenize(query)):
+        for tok in dict.fromkeys(self._qtokens(query)):
             p = self.lookup(tok)
             if p is None:
                 continue
@@ -729,7 +748,7 @@ class QueryEngine:
             return []
         # _term_plan semantics, but keeping the term string
         plan = []
-        for tok in tokenize(query):
+        for tok in self._qtokens(query):
             p = self.lookup(tok)
             if p is None:
                 continue
@@ -1305,7 +1324,7 @@ class QueryEngine:
         if not plan:
             return []
         excl_ids: list[np.ndarray] = []
-        for tok in set(tokenize(neg_q)):
+        for tok in set(self._qtokens(neg_q)):
             p = self.lookup(tok)
             if p is not None:
                 excl_ids.append(p.decode_all()[0])
@@ -1429,7 +1448,7 @@ class QueryEngine:
         only shrink it); scores are the same BM25 sum as ``topk``, so
         the result is ``topk`` restricted to the intersection."""
         plan = self._term_plan(query)
-        toks = set(tokenize(query))
+        toks = set(self._qtokens(query))
         # a distinct query term with no postings → empty intersection.
         # (idf==0 terms still constrain membership but add 0 score.)
         seen_terms = set()

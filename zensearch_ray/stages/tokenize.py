@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from zensearch_ray.functions.ids import hash64, url_doc_id
-from zensearch_ray.functions.text import term_frequencies, tokenize
+from zensearch_ray.functions.text import s_stem, term_frequencies, tokenize
 
 
 def part_key(shard: int, sub: int, salt_subs: int) -> int:
@@ -45,9 +45,22 @@ class TokenizeStage:
         attrs: tuple = (),
         title_boost: int = 0,
         stopwords: tuple = (),
+        stem: bool = False,
     ):
         self.text_col = text_col
         self.id_col = id_col  # None → derive doc_id = hash64(url)
+        # index-time plural stemming (the pinned S-stemmer,
+        # functions/text.s_stem): applied per UNIQUE term AFTER the
+        # stopword filter — tf mass merges onto the stem, doc_len is
+        # invariant (no token is dropped). Incompatible with positions
+        # for the same reason as stopwords: the positional arrays key
+        # raw tokens and a stem merge would splice occurrence lists.
+        self.stem = stem
+        if stem and positions:
+            raise ValueError(
+                "stem is incompatible with a positional build: "
+                "merging tokens onto stems would splice position lists"
+            )
         # index-time stopword removal (analyzer config): stop terms are
         # dropped from tf AND doc_len (Lucene StopFilter semantics), so
         # df/idf/avgdl all reflect the filtered token stream and the
@@ -189,6 +202,12 @@ class TokenizeStage:
             if stop:
                 for s in stop:
                     tf.pop(s, None)
+            if self.stem:
+                st: dict = {}
+                for t, v in tf.items():
+                    k2 = s_stem(t)
+                    st[k2] = st.get(k2, 0) + v
+                tf = st
             all_terms.extend(tf.keys())
             v = np.fromiter(tf.values(), dtype=np.int32, count=len(tf))
             tf_arrays.append(v)
@@ -342,6 +361,7 @@ def tokenize_batch(
     attrs: tuple = (),
     title_boost: int = 0,
     stopwords: tuple = (),
+    stem: bool = False,
 ) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
@@ -353,7 +373,7 @@ def tokenize_batch(
     """
     return TokenizeStage(
         id_col=id_col, positions=positions, attrs=attrs,
-        title_boost=title_boost, stopwords=stopwords,
+        title_boost=title_boost, stopwords=stopwords, stem=stem,
     )(batch)
 
 
