@@ -119,9 +119,40 @@ def test_unstemmed_index_keeps_raw_query(ray_session, tmp_path):
     assert eng.topk("tables", 10) != eng.topk("table", 10)
 
 
-def test_stem_rejects_positions(ray_session, tmp_path):
-    with pytest.raises(ValueError, match="positional"):
-        build_index(
-            str(tmp_path), str(tmp_path / "x"),
-            BuildConfig(stem=True, positions=True),
-        )
+def test_stem_with_positions_phrase(ray_session, tmp_path):
+    """Stemming is position-compatible (no token drops): a positional
+    stem build answers phrase queries across surface variants — the
+    plural phrase matches the singular run and vice versa."""
+    docs = [
+        "red tables stand here",     # 0: 'table stand' as stems, adjacent
+        "red table stands here",     # 1: same stems, adjacent
+        "tables red stand here",     # 2: both stems, NOT adjacent
+        "blue chair sits there",     # 3: neither
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(x) for x in docs], pa.int64()),
+        }
+    )
+    src = str(tmp_path / "documents.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx_pos_stem")
+    import ray.data as rd
+
+    build_index(
+        rd.read_parquet(src, columns=["doc_id", "text", "lang", "source"]),
+        idx,
+        BuildConfig(num_shards=4, salt_subs=2, lang=None, id_col="doc_id",
+                    stem=True, positions=True),
+    )
+    eng = QueryEngine(idx)
+    for phrase in ("tables stand", "table stands", "tables stands"):
+        hits = {d for d, _ in eng.topk_phrase(phrase, 10)}
+        assert hits == {0, 1}, (phrase, hits)
+    # near/seq stem too
+    assert {d for d, _ in eng.topk_near("tables stands", window=3, k=10)} \
+        == {0, 1, 2}

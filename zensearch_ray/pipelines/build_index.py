@@ -103,8 +103,8 @@ class BuildConfig:
     # analyzer config: index-time plural stemming (the pinned
     # S-stemmer, functions/text.s_stem) — tf mass merges onto the
     # stem, doc_len invariant; the QUERY side stems too (the engine
-    # reads the flag from the manifest). Incompatible with
-    # positions=True (a stem merge would splice position lists).
+    # reads the flag from the manifest). Compatible with positions
+    # (no token is dropped, so every occurrence keeps its offset).
     stem: bool = False
 
 
@@ -461,11 +461,6 @@ def build_index(
         raise ValueError(
             "stopwords are incompatible with a positional build "
             "(token removal changes phrase adjacency semantics)"
-        )
-    if cfg.stem and cfg.positions:
-        raise ValueError(
-            "stem is incompatible with a positional build "
-            "(merging tokens onto stems would splice position lists)"
         )
     layout = IndexLayout(index_dir)
     layout.ensure_dirs()

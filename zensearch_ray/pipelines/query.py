@@ -259,9 +259,10 @@ class QueryEngine:
         index was stem-built, the same pinned S-stemmer — doc and query
         sides MUST share the analyzer (Lucene's search-analyzer rule).
         Serves the scoring family (topk/pruned/bmw/and/sim/boosted/
-        msm/dismax/not/explain); pattern modes (prefix/wildcard/regex/
-        fuzzy) match the stored dictionary directly and positional
-        modes are build-incompatible with stemming."""
+        msm/dismax/not/explain) AND the positional modes (phrase/near/
+        seq — positions key stems, every occurrence keeps its offset);
+        pattern modes (prefix/wildcard/regex/fuzzy) match the stored
+        dictionary directly."""
         toks = tokenize(text)
         if self.stem:
             from zensearch_ray.functions.text import s_stem
@@ -691,7 +692,7 @@ class QueryEngine:
         # phase 2: phrase score over WINDOW docs only — conjunctive
         # membership, positional adjacency verify, same contribution
         # kernels as topk_phrase (idf==0 terms constrain, add 0).
-        toks = tokenize(phrase)
+        toks = self._qtokens(phrase)
         cand = np.sort(w_ids)
         postings = []
         for tok in set(toks):
@@ -1492,7 +1493,7 @@ class QueryEngine:
                 "index was built without positions "
                 "(BuildConfig(positions=True) enables phrase queries)"
             )
-        toks = tokenize(phrase)
+        toks = self._qtokens(phrase)
         if not toks:
             return []
         hits = self.topk_and(phrase, k=1 << 62)  # ALL intersection docs
@@ -1549,7 +1550,7 @@ class QueryEngine:
             )
         if window < 0:
             raise ValueError("window must be >= 0")
-        terms = list(dict.fromkeys(tokenize(query)))
+        terms = list(dict.fromkeys(self._qtokens(query)))
         if not terms:
             return []
         hits = self.topk_and(query, k=1 << 62)
@@ -1619,7 +1620,7 @@ class QueryEngine:
             )
         if gap < 1:
             raise ValueError("gap must be >= 1")
-        toks = tokenize(query)
+        toks = self._qtokens(query)
         if not toks:
             return []
         hits = self.topk_and(query, k=1 << 62)

@@ -52,15 +52,12 @@ class TokenizeStage:
         # index-time plural stemming (the pinned S-stemmer,
         # functions/text.s_stem): applied per UNIQUE term AFTER the
         # stopword filter — tf mass merges onto the stem, doc_len is
-        # invariant (no token is dropped). Incompatible with positions
-        # for the same reason as stopwords: the positional arrays key
-        # raw tokens and a stem merge would splice occurrence lists.
+        # invariant (no token is dropped). COMPATIBLE with positions,
+        # unlike stopwords: no token is removed, so every occurrence
+        # keeps its offset — the positional branch stems the token
+        # stream before factorizing, and surface variants' occurrence
+        # lists merge under one stem key with adjacency intact.
         self.stem = stem
-        if stem and positions:
-            raise ValueError(
-                "stem is incompatible with a positional build: "
-                "merging tokens onto stems would splice position lists"
-            )
         # index-time stopword removal (analyzer config): stop terms are
         # dropped from tf AND doc_len (Lucene StopFilter semantics), so
         # df/idf/avgdl all reflect the filtered token stream and the
@@ -137,6 +134,8 @@ class TokenizeStage:
             outer_counts = np.empty(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
                 toks = tokenize(text)
+                if self.stem:
+                    toks = [s_stem(t) for t in toks]
                 doc_lens[i] = len(toks)
                 if not toks:
                     outer_counts[i] = 0
