@@ -71,6 +71,9 @@ _BOOST_VALUES = (
     " ('stream', 1.0), ('table', 1.0))"
 )
 MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
+BOOSTING_NEG_QUERY = "merge stream"  # boosting-query negative leg
+NEG_BOOST = 0.3  # demotion factor for docs matching a negative term
+SPANFIRST_N = 3  # span_first window: first occurrence within N tokens
 DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 COMPLETE_PREFIX = "s"  # autocomplete probe prefix
 SIG_QUERY = "hash join"  # significant-terms foreground probe
@@ -164,6 +167,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lmd(sf_dir: str):
         # LM Dirichlet (mu=2000), matched-terms-only Lucene shape
         return corpus.sim_topk(sf_dir, BM25_QUERY, "lmd", k=10)
+
+    def bm25plus(sf_dir: str):
+        # BM25+ (Lv & Zhai 2011): idf * (tf_norm + 1.0) per matched term
+        return corpus.sim_topk(sf_dir, BM25_QUERY, "bm25plus", k=10)
+
+    def boosting(sf_dir: str):
+        # ES boosting query: BM25 over the positive terms, docs touching
+        # any negative term demoted by NEG_BOOST (not excluded)
+        return corpus.boosting_topk(
+            sf_dir, BM25_QUERY, BOOSTING_NEG_QUERY, k=10,
+            negative_boost=NEG_BOOST,
+        )
+
+    def spanfirst(sf_dir: str):
+        # span_first(span_or(terms), end=SPANFIRST_N): some query term
+        # must occur within the doc's first SPANFIRST_N tokens
+        return corpus.spanfirst_topk(sf_dir, BM25_QUERY, SPANFIRST_N, k=10)
 
     def bm25_deleted(sf_dir: str):
         # tombstoned docs (doc_id % 17 == 3) excluded from results;
@@ -808,6 +828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_dismax": bm25_dismax,
         "tfidf_topk": tfidf,
         "lmd_topk": lmd,
+        "bm25plus_topk": bm25plus,
+        "boosting_topk": boosting,
+        "spanfirst_topk": spanfirst,
         "bm25_topk_deleted": bm25_deleted,
         "bm25_topk_purged": bm25_purged,
         "bm25_topk_filtered": bm25_filtered,
@@ -1078,6 +1101,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_dismax": _bm25_dismax_sql(),
         "tfidf_topk": _tfidf_sql(),
         "lmd_topk": _lmd_sql(),
+        "bm25plus_topk": _bm25plus_sql(),
+        "boosting_topk": _boosting_sql(),
+        "spanfirst_topk": _spanfirst_sql(),
         "bm25f_topk": _bm25f_sql(),
         "bool_topk": _bool_sql(BOOL_QUERY),
         "wildcard_topk": _wildcard_sql(WILDCARD_QUERY),
@@ -4100,6 +4126,133 @@ def _ranking_eval_sql(k: int = 10) -> str:
             FROM m
         )""")
     return " UNION ALL ".join(blocks) + " ORDER BY query"
+
+
+def _bm25plus_sql() -> str:
+    """BM25+ (Lv & Zhai 2011): per matched DISTINCT term the
+    contribution is idf · (tf_norm + 1.0) — same k1/b kernel, idf=0
+    terms contribute nothing (ln(N/df)=0 zeroes both halves' weight),
+    zero-score filter and (score DESC, doc_id ASC) order as BM25."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   ((tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                    + 1.0)
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _boosting_sql() -> str:
+    """ES boosting query: the standard BM25 score over the positive
+    terms, multiplied by NEG_BOOST when the doc contains ANY negative
+    term; demotion precedes the zero-score filter and the order."""
+    neg_terms = sorted(set(BOOSTING_NEG_QUERY.split()))
+    neg_values = "(VALUES " + ", ".join(f"('{t}')" for t in neg_terms) + ")"
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        nterms(term) AS {neg_values},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        negset AS (
+            SELECT DISTINCT t.doc_id
+            FROM toks t JOIN nterms n USING (term)
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT c.doc_id,
+                   sum(c.c) * CASE WHEN c.doc_id IN (SELECT doc_id FROM negset)
+                                   THEN {NEG_BOOST} ELSE 1.0 END AS score
+            FROM contrib c GROUP BY c.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _spanfirst_sql() -> str:
+    """span_first(span_or(query terms), end=SPANFIRST_N): candidates
+    are docs where some query term's first occurrence sits at 1-based
+    token position <= N (DuckDB ``list_position``); ranked by the
+    unfiltered BM25 sum (filter-then-rank, stats corpus-global)."""
+    return f"""
+        WITH tl AS (SELECT doc_id, {_TOKLIST} AS l FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM tl),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        qual AS (
+            SELECT DISTINCT tl.doc_id
+            FROM tl JOIN qterms q ON
+                 list_position(tl.l, q.term) BETWEEN 1 AND {SPANFIRST_N}
+        ),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (
+            SELECT doc_id, sum(c) AS score FROM contrib
+            WHERE doc_id IN (SELECT doc_id FROM qual)
+            GROUP BY doc_id
+        )
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
 
 
 def _bm25_sql() -> str:

@@ -238,7 +238,16 @@ def cmd_query(args) -> int:
                 qq, kk, tie=args.tie
             ),
             "bmw": engine.topk_bmw,
+            "spanfirst": lambda qq, kk: engine.topk_spanfirst(
+                qq, args.first_n, kk
+            ),
         }[mode]
+        if args.negative is not None:
+            if mode not in ("exhaustive", "pruned"):
+                raise SystemExit("--negative serves the bm25 union modes only")
+            fn = lambda qq, kk: engine.topk_boosting(  # noqa: E731
+                qq, args.negative, kk, negative_boost=args.negative_boost
+            )
         if args.after is not None:
             if mode not in ("exhaustive", "pruned"):
                 raise SystemExit("--after serves the bm25 union modes only")
@@ -785,7 +794,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax", "bmw"],
+        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax", "bmw", "spanfirst"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -809,11 +818,27 @@ def main(argv=None) -> int:
     )
     q.add_argument(
         "--similarity",
-        choices=["bm25", "tfidf", "lmd"],
+        choices=["bm25", "tfidf", "lmd", "bm25plus"],
         default=None,
         help="ranking function over the same index (Lucene Similarity "
              "plug): bm25 (default), tfidf (SMART ltn), lmd "
-             "(LM Dirichlet mu=2000); exhaustive evaluation",
+             "(LM Dirichlet mu=2000), bm25plus (BM25+ delta=1.0); "
+             "exhaustive evaluation",
+    )
+    q.add_argument(
+        "--negative", metavar="TERMS", default=None,
+        help="boosting query: demote (not exclude) docs containing any "
+             "of these space-separated terms; exhaustive evaluation",
+    )
+    q.add_argument(
+        "--negative-boost", type=float, default=0.3,
+        help="demotion factor for --negative matches (default 0.3)",
+    )
+    q.add_argument(
+        "--first-n", type=int, default=10,
+        help="--mode spanfirst: some query term must first occur "
+             "within the doc's first N tokens (requires --positions "
+             "index; default 10)",
     )
     q.add_argument(
         "--fvf", metavar="COL", default=None,

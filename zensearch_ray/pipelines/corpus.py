@@ -1252,7 +1252,8 @@ def sim_topk(
     sf_dir: str, query: str, similarity: str, k: int = 10
 ) -> pd.DataFrame:
     """Top-k under a pluggable similarity (``tfidf`` SMART ltn /
-    ``lmd`` LM-Dirichlet μ=2000) over the SAME cached index segments
+    ``lmd`` LM-Dirichlet μ=2000 / ``bm25plus`` BM25+ δ=1.0) over the
+    SAME cached index segments
     as ``bm25_topk`` — the ranking function swaps without re-indexing
     (Lucene Similarity semantics). Columns: (rank, doc_id, score),
     score rounded to 6 decimals like every scored oracle entry."""
@@ -1372,6 +1373,44 @@ def significant_terms(
     from zensearch_ray.pipelines.export import significant_terms as _sig
 
     return _sig(index_dir_for(sf_dir), query, k=k, min_fg_df=min_fg_df)
+
+
+def boosting_topk(
+    sf_dir: str, query: str, negative: str, k: int = 10,
+    negative_boost: float = 0.3,
+) -> pd.DataFrame:
+    """Top-k under an ES-style boosting query: ranked by the positive
+    query's BM25, docs matching any negative term demoted by
+    ``negative_boost`` (see ``QueryEngine.topk_boosting``). Columns
+    (rank, doc_id, score), score round6'd like every scored entry."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_boosting(
+        query, negative, k, negative_boost=negative_boost
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
+def spanfirst_topk(
+    sf_dir: str, query: str, first_n: int, k: int = 10
+) -> pd.DataFrame:
+    """Top-k restricted to docs where some query term occurs within
+    the first ``first_n`` tokens (Lucene ``span_first`` over a
+    ``span_or``; see ``QueryEngine.topk_spanfirst``) — uses the
+    positional index twin. Columns (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+    hits = engine.topk_spanfirst(query, first_n, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
 
 
 def dismax_topk(

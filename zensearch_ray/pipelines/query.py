@@ -436,6 +436,7 @@ class QueryEngine:
         k: int = 10,
         similarity: str = "bm25",
         mu: float = LMD_MU,
+        delta: float = 1.0,
     ) -> list[tuple[int, float]]:
         """Pluggable similarity over the same postings — the Lucene
         ``Similarity`` plug-point (the reference hard-codes BM25,
@@ -457,10 +458,16 @@ class QueryEngine:
           postings (post-tombstone). Contributions can be negative, so
           no zero-score filter: every doc matching ≥1 query term is a
           candidate, ranked by (score DESC, doc_id ASC).
+        - ``bm25plus``: BM25+ (Lv & Zhai, CIKM 2011 — the
+          lower-bounding fix for BM25's over-penalization of long
+          docs): contribution ``idf · (tf_norm + δ)`` per matched
+          DISTINCT query term with δ = ``delta`` (paper default 1.0);
+          tf_norm is the checked k1/b kernel, idf=0 terms skipped,
+          zero-score filter and tie order as in the BM25 path.
         """
         if similarity == "bm25":
             return self.topk(query, k)
-        if similarity not in ("tfidf", "lmd"):
+        if similarity not in ("tfidf", "lmd", "bm25plus"):
             raise ValueError(f"unknown similarity: {similarity!r}")
         total = self.avgdl * self.n_docs
         all_ids, all_contrib = [], []
@@ -478,6 +485,13 @@ class QueryEngine:
                 if w == 0.0:
                     continue
                 contrib = w * (1.0 + np.log(tfs))
+            elif similarity == "bm25plus":
+                w = idf(self.n_docs, p.df)
+                if w == 0.0:
+                    continue
+                contrib = w * (
+                    tf_norm(tfs, dls, self.avgdl, self.params) + delta
+                )
             else:  # lmd — expression shape mirrors the SQL oracle
                 ctf = float(tfs.sum())
                 contrib = np.log(1.0 + tfs * total / (mu * ctf)) + np.log(
@@ -492,7 +506,7 @@ class QueryEngine:
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contrib)
-        if similarity == "tfidf":
+        if similarity in ("tfidf", "bm25plus"):
             keep = scores > 0.0
             uniq, scores = uniq[keep], scores[keep]
         top_ids, top_sc = topk_order(uniq, scores, k)
@@ -650,6 +664,92 @@ class QueryEngine:
         v = self._numeric_values(uniq, col)
         factor = np.log1p(np.where(np.isnan(v), 0.0, v))
         top_ids, top_sc = topk_order(uniq, scores * factor, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_boosting(
+        self, query: str, negative: str, k: int = 10,
+        negative_boost: float = 0.3,
+    ) -> list[tuple[int, float]]:
+        """Boosting query — Lucene's ``BoostingQuery`` / Elasticsearch's
+        ``boosting`` clause: docs are ranked by the positive ``query``'s
+        checked BM25 union sum, and any doc containing ANY term of
+        ``negative`` keeps its candidacy but has its score multiplied
+        by ``negative_boost`` (demotion, not exclusion — ``topk_not``
+        is the exclusion form). The reference has no negative-relevance
+        concept (terms only ever add,
+        ``search-engine/internal/bm25/score.go:77-82``). Membership in
+        the negative set comes from the negative terms' posting doc-id
+        union alone — no corpus access, no scoring of the negative leg.
+        Demotion applies BEFORE the zero-score filter and the
+        (score DESC, doc_id ASC) order, mirroring the SQL oracle's
+        CASE expression."""
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        neg_ids = []
+        for tok in dict.fromkeys(self._qtokens(negative)):
+            p = self.lookup(tok)
+            if p is not None:
+                neg_ids.append(p.decode_all()[0])
+        if neg_ids:
+            bad = np.unique(np.concatenate(neg_ids))
+            if len(bad):
+                j = np.searchsorted(bad, uniq)
+                hit = (j < len(bad)) & (
+                    bad[np.minimum(j, len(bad) - 1)] == uniq
+                )
+                scores = np.where(hit, scores * negative_boost, scores)
+        mask = scores > 0.0
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_spanfirst(
+        self, query: str, first_n: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Span-first filter — Lucene/ES ``span_first`` wrapping a
+        ``span_or`` of the query terms: only docs where at least one
+        query term FIRST occurs within the first ``first_n`` tokens
+        (0-based offset < n ⇔ 1-based position <= n) are candidates;
+        candidates are ranked by the full checked BM25 union over the
+        query. Filter-then-rank semantics (the ``topk_filtered`` rule:
+        idf/avgdl stay corpus-global, surviving scores equal the
+        unfiltered ones). The filter reads ONLY the query terms'
+        positional postings — the 'match in the title/lede counts'
+        heuristic without a separate title field (the BM25F build is
+        the field-aware form). Filter membership counts idf=0 terms (a
+        stopword in the lede still places the doc); scoring skips them
+        like every mode. Requires the positional index."""
+        if not self.positional:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig(positions=True) enables span-first queries)"
+            )
+        if first_n <= 0:
+            return []
+        qual_parts = []
+        for tok in dict.fromkeys(self._qtokens(query)):
+            p = self.lookup(tok)
+            if p is None:
+                continue
+            ids = p.decode_all()[0]
+            if len(ids) == 0:
+                continue
+            rep, flat = p.positions_pairs(ids)
+            first = np.full(len(ids), np.iinfo(np.int64).max)
+            np.minimum.at(first, rep, flat)
+            qual_parts.append(ids[first < first_n])
+        if not qual_parts:
+            return []
+        qual = np.unique(np.concatenate(qual_parts))
+        plan = self._term_plan(query)
+        if not plan or len(qual) == 0:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        j = np.searchsorted(qual, uniq)
+        ok = (j < len(qual)) & (qual[np.minimum(j, len(qual) - 1)] == uniq)
+        mask = ok & (scores > 0.0)
+        top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
     def topk_rescored(
