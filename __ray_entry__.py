@@ -74,6 +74,11 @@ MSM_M = 3  # minimum_should_match: >= 3 of the 5 BM25_QUERY terms
 BOOSTING_NEG_QUERY = "merge stream"  # boosting-query negative leg
 NEG_BOOST = 0.3  # demotion factor for docs matching a negative term
 SPANFIRST_N = 3  # span_first window: first occurrence within N tokens
+DECAY_ORIGIN = 40.0  # decay scoring: preferred doc_len (tokens)
+DECAY_SCALE = 30.0  # decay scoring: distance where multiplier = rate
+DECAY_OFFSET = 5.0  # decay scoring: no-penalty halo around origin
+DECAY_RATE = 0.5  # decay scoring: multiplier at origin±(offset+scale)
+RANDOM_SEED = 7  # random_score draw seed
 DISMAX_TIE = 0.3  # DisjunctionMaxQuery tie-breaker weight
 COMPLETE_PREFIX = "s"  # autocomplete probe prefix
 SIG_QUERY = "hash join"  # significant-terms foreground probe
@@ -242,6 +247,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fvf(sf_dir: str):
         # ES function_score / field_value_factor: BM25 × ln(1+doc_len)
         return corpus.fvf_topk(sf_dir, BM25_QUERY, k=10)
+
+    def decay_gauss(sf_dir: str):
+        # ES function_score gauss decay on doc_len: BM25 ×
+        # 0.5^((max(0,|dl-40|-5)/30)^2)
+        return corpus.decay_topk(
+            sf_dir, BM25_QUERY, "gauss",
+            DECAY_ORIGIN, DECAY_SCALE, DECAY_OFFSET, DECAY_RATE, k=10,
+        )
+
+    def decay_linear(sf_dir: str):
+        # ES function_score linear decay (exercises the 0-clamp)
+        return corpus.decay_topk(
+            sf_dir, BM25_QUERY, "linear",
+            DECAY_ORIGIN, DECAY_SCALE, DECAY_OFFSET, DECAY_RATE, k=10,
+        )
+
+    def random_scored(sf_dir: str):
+        # ES function_score random_score: deterministic per-(seed,
+        # doc_id) md5 draw over the BM25 match set
+        return corpus.random_topk(sf_dir, BM25_QUERY, RANDOM_SEED, k=10)
 
     def rescored(sf_dir: str):
         # ES rescore: BM25 window of 30 over the match query, window
@@ -843,6 +868,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_stem": stemq,
         "bm25_topk_range": rng,
         "bm25_topk_fvf": fvf,
+        "bm25_topk_decay_gauss": decay_gauss,
+        "bm25_topk_decay_linear": decay_linear,
+        "bm25_topk_random": random_scored,
         "bm25_topk_rescored": rescored,
         "bm25_topk_syn": syn,
         "per_facet_topk": per_facet,
@@ -1113,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stem": _stem_sql(),
         "bm25_topk_range": _range_sql(),
         "bm25_topk_fvf": _fvf_sql(),
+        "bm25_topk_decay_gauss": _decay_sql("gauss"),
+        "bm25_topk_decay_linear": _decay_sql("linear"),
+        "bm25_topk_random": _random_sql(),
         "bm25_topk_rescored": _rescore_sql(),
         "bm25_topk_syn": _synonyms_sql(),
         "per_facet_topk": _per_facet_sql(),
@@ -2901,6 +2932,52 @@ def _fvf_sql() -> str:
             FROM scored s JOIN dl USING (doc_id)
         )
         ORDER BY fscore DESC, doc_id LIMIT 10
+    """
+
+
+def _decay_sql(kind: str) -> str:
+    """Decay-function-score oracle: exhaustive BM25, each matching
+    doc's score multiplied by the ES decay of its token count from
+    DECAY_ORIGIN — gauss ``rate^((d/scale)^2)`` or linear
+    ``max(0, 1 - d·(1-rate)/scale)`` with
+    ``d = max(0, |dl - origin| - offset)``. Order by the raw product
+    (rounded after), doc_id ASC on ties — same as ``_fvf_sql``."""
+    d = f"greatest(abs(dl.dl - {DECAY_ORIGIN}) - {DECAY_OFFSET}, 0.0)"
+    if kind == "gauss":
+        mult = f"exp(ln({DECAY_RATE}) * pow({d} / {DECAY_SCALE}, 2))"
+    else:  # linear
+        mult = f"greatest(1.0 - {d} * (1.0 - {DECAY_RATE}) / {DECAY_SCALE}, 0.0)"
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY fscore DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(fscore, 6) AS score
+        FROM (
+            SELECT s.doc_id, s.score * {mult} AS fscore
+            FROM scored s JOIN dl USING (doc_id)
+        )
+        ORDER BY fscore DESC, doc_id LIMIT 10
+    """
+
+
+def _random_sql() -> str:
+    """random_score oracle: the BM25 match set (score > 0) ranked by
+    the deterministic per-(seed, doc_id) md5 draw — first 12 hex
+    digits as an integer over 16^12, exactly the engine's recipe."""
+    draw = (
+        f"('0x' || substr(md5('{RANDOM_SEED}:' || doc_id::VARCHAR), 1, 12))"
+        f"::UBIGINT / 281474976710656.0"
+    )
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()},
+        drawn AS (SELECT doc_id, {draw} AS draw FROM scored)
+        SELECT row_number() OVER (ORDER BY draw DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(draw, 6) AS score
+        FROM drawn
+        ORDER BY draw DESC, doc_id LIMIT 10
     """
 
 

@@ -248,6 +248,19 @@ def cmd_query(args) -> int:
             fn = lambda qq, kk: engine.topk_boosting(  # noqa: E731
                 qq, args.negative, kk, negative_boost=args.negative_boost
             )
+        if args.decay is not None:
+            if mode not in ("exhaustive", "pruned"):
+                raise SystemExit("--decay serves the bm25 union modes only")
+            fn = lambda qq, kk: engine.topk_decay(  # noqa: E731
+                qq, "doc_len", args.decay, args.origin, args.scale,
+                args.offset, args.decay_rate, kk,
+            )
+        if args.random_seed is not None:
+            if mode not in ("exhaustive", "pruned"):
+                raise SystemExit("--random-seed serves the bm25 union modes only")
+            fn = lambda qq, kk: engine.topk_random(  # noqa: E731
+                qq, args.random_seed, kk
+            )
         if args.after is not None:
             if mode not in ("exhaustive", "pruned"):
                 raise SystemExit("--after serves the bm25 union modes only")
@@ -833,6 +846,25 @@ def main(argv=None) -> int:
     q.add_argument(
         "--negative-boost", type=float, default=0.3,
         help="demotion factor for --negative matches (default 0.3)",
+    )
+    q.add_argument(
+        "--decay", choices=["gauss", "exp", "linear"], default=None,
+        help="function_score decay on doc_len: BM25 × distance-decay "
+             "from --origin (see --scale/--offset/--decay-rate)",
+    )
+    q.add_argument("--origin", type=float, default=0.0,
+                   help="--decay: preferred doc_len value")
+    q.add_argument("--scale", type=float, default=10.0,
+                   help="--decay: distance where the multiplier hits "
+                        "--decay-rate")
+    q.add_argument("--offset", type=float, default=0.0,
+                   help="--decay: no-penalty halo around --origin")
+    q.add_argument("--decay-rate", type=float, default=0.5,
+                   help="--decay: multiplier at origin±(offset+scale)")
+    q.add_argument(
+        "--random-seed", type=int, default=None,
+        help="random_score: rank the match set by a reproducible "
+             "per-(seed, doc_id) uniform draw instead of BM25",
     )
     q.add_argument(
         "--first-n", type=int, default=10,

@@ -1229,6 +1229,40 @@ def fvf_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def decay_topk(
+    sf_dir: str, query: str, kind: str, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5, k: int = 10,
+) -> pd.DataFrame:
+    """Decay-function-scored top-k (ES ``function_score`` gauss/exp/
+    linear decay): BM25 × distance-decay of doc_len from ``origin``
+    over the same cached index (see ``QueryEngine.topk_decay``).
+    Columns (rank, doc_id, score), score round6'd."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_decay(
+        query, "doc_len", kind, origin, scale, offset, decay, k
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
+def random_topk(sf_dir: str, query: str, seed: int, k: int = 10) -> pd.DataFrame:
+    """Seeded-random-scored top-k (ES ``random_score``): reproducible
+    uniform draw per (seed, doc_id) over the BM25 match set (see
+    ``QueryEngine.topk_random``). Columns (rank, doc_id, score)."""
+    hits = QueryEngine(index_dir_for(sf_dir)).topk_random(query, seed, k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.array([round6(s) for _, s in hits], dtype=np.float64),
+        }
+    )
+
+
 def rescored_topk(
     sf_dir: str, query: str, phrase: str, k: int = 10, window: int = 30
 ) -> pd.DataFrame:

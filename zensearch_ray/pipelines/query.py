@@ -752,6 +752,94 @@ class QueryEngine:
         top_ids, top_sc = topk_order(uniq[mask], scores[mask], k)
         return list(zip(top_ids.tolist(), top_sc.tolist()))
 
+    def topk_decay(
+        self,
+        query: str,
+        col: str = "doc_len",
+        kind: str = "gauss",
+        origin: float = 0.0,
+        scale: float = 10.0,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Decay function scoring — Elasticsearch's ``function_score``
+        decay family (``gauss`` / ``exp`` / ``linear``): every matching
+        doc's BM25 score is multiplied by a distance-decay of its
+        numeric attribute ``col`` from ``origin``. With
+        ``d = max(0, |v - origin| - offset)``:
+
+        - ``gauss``:  ``decay ** ((d / scale) ** 2)``
+        - ``exp``:    ``decay ** (d / scale)``
+        - ``linear``: ``max(0, 1 - d * (1 - decay) / scale)``
+
+        so the multiplier is exactly ``decay`` at distance
+        ``offset + scale``, 1.0 inside ``offset`` — the ES contract.
+        This is the freshness/recency/locality prior real engines mix
+        into lexical rank (``topk_fvf`` is the monotone-attribute
+        sibling); the reference ranks purely lexically
+        (``search-engine/internal/bm25/score.go:19-95``). Match set
+        and zero-score filter are the checked BM25 ones; the product
+        orders (score DESC, doc_id ASC). Docs missing the attribute
+        keep multiplier 1.0 (ES skips decay functions on missing
+        fields). ``linear`` can decay a score to exactly 0; such docs
+        stay ranked (by doc_id) like ``topk_fvf``'s factor-0 docs."""
+        if kind not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay kind: {kind!r}")
+        if not (0.0 < decay < 1.0):
+            raise ValueError("decay must be in (0, 1)")
+        if scale <= 0.0:
+            raise ValueError("scale must be positive")
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        mask = scores > 0.0
+        uniq, scores = uniq[mask], scores[mask]
+        v = self._numeric_values(uniq, col)
+        d = np.maximum(np.abs(v - origin) - offset, 0.0)
+        if kind == "gauss":
+            mult = np.exp(np.log(decay) * (d / scale) ** 2)
+        elif kind == "exp":
+            mult = np.exp(np.log(decay) * (d / scale))
+        else:  # linear
+            mult = np.maximum(1.0 - d * (1.0 - decay) / scale, 0.0)
+        mult = np.where(np.isnan(v), 1.0, mult)
+        top_ids, top_sc = topk_order(uniq, scores * mult, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
+    def topk_random(
+        self, query: str, seed: int = 0, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Seeded random scoring — ES ``function_score`` with
+        ``random_score`` (boost_mode ``replace``): the match set is the
+        checked BM25 one (score > 0), but ranking is a deterministic
+        per-(seed, doc_id) uniform draw in (0, 1) — the standard way to
+        serve a reproducible random sample of the matching docs (A/B
+        slices, spot-check panels). The draw hashes like
+        ``corpus.seeded_shuffle`` (md5 of ``"{seed}:{doc_id}"``, first
+        12 hex digits / 16**12) so a SQL oracle can reproduce it
+        bit-exactly. Order: (draw DESC, doc_id ASC)."""
+        import hashlib
+
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        uniq = uniq[scores > 0.0]
+        if not len(uniq):
+            return []
+        draws = np.array(
+            [
+                int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:12], 16)
+                / float(16 ** 12)
+                for d in uniq.tolist()
+            ],
+            dtype=np.float64,
+        )
+        top_ids, top_sc = topk_order(uniq, draws, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def topk_rescored(
         self,
         query: str,
