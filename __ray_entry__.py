@@ -803,6 +803,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_topk_multi(ds, mat, ids, k=10)
 
+    def embedding_hard_negatives(sf_dir: str):
+        # hard-negative mining: per probe, the top-k most-similar
+        # vectors with a DIFFERENT label (self excluded) — the
+        # contrastive-training near-miss set (DPR-style)
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import hard_negatives
+
+        probes = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+            filters=[("vec_id", "<", N_MULTI_PROBES)],
+        )
+        order = np.argsort(probes["vec_id"].to_numpy())
+        ids = probes["vec_id"].to_numpy()[order]
+        labels = probes["label"].to_numpy()[order]
+        mat = np.array(probes["embedding"].to_pylist(), dtype=np.float64)[order]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        return hard_negatives(ds, mat, ids, labels, k=10)
+
     def media_features(sf_dir: str):
         import ray.data as rd
 
@@ -1010,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": analytics.lineitem_quantiles,
         "lineitem_quantiles_approx": _quantiles_approx,
         "embedding_multi_topk": embedding_multi,
+        "hard_negatives": embedding_hard_negatives,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
         "media_frames": media_frames,
@@ -2288,6 +2314,23 @@ def oracle_sql() -> dict[str, str]:
                        round(list_cosine_similarity(v.embedding::DOUBLE[], p.e), 6)
                            AS sim
                 FROM embeddings v CROSS JOIN probes p
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                   vec_id, sim
+            FROM sims QUALIFY rank <= 10
+        """,
+        "hard_negatives": f"""
+            WITH probes AS (SELECT vec_id AS query_id, label AS qlabel,
+                                   embedding::DOUBLE[] AS e
+                            FROM embeddings WHERE vec_id < {N_MULTI_PROBES}),
+            sims AS (
+                SELECT p.query_id, v.vec_id,
+                       round(list_cosine_similarity(v.embedding::DOUBLE[], p.e), 6)
+                           AS sim
+                FROM embeddings v CROSS JOIN probes p
+                WHERE v.label <> p.qlabel AND v.vec_id <> p.query_id
             )
             SELECT query_id,
                    row_number() OVER (PARTITION BY query_id

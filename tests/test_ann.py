@@ -96,3 +96,42 @@ def test_near_dup_pairs_exact(emb, emb_ds):
     got_df = near_dup_pairs(emb_ds, 0.4).to_pandas()
     got = set(zip(got_df["a"].tolist(), got_df["b"].tolist()))
     assert got == want
+
+
+def test_hard_negatives_brute_force_referee(ray_session):
+    """hard_negatives == per-probe brute-force cosine top-k restricted
+    to rows whose label differs from the probe's (self excluded)."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.ann import hard_negatives
+
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids, vecs, labels = ids[order], vecs[order], labels[order]
+
+    probe_sel = ids < 4
+    ds = rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = hard_negatives(
+        ds, vecs[probe_sel], ids[probe_sel], labels[probe_sel], k=7
+    )
+
+    m = normalize_rows(vecs)
+    for qi, qv, ql in zip(ids[probe_sel], vecs[probe_sel], labels[probe_sel]):
+        sims = np.round(m @ (qv / (np.linalg.norm(qv) or 1.0)), 6)
+        mask = (labels != ql) & (ids != qi)
+        cand_ids, cand_sims = ids[mask], sims[mask]
+        ref = np.lexsort((cand_ids, -cand_sims))[:7]
+        got = out[out["query_id"] == qi]
+        assert got["vec_id"].tolist() == cand_ids[ref].tolist()
+        assert got["sim"].tolist() == cand_sims[ref].tolist()
+        assert got["rank"].tolist() == list(range(1, len(ref) + 1))
+        # every returned negative has a different label than the probe
+        got_labels = labels[np.searchsorted(ids, got["vec_id"].to_numpy())]
+        assert (got_labels != ql).all()

@@ -121,6 +121,71 @@ def cosine_topk_multi(ds, probe_mat: np.ndarray, probe_ids: np.ndarray, k: int =
     return cand
 
 
+def hard_negatives(ds, probe_mat: np.ndarray, probe_ids: np.ndarray,
+                   probe_labels: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   label_col: str = "label"):
+    """Hard-negative mining for contrastive training data: for every
+    probe, the ``k`` corpus vectors MOST similar to it whose label
+    differs from the probe's — the near-misses a bi-encoder trains
+    against (dense-retrieval practice per Karpukhin et al. 2020, DPR).
+    The probe row itself is excluded by id regardless of label.
+
+    Same streaming shape as :func:`cosine_topk_multi` — the probe
+    matrix + labels broadcast once via ``ray.put``, one matmul per
+    (data batch x all probes), the same-label/self mask applied on the
+    (batch, n_probes) score grid BEFORE the per-probe partial
+    argpartition — so only (n_probes x k x n_batches) candidate rows
+    ever reach the driver merge, and the corpus is touched exactly
+    once no matter how many probes ride the broadcast.
+    """
+    import ray
+
+    qm = normalize_rows(np.asarray(probe_mat, dtype=np.float64))
+    qids = np.asarray(probe_ids, dtype=np.int64)
+    qlabels = np.asarray(probe_labels, dtype=np.int64)
+    ref = ray.put((qm, qids, qlabels))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qmat, ids_q, labels_q = ray.get(ref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ qmat.T  # (batch, n_probes)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mask: same label as the probe, or the probe row itself
+        sims[(labels[:, None] == labels_q[None, :])
+             | (ids[:, None] == ids_q[None, :])] = -np.inf
+        take = min(k, sims.shape[0])
+        if not take:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        part = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, n_q)
+        n_q = sims.shape[1]
+        qcol = np.repeat(ids_q, take)
+        rows = part.T.ravel()
+        vals = sims[rows, np.repeat(np.arange(n_q), take)]
+        keep = np.isfinite(vals)  # a batch can be all-masked for a probe
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep], type=pa.int64()),
+                id_col: pa.array(ids[rows][keep], type=pa.int64()),
+                "sim": pa.array(vals[keep], type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand["sim"] = round6(cand["sim"].to_numpy())
+    cand = (
+        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cand.insert(1, "rank", (cand.groupby("query_id").cumcount() + 1).astype(np.int64))
+    return cand
+
+
 def mmr_topk(ds, probe_vec: np.ndarray, k: int = 10, fetch_n: int = 50,
              lam: float = 0.7, id_col: str = "vec_id",
              emb_col: str = "embedding"):
