@@ -828,6 +828,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hard_negatives(ds, mat, ids, labels, k=10)
 
+    def embedding_triplets(sf_dir: str):
+        # contrastive triplet mining: per anchor probe, top-5 same-label
+        # positives and top-10 different-label hard negatives, self
+        # excluded — one streaming pass emits both roles
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import contrastive_triplets
+
+        probes = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+            filters=[("vec_id", "<", N_MULTI_PROBES)],
+        )
+        order = np.argsort(probes["vec_id"].to_numpy())
+        ids = probes["vec_id"].to_numpy()[order]
+        labels = probes["label"].to_numpy()[order]
+        mat = np.array(probes["embedding"].to_pylist(), dtype=np.float64)[order]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        return contrastive_triplets(ds, mat, ids, labels, k_pos=5, k_neg=10)
+
     def media_features(sf_dir: str):
         import ray.data as rd
 
@@ -1036,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_approx": _quantiles_approx,
         "embedding_multi_topk": embedding_multi,
         "hard_negatives": embedding_hard_negatives,
+        "contrastive_triplets": embedding_triplets,
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
         "media_frames": media_frames,
@@ -2337,6 +2363,27 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY sim DESC, vec_id)::BIGINT AS rank,
                    vec_id, sim
             FROM sims QUALIFY rank <= 10
+        """,
+        "contrastive_triplets": f"""
+            WITH probes AS (SELECT vec_id AS query_id, label AS qlabel,
+                                   embedding::DOUBLE[] AS e
+                            FROM embeddings WHERE vec_id < {N_MULTI_PROBES}),
+            sims AS (
+                SELECT p.query_id,
+                       CASE WHEN v.label = p.qlabel THEN 'pos'
+                            ELSE 'neg' END AS role,
+                       v.vec_id,
+                       round(list_cosine_similarity(v.embedding::DOUBLE[], p.e), 6)
+                           AS sim
+                FROM embeddings v CROSS JOIN probes p
+                WHERE v.vec_id <> p.query_id
+            )
+            SELECT query_id, role,
+                   row_number() OVER (PARTITION BY query_id, role
+                                      ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                   vec_id, sim
+            FROM sims
+            QUALIFY rank <= CASE WHEN role = 'pos' THEN 5 ELSE 10 END
         """,
         "event_transitions": f"""
             WITH seq AS (

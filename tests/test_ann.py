@@ -135,3 +135,43 @@ def test_hard_negatives_brute_force_referee(ray_session):
         # every returned negative has a different label than the probe
         got_labels = labels[np.searchsorted(ids, got["vec_id"].to_numpy())]
         assert (got_labels != ql).all()
+
+
+def test_contrastive_triplets_brute_force_referee(ray_session):
+    """contrastive_triplets == brute-force per-probe top-k over the
+    same-label (pos) and different-label (neg) candidate sets."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.ann import contrastive_triplets
+
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids, vecs, labels = ids[order], vecs[order], labels[order]
+
+    probe_sel = ids < 3
+    ds = rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = contrastive_triplets(
+        ds, vecs[probe_sel], ids[probe_sel], labels[probe_sel],
+        k_pos=4, k_neg=6,
+    )
+
+    m = normalize_rows(vecs)
+    for qi, qv, ql in zip(ids[probe_sel], vecs[probe_sel], labels[probe_sel]):
+        sims = np.round(m @ (qv / (np.linalg.norm(qv) or 1.0)), 6)
+        for role, mask, k in (
+            ("pos", (labels == ql) & (ids != qi), 4),
+            ("neg", labels != ql, 6),
+        ):
+            cand_ids, cand_sims = ids[mask], sims[mask]
+            ref = np.lexsort((cand_ids, -cand_sims))[:k]
+            got = out[(out["query_id"] == qi) & (out["role"] == role)]
+            assert got["vec_id"].tolist() == cand_ids[ref].tolist(), (qi, role)
+            assert got["sim"].tolist() == cand_sims[ref].tolist(), (qi, role)
+            assert got["rank"].tolist() == list(range(1, len(ref) + 1))

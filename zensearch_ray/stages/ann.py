@@ -186,6 +186,87 @@ def hard_negatives(ds, probe_mat: np.ndarray, probe_ids: np.ndarray,
     return cand
 
 
+def contrastive_triplets(ds, probe_mat: np.ndarray, probe_ids: np.ndarray,
+                         probe_labels: np.ndarray, k_pos: int = 5,
+                         k_neg: int = 10, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         label_col: str = "label"):
+    """Triplet-mining for contrastive training: for every anchor probe,
+    its ``k_pos`` most-similar SAME-label rows (the positives) and its
+    ``k_neg`` most-similar DIFFERENT-label rows (the hard negatives),
+    self always excluded — the (anchor, positive, negative) material a
+    triplet/InfoNCE loss consumes.
+
+    ONE streaming pass over the corpus: the (batch x n_probes) score
+    grid is computed once per batch, then masked twice (same-label /
+    different-label) for the two per-probe partial top-ks, so the
+    embedding table is read exactly once for both roles.
+
+    Output: (query_id, role 'pos'|'neg', rank, vec_id, sim).
+    """
+    import ray
+
+    qm = normalize_rows(np.asarray(probe_mat, dtype=np.float64))
+    qids = np.asarray(probe_ids, dtype=np.int64)
+    qlabels = np.asarray(probe_labels, dtype=np.int64)
+    ref = ray.put((qm, qids, qlabels))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, ids_q, labels_q = ray.get(ref)
+        m = normalize_rows(_matrix(batch[emb_col]))
+        sims = m @ qmat.T  # (batch, n_probes)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = labels[:, None] == labels_q[None, :]
+        is_self = ids[:, None] == ids_q[None, :]
+        n_q = sims.shape[1]
+        out_q, out_id, out_sim, out_role = [], [], [], []
+        for role, mask, k in (("pos", same & ~is_self, k_pos),
+                              ("neg", ~same & ~is_self, k_neg)):
+            s = np.where(mask, sims, -np.inf)
+            take = min(k, s.shape[0])
+            if not take:
+                continue
+            part = np.argpartition(-s, take - 1, axis=0)[:take]
+            rows = part.T.ravel()
+            vals = s[rows, np.repeat(np.arange(n_q), take)]
+            keep = np.isfinite(vals)
+            out_q.append(np.repeat(ids_q, take)[keep])
+            out_id.append(ids[rows][keep])
+            out_sim.append(vals[keep])
+            out_role.append(np.full(int(keep.sum()), role, dtype=object))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "role": pa.array(np.concatenate(out_role), type=pa.string()),
+                id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand["sim"] = round6(cand["sim"].to_numpy())
+    cand = cand.sort_values(["query_id", "role", "sim", id_col],
+                            ascending=[True, True, False, True])
+    parts = []
+    for role, k in (("neg", k_neg), ("pos", k_pos)):
+        sub = cand[cand["role"] == role]
+        parts.append(sub.groupby("query_id", as_index=False).head(k))
+    out = (pd.concat(parts)
+           .sort_values(["query_id", "role", "sim", id_col],
+                        ascending=[True, True, False, True])
+           .reset_index(drop=True))
+    out.insert(2, "rank",
+               (out.groupby(["query_id", "role"]).cumcount() + 1)
+               .astype(np.int64))
+    return out[["query_id", "role", "rank", id_col, "sim"]]
+
+
 def mmr_topk(ds, probe_vec: np.ndarray, k: int = 10, fetch_n: int = 50,
              lam: float = 0.7, id_col: str = "vec_id",
              emb_col: str = "embedding"):
