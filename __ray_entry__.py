@@ -38,6 +38,11 @@ BM25_QUERY = "spark window merge stream table"
 _BM25_VALUES = "(VALUES ('spark'), ('window'), ('merge'), ('stream'), ('table'))"
 PHRASE_QUERY = "hash join"
 _PHRASE_VALUES = "(VALUES ('hash'), ('join'))"
+# match_phrase_prefix probe: base term 'hash', last token a prefix —
+# 's' expands to {scan, slow, small, sort, spark, stream}, several of
+# which complete a real "hash X" phrase, so the MAX-over-expansions
+# combine is exercised (docs matched via two expansions keep the max)
+PHRASE_PREFIX_QUERY = "hash s"
 # all-plural twin of BM25_QUERY: the stem analyzer folds it onto the
 # singular corpus vocabulary (sparks→spark, ..., tables→table)
 STEM_QUERY = "sparks windows merges streams tables"
@@ -338,6 +343,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional-index path: same oracle, zero corpus access at
         # query time (only the phrase terms' postings + positions)
         return corpus.phrase_topk(sf_dir, PHRASE_QUERY, k=10, positional=True)
+
+    def phrase_prefix(sf_dir: str):
+        # search-as-you-type: last token is a dictionary prefix; each
+        # expansion completes the phrase, docs keep their MAX score
+        return corpus.phrase_prefix_topk(sf_dir, PHRASE_PREFIX_QUERY, k=10)
 
     def near(sf_dir: str):
         return corpus.near_topk(sf_dir, PHRASE_QUERY, window=NEAR_WINDOW, k=10)
@@ -935,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": hybrid,
         "phrase_topk": phrase,
         "phrase_topk_pos": phrase_pos,
+        "phrase_prefix_topk": phrase_prefix,
         "near_topk": near,
         "seq_topk": seq,
         "prefix_topk": prefix,
@@ -1271,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_topk": _phrase_sql(),
         "phrase_topk_pos": _phrase_sql(),
+        "phrase_prefix_topk": _phrase_prefix_sql(),
         "near_topk": _near_sql(),
         "seq_topk": _seq_sql(),
         "prefix_topk": _prefix_sql(),
@@ -2649,6 +2661,56 @@ def _phrase_sql() -> str:
             WHERE tf.doc_id IN (SELECT doc_id FROM phrased)
         ),
         scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _phrase_prefix_sql() -> str:
+    """Match-phrase-prefix oracle: expansions = DISTINCT dictionary
+    terms LIKE 'prefix%'; a (doc, expansion) pair matches iff the
+    space-joined token text contains the completed phrase as a
+    contiguous token run (the phrase oracle's LIKE trick, pattern
+    concatenated per expansion); pair score = conjunctive BM25 of
+    (base + expansion); per doc the MAX over matching expansions.
+    Generated for PHRASE_PREFIX_QUERY = 'hash s' (base term 'hash')."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        exps AS (SELECT DISTINCT term FROM toks WHERE term LIKE 's%'),
+        qterms AS (SELECT 'hash' AS term UNION SELECT term FROM exps),
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        contrib AS (
+            SELECT tf.term, tf.doc_id,
+                   ln((SELECT n FROM stats) / df.df) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+                   AS c
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        matched AS (
+            SELECT d.doc_id, e.term AS exp
+            FROM documents d CROSS JOIN exps e
+            WHERE ' ' || d.text || ' ' LIKE '% hash ' || e.term || ' %'
+        ),
+        pair AS (
+            SELECT m.doc_id, b.c + ec.c AS score
+            FROM matched m
+            JOIN contrib b ON b.doc_id = m.doc_id AND b.term = 'hash'
+            JOIN contrib ec ON ec.doc_id = m.doc_id AND ec.term = m.exp
+        ),
+        scored AS (SELECT doc_id, max(score) AS score FROM pair GROUP BY doc_id)
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored

@@ -222,6 +222,7 @@ def cmd_query(args) -> int:
             "pruned": engine.topk_pruned,
             "and": engine.topk_and,
             "phrase": engine.topk_phrase,
+            "phrase_prefix": engine.topk_phrase_prefix,
             "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
             "seq": lambda qq, kk: engine.topk_seq(qq, args.window, kk),
             "prefix": engine.topk_prefix,
@@ -807,7 +808,7 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax", "bmw", "spanfirst"],
+        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm", "dismax", "bmw", "spanfirst"],
         default=None,  # resolved in cmd_query (pruned; --filter needs exhaustive)
     )
     q.add_argument(
@@ -932,7 +933,7 @@ def main(argv=None) -> int:
     bt.add_argument("-k", type=int, default=10)
     bt.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
+        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
         default="pruned",
     )
     bt.add_argument("--window", type=int, default=8)
@@ -1148,7 +1149,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
+        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
         default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)

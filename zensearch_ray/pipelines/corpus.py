@@ -1530,6 +1530,23 @@ def phrase_topk(
     )
 
 
+def phrase_prefix_topk(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
+    """Match-phrase-prefix BM25 top-k over the positional index (see
+    ``QueryEngine.topk_phrase_prefix``): the last token is a dictionary
+    prefix; each expansion T verifies the exact phrase ``base + [T]``
+    and scores it conjunctively; a doc keeps its MAX score across
+    expansions. Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(index_dir_for(sf_dir, positions=True))
+    kept = [(d, round6(s)) for d, s in engine.topk_phrase_prefix(phrase, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def near_topk(sf_dir: str, query: str, window: int, k: int = 10) -> pd.DataFrame:
     """Proximity BM25 top-k over the positional index: conjunctive
     candidates restricted to docs where every pair of distinct query

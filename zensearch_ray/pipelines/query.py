@@ -1719,6 +1719,107 @@ class QueryEngine:
             return set()
         return set(cand[np.unique(inter >> np.int64(32))].tolist())
 
+    def topk_phrase_prefix(
+        self, phrase: str, k: int = 10, max_terms: int = 1000
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix``: the LAST query token is a prefix
+        over the term dictionary; a doc matches iff some dictionary
+        expansion T completes the exact phrase (base tokens adjacent in
+        order, T at the next position — the search-as-you-type query).
+        Pinned scoring (deterministic, SQL-expressible): each expansion
+        scores as the conjunctive BM25 of the token list ``base + [T]``
+        exactly as ``topk_phrase`` scores that exact phrase; a doc
+        matched by several expansions keeps the MAX score (DisMax over
+        expansions). Order (score DESC, doc_id ASC).
+
+        Cost: one dictionary range read (``expand_prefix``) + per
+        expansion one posting intersection over the SHARED base
+        candidate set and one vectorized adjacency verify — only the
+        query terms' postings are touched, never the corpus. Raises if
+        the expansion exceeds ``max_terms`` (the wildcard family's
+        query-cost guard). A multi-token phrase needs the positional
+        index; the single-token degenerate (pure prefix phrase) does
+        not (any occurrence is trivially a phrase of length one — note
+        it MAX-combines expansions where ``topk_prefix`` SUM-combines
+        them, the phrase-family vs union-family contract)."""
+        from collections import Counter
+
+        toks = self._qtokens(phrase)
+        if not toks:
+            return []
+        base = toks[:-1]
+        if base and not self.positional:
+            raise ValueError(
+                "index was built without positions "
+                "(BuildConfig(positions=True) enables phrase queries)"
+            )
+        exps = self.expand_prefix(toks[-1])
+        if len(exps) > max_terms:
+            raise ValueError(
+                f"prefix '{toks[-1]}' expands to {len(exps)} terms "
+                f"(max_terms={max_terms}); narrow the prefix"
+            )
+        if not exps:
+            return []
+        # shared base intersection: docs containing every base term
+        base_cand: np.ndarray | None = None
+        base_posts = {}
+        for t in set(base):
+            p = self.lookup(t)
+            if p is None:
+                return []
+            base_posts[t] = p
+        for p in sorted(base_posts.values(), key=lambda p: p.df):
+            ids = p.decode_all()[0]
+            base_cand = ids if base_cand is None else (
+                base_cand[np.isin(base_cand, ids, assume_unique=True)]
+            )
+            if len(base_cand) == 0:
+                return []
+        best: dict[int, float] = {}
+        for term in exps:
+            p_t = self.lookup(term)
+            if p_t is None:  # dictionary term fully tombstoned
+                continue
+            ids_t = p_t.decode_all()[0]
+            if base_cand is not None:
+                cand = base_cand[np.isin(base_cand, ids_t, assume_unique=True)]
+            else:
+                cand = ids_t
+            if len(cand) == 0:
+                continue
+            full = base + [term]
+            if base:
+                verified = self._verify_phrase(full, cand)
+                if not verified:
+                    continue
+                vd = np.fromiter(verified, dtype=np.int64, count=len(verified))
+                vd.sort()
+            else:
+                vd = cand
+            score = np.zeros(len(vd), dtype=np.float64)
+            for tok, mult in Counter(full).items():
+                p = base_posts.get(tok) or (p_t if tok == term else None)
+                if p is None:  # base term that equals another expansion
+                    p = self.lookup(tok)
+                w = idf(self.n_docs, p.df)
+                if w == 0.0:
+                    continue
+                ids, tfs, dls = p.decode_all()
+                pos = np.searchsorted(ids, vd)
+                score += mult * w * tf_norm(
+                    tfs[pos], dls[pos], self.avgdl, self.params
+                )
+            for d, s in zip(vd.tolist(), score.tolist()):
+                if s > best.get(d, -np.inf):
+                    best[d] = s
+        if not best:
+            return []
+        doc_arr = np.fromiter(best.keys(), dtype=np.int64, count=len(best))
+        sc_arr = np.fromiter(best.values(), dtype=np.float64, count=len(best))
+        top_ids, top_sc = topk_order(doc_arr, sc_arr, k)
+        return list(zip(top_ids.tolist(), top_sc.tolist()))
+
     def topk_near(
         self, query: str, window: int, k: int = 10
     ) -> list[tuple[int, float]]:
@@ -1854,6 +1955,7 @@ class QueryEngine:
             "pruned": self.topk_pruned,
             "and": self.topk_and,
             "phrase": self.topk_phrase,
+            "phrase_prefix": self.topk_phrase_prefix,
             "near": lambda q, kk: self.topk_near(q, window, kk),
             "seq": lambda q, kk: self.topk_seq(q, window, kk),
             "prefix": self.topk_prefix,
@@ -2152,6 +2254,7 @@ class QueryScorer:
             "pruned": e.topk_pruned,
             "and": e.topk_and,
             "phrase": e.topk_phrase,
+            "phrase_prefix": e.topk_phrase_prefix,
             "near": lambda q, kk: e.topk_near(q, window, kk),
             "seq": lambda q, kk: e.topk_seq(q, window, kk),
             "prefix": e.topk_prefix,

@@ -95,6 +95,7 @@ class _EngineReplica:
             "pruned": self.engine.topk_pruned,
             "and": self.engine.topk_and,
             "phrase": self.engine.topk_phrase,
+            "phrase_prefix": self.engine.topk_phrase_prefix,
             "near": lambda q, kk: self.engine.topk_near(q, 8, kk),
             "seq": lambda q, kk: self.engine.topk_seq(q, 8, kk),
             "prefix": self.engine.topk_prefix,
