@@ -362,6 +362,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fuzzy(sf_dir: str):
         return corpus.fuzzy_topk(sf_dir, FUZZY_QUERY, k=10)
 
+    def fuzzy2(sf_dir: str):
+        # distance-2 expansion via the SymSpell delete buckets; same
+        # query so the widened expansion is the only delta vs fuzzy
+        return corpus.fuzzy_topk(sf_dir, FUZZY_QUERY, k=10, max_dist=2)
+
     def dym(sf_dir: str):
         return corpus.did_you_mean(sf_dir, FUZZY_QUERY)
 
@@ -950,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_topk": seq,
         "prefix_topk": prefix,
         "fuzzy_topk": fuzzy,
+        "fuzzy2_topk": fuzzy2,
         "did_you_mean": dym,
         "autocomplete": complete,
         "significant_terms": sig_terms,
@@ -1287,6 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_topk": _seq_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
+        "fuzzy2_topk": _fuzzy_sql(dist=2),
         "did_you_mean": _dym_sql(),
         "autocomplete": f"""
             WITH toks AS ({_TOKS})
@@ -3480,14 +3487,15 @@ def _regex_sql(pattern: str) -> str:
     )
 
 
-def _fuzzy_sql() -> str:
+def _fuzzy_sql(dist: int = 1) -> str:
     """Fuzzy-search oracle: the same exhaustive-BM25 body as
     ``_prefix_sql`` with qterms = the DISTINCT corpus terms within
-    levenshtein distance 1 of ANY query token — DuckDB's levenshtein is
-    byte-based over UTF-8, which is exactly the engine's
-    ``functions/fuzzy.py`` semantics."""
+    levenshtein distance ``dist`` of ANY query token — DuckDB's
+    levenshtein is byte-based over UTF-8, which is exactly the engine's
+    ``functions/fuzzy.py`` semantics (dist=2 checks the SymSpell
+    delete-neighborhood path end to end)."""
     cond = " OR ".join(
-        f"levenshtein(term, '{t}') <= 1" for t in FUZZY_QUERY.split()
+        f"levenshtein(term, '{t}') <= {dist}" for t in FUZZY_QUERY.split()
     )
     return f"""
         WITH toks AS ({_TOKS}),

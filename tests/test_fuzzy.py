@@ -124,3 +124,85 @@ def test_topk_fuzzy_scores_expansion_as_or_query(fuzzy_index):
         want = engine._score_plan(plan, 10) if plan else []
         assert engine.topk_fuzzy(q, 10) == want, q
     assert engine.topk_fuzzy("", 10) == []
+
+
+def test_levenshtein_bytes_matches_dp_referee():
+    from zensearch_ray.functions.fuzzy import levenshtein_bytes
+
+    pool = ["".join(p) for n in range(0, 4)
+            for p in itertools.product("abc", repeat=n)]
+    pool += ["café", "cafe", "straße", "strasse", "中文", "中", "stream"]
+    for a in pool[::3] + ["café", "stream", ""]:
+        for b in pool[::5] + ["中文", "abca"]:
+            assert levenshtein_bytes(a.encode(), b.encode()) == _lev_bytes(
+                a, b
+            ), (a, b)
+
+
+def test_symspell_deletes_upto():
+    from zensearch_ray.functions.fuzzy import deletes_upto
+
+    assert deletes_upto(b"ab", 1) == {b"ab", b"a", b"b"}
+    assert deletes_upto(b"abc", 2) == {
+        b"abc", b"ab", b"ac", b"bc", b"a", b"b", b"c"
+    }
+    assert deletes_upto(b"", 2) == {b""}
+
+
+def test_symspell_lookup_matches_brute_scan():
+    """The delete-bucket candidate set must lose NOTHING: lookup ==
+    brute-force distance-<=2 scan of the vocabulary for every probe
+    (incl. multi-byte UTF-8 and probes far from everything)."""
+    from zensearch_ray.functions.fuzzy import SymSpellIndex
+
+    vocab = sorted({
+        "stream", "strem", "steam", "scream", "street", "key", "kay",
+        "a", "ab", "the", "table", "cable", "café", "cafe", "中文",
+    })
+    idx = SymSpellIndex(vocab, max_dist=2)
+    for q in ["stream", "stram", "str", "kay", "k", "caffe", "中", "zzzzz", ""]:
+        for d in (1, 2):
+            want = sorted(v for v in vocab if _lev_bytes(v, q) <= d)
+            assert idx.lookup(q, d) == want, (q, d)
+    with pytest.raises(ValueError, match="max_dist"):
+        idx.lookup("x", 3)
+
+
+def test_expand_fuzzy_dist2_matches_vocab_scan(fuzzy_index):
+    from zensearch_ray.functions.text import tokenize
+
+    index_dir, pages_path = fuzzy_index
+    engine = QueryEngine(index_dir)
+    t = pq.read_table(pages_path, columns=["text", "lang"])
+    vocab = set()
+    for tx, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        if lg == "en":
+            vocab.update(tokenize(tx))
+    for q in ["serch", "engin", "tha", "zzzzzzz", "serch engin", "kay"]:
+        toks = tokenize(q)
+        want = sorted(
+            v for v in vocab if any(_lev_bytes(v, tk) <= 2 for tk in toks)
+        )
+        assert engine.expand_fuzzy(q, max_dist=2) == want, q
+    with pytest.raises(ValueError, match="max_dist"):
+        engine.expand_fuzzy("x", max_dist=3)
+
+
+def test_topk_fuzzy_dist2_scores_expansion_as_or_query(fuzzy_index):
+    from zensearch_ray.functions.bm25 import idf
+
+    index_dir, _ = fuzzy_index
+    engine = QueryEngine(index_dir)
+    for q in ["serch engin", "tha", "qqqqzzz"]:
+        terms = engine.expand_fuzzy(q, max_dist=2)
+        plan = []
+        for term in terms:
+            p = engine.lookup(term)
+            if p is None:
+                continue
+            w = idf(engine.n_docs, p.df)
+            if w == 0.0:
+                continue
+            plan.append((p, w))
+        want = engine._score_plan(plan, 10) if plan else []
+        assert engine.topk_fuzzy(q, 10, max_dist=2) == want, q

@@ -226,7 +226,9 @@ def cmd_query(args) -> int:
             "near": lambda qq, kk: engine.topk_near(qq, args.window, kk),
             "seq": lambda qq, kk: engine.topk_seq(qq, args.window, kk),
             "prefix": engine.topk_prefix,
-            "fuzzy": engine.topk_fuzzy,
+            "fuzzy": lambda qq, kk: engine.topk_fuzzy(
+                qq, kk, max_dist=args.fuzzy_dist
+            ),
             "not": engine.topk_not,
             "bool": engine.topk_bool,
             "wildcard": engine.topk_wildcard,
@@ -829,6 +831,11 @@ def main(argv=None) -> int:
     q.add_argument(
         "--window", type=int, default=8,
         help="proximity window for --mode near (tokens)",
+    )
+    q.add_argument(
+        "--fuzzy-dist", type=int, default=1, choices=[1, 2],
+        help="edit distance for --mode fuzzy: 1 (lcp/lcs vocab screen) "
+             "or 2 (SymSpell delete-neighborhood buckets + DP verify)",
     )
     q.add_argument(
         "--similarity",

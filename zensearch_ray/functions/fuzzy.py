@@ -76,3 +76,100 @@ def expand_edit1(terms: list[str], query_terms: list[str]) -> list[str]:
     for q in dict.fromkeys(query_terms):
         mask |= edit1_mask(terms, q)
     return sorted({terms[i] for i in np.nonzero(mask)[0]})
+
+
+def levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Exact byte-Levenshtein — the scalar referee (DuckDB
+    ``levenshtein`` semantics: unit-cost insert/delete/substitute over
+    BYTES). Used to verify SymSpell candidates; candidate sets are
+    bucket-sized, so the per-pair DP never touches the whole vocab."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(
+                prev[j] + 1,  # delete from a
+                cur[j - 1] + 1,  # insert into a
+                prev[j - 1] + (ca != cb),  # substitute / match
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def deletes_upto(word: bytes, d: int) -> set[bytes]:
+    """All byte strings reachable from ``word`` by deleting at most
+    ``d`` single bytes (the word itself included) — the SymSpell key
+    neighborhood. |result| ≤ 1 + L + L·(L−1)/2 for d=2."""
+    out = {word}
+    frontier = {word}
+    for _ in range(d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+class SymSpellIndex:
+    """SymSpell deletion-neighborhood index over a term dictionary for
+    edit-distance ≤ ``max_dist`` expansion (Garbe's algorithm; public
+    domain technique). Soundness: if lev(a, b) ≤ d then some string is
+    reachable from BOTH by ≤ d deletions (align an optimal edit script:
+    dropping the ≤ d bytes each side contributes beyond the common
+    subsequence yields a shared string), so bucket lookup over delete
+    keys yields a candidate SUPERSET — every candidate is then verified
+    with the exact byte-DP. Build cost is one pass over the vocab
+    (vocab-scale memory, same class as the engine's ``_all_terms``
+    cache); at cluster scale the same (delete_key → term) pairs are a
+    per-segment parquet sidecar, bucket lookups becoming predicate-
+    pushdown reads exactly like the trigram sidecar."""
+
+    def __init__(self, terms: list[str], max_dist: int = 2):
+        self.terms = terms
+        self.max_dist = max_dist
+        self._buckets: dict[bytes, list[int]] = {}
+        for i, t in enumerate(terms):
+            for key in deletes_upto(t.encode("utf-8"), max_dist):
+                self._buckets.setdefault(key, []).append(i)
+
+    def candidate_ids(self, query_term: str) -> np.ndarray:
+        """Indices of terms whose delete neighborhood intersects the
+        query's (superset of the true ≤ max_dist matches)."""
+        ids: set[int] = set()
+        for key in deletes_upto(query_term.encode("utf-8"), self.max_dist):
+            ids.update(self._buckets.get(key, ()))
+        return np.fromiter(ids, dtype=np.int64, count=len(ids))
+
+    def lookup(self, query_term: str, max_dist: int | None = None) -> list[str]:
+        """Dictionary terms within byte-Levenshtein ``max_dist``
+        (default: the index's build distance) of ``query_term``,
+        sorted — candidates from the delete buckets, each verified by
+        the exact DP."""
+        d = self.max_dist if max_dist is None else max_dist
+        if d > self.max_dist:
+            raise ValueError(
+                f"index built for max_dist={self.max_dist}, asked {d}"
+            )
+        qb = query_term.encode("utf-8")
+        out = []
+        for i in self.candidate_ids(query_term):
+            t = self.terms[int(i)]
+            tb = t.encode("utf-8")
+            if abs(len(tb) - len(qb)) <= d and levenshtein_bytes(tb, qb) <= d:
+                out.append(t)
+        return sorted(out)
+
+
+def expand_edit2(index: "SymSpellIndex", query_terms: list[str]) -> list[str]:
+    """Distinct dictionary terms within byte-Levenshtein distance 2 of
+    ANY query term, sorted — the SymSpell-pruned distance-2 analog of
+    ``expand_edit1``."""
+    out: set[str] = set()
+    for q in dict.fromkeys(query_terms):
+        out.update(index.lookup(q, 2))
+    return sorted(out)

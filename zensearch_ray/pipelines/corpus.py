@@ -2017,13 +2017,19 @@ def wildcard_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
     )
 
 
-def fuzzy_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+def fuzzy_topk(
+    sf_dir: str, query: str, k: int = 10, max_dist: int = 1
+) -> pd.DataFrame:
     """Fuzzy (typo-tolerant) BM25 top-k: every query term expanded
-    against the index term dictionary at byte-Levenshtein distance ≤ 1,
-    scored as an OR-query (see ``QueryEngine.topk_fuzzy``). Columns:
-    (rank, doc_id, score)."""
+    against the index term dictionary at byte-Levenshtein distance
+    ≤ ``max_dist`` (1 = vectorized lcp/lcs vocab screen, 2 = SymSpell
+    delete-neighborhood buckets + DP verify), scored as an OR-query
+    (see ``QueryEngine.topk_fuzzy``). Columns: (rank, doc_id, score)."""
     engine = QueryEngine(index_dir_for(sf_dir))
-    kept = [(d, round6(s)) for d, s in engine.topk_fuzzy(query, k=k)]
+    kept = [
+        (d, round6(s))
+        for d, s in engine.topk_fuzzy(query, k=k, max_dist=max_dist)
+    ]
     return pd.DataFrame(
         {
             "rank": np.arange(1, len(kept) + 1, dtype=np.int64),

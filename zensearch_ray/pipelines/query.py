@@ -1467,29 +1467,54 @@ class QueryEngine:
             self._vocab = sorted(terms)
         return self._vocab
 
+    def _symspell(self):
+        """SymSpell deletion-neighborhood index over the term
+        dictionary (distance-2 fuzzy expansion), built lazily ONCE per
+        engine — the sidecar upgrade ``_all_terms`` documents. Memory
+        is vocab-scale × the delete-neighborhood factor (≤ 1+L+L²/2
+        keys per term); at cluster scale the same (delete_key, term)
+        pairs persist as a per-segment parquet sidecar and lookups
+        become predicate-pushdown reads, exactly like the trigram
+        sidecar behind infix wildcards."""
+        ss = getattr(self, "_symspell_idx", None)
+        if ss is None:
+            from zensearch_ray.functions.fuzzy import SymSpellIndex
+
+            self._symspell_idx = ss = SymSpellIndex(
+                self._all_terms(), max_dist=2
+            )
+        return ss
+
     def expand_fuzzy(self, query: str, max_dist: int = 1) -> list[str]:
         """Dictionary terms within byte-Levenshtein distance
-        ``max_dist`` (only 1 supported) of ANY normalized query token —
-        the typo-tolerant analog of ``expand_prefix``. Byte semantics
-        match DuckDB/PostgreSQL ``levenshtein`` (multi-byte chars count
-        per byte), keeping the engine oracle-checkable."""
-        from zensearch_ray.functions.fuzzy import expand_edit1
+        ``max_dist`` (1 or 2) of ANY normalized query token — the
+        typo-tolerant analog of ``expand_prefix``. Byte semantics match
+        DuckDB/PostgreSQL ``levenshtein`` (multi-byte chars count per
+        byte), keeping the engine oracle-checkable. Distance 1 screens
+        the vocab with the vectorized lcp/lcs mask; distance 2 probes
+        the per-engine SymSpell delete-neighborhood buckets and
+        DP-verifies only the bucket candidates (never a vocab scan)."""
+        from zensearch_ray.functions.fuzzy import expand_edit1, expand_edit2
 
-        if max_dist != 1:
-            raise ValueError("only max_dist=1 is supported")
+        if max_dist not in (1, 2):
+            raise ValueError("only max_dist in (1, 2) is supported")
         toks = tokenize(query)
         if not toks:
             return []
+        if max_dist == 2:
+            return expand_edit2(self._symspell(), toks)
         return expand_edit1(self._all_terms(), toks)
 
-    def topk_fuzzy(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def topk_fuzzy(
+        self, query: str, k: int = 10, max_dist: int = 1
+    ) -> list[tuple[int, float]]:
         """Fuzzy (typo-tolerant) top-k: expand every query term against
-        the term dictionary at edit distance ≤ 1, then score the
-        expansion as an OR-query — each matched term contributes its own
-        idf·tf_norm once, exactly as if the expansion were the query
-        (same contract as ``topk_prefix``)."""
+        the term dictionary at edit distance ≤ ``max_dist`` (1 or 2),
+        then score the expansion as an OR-query — each matched term
+        contributes its own idf·tf_norm once, exactly as if the
+        expansion were the query (same contract as ``topk_prefix``)."""
         plan = []
-        for t in self.expand_fuzzy(query):
+        for t in self.expand_fuzzy(query, max_dist=max_dist):
             p = self.lookup(t)
             if p is None:
                 continue
