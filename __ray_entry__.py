@@ -249,6 +249,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dsir_weights_for(sf_dir)
 
+    def _quality_clf(sf_dir: str):
+        # discriminative twin of dsir_weights: hashed-ngram logistic
+        # regression trained by distributed full-batch GD (rows-only:
+        # iterative — exactness pinned by the local-referee test)
+        from zensearch_ray.pipelines.selection import quality_classifier_for
+
+        return quality_classifier_for(sf_dir)
+
     def fvf(sf_dir: str):
         # ES function_score / field_value_factor: BM25 × ln(1+doc_len)
         return corpus.fvf_topk(sf_dir, BM25_QUERY, k=10)
@@ -941,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_facet_topk": per_facet,
         "doc_lm_score": lm,
         "dsir_weights": _dsir,
+        "quality_classifier": _quality_clf,
         "doc_bigram_lm": corpus.doc_bigram_lm,
         "match_stats": mstats,
         "dump_postings": dump,
