@@ -86,3 +86,56 @@ def test_coerce_fills_missing_columns(ray_session):
     assert out.column_names == ["url", "warc_ts", "html", "text", "lang"]
     assert out["warc_ts"].null_count == 1
     assert "junk" not in out.column_names
+
+
+@pytest.fixture(scope="module")
+def csv_dump(tmp_path_factory):
+    import csv
+
+    root = tmp_path_factory.mktemp("csv_src")
+    t = generate_pages_table(150, seed=33).select(
+        ["url", "warc_ts", "html", "text", "lang"]
+    )
+    cf = str(root / "crawl.csv")
+    with open(cf, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url", "warc_ts", "html", "text", "lang", "extra"])
+        for row in t.to_pylist():
+            w.writerow([
+                row["url"], row["warc_ts"].isoformat(),
+                row["html"].decode("utf-8"), row["text"], row["lang"],
+                "dropped",
+            ])
+    pqf = str(root / "crawl.parquet")
+    pq.write_table(t, pqf, row_group_size=64)
+    return cf, pqf
+
+
+def test_csv_matches_parquet_build(ray_session, csv_dump, tmp_path):
+    import ray.data as rd
+
+    from zensearch_ray.sources import resolve_pages_source
+
+    cf, pqf = csv_dump
+    idx_c = str(tmp_path / "idx_csv")
+    idx_p = str(tmp_path / "idx_parquet")
+    m_c = build_index(resolve_pages_source(cf), idx_c, _cfg())
+    m_p = build_index(rd.read_parquet(pqf), idx_p, _cfg())
+
+    assert m_c["n_docs"] == m_p["n_docs"] > 0
+    assert m_c["total_postings"] == m_p["total_postings"]
+    assert m_c["avgdl"] == m_p["avgdl"]
+    qc = QueryEngine(idx_c).topk("spark window merge", k=10)
+    qp = QueryEngine(idx_p).topk("spark window merge", k=10)
+    assert qc == qp
+
+
+def test_csv_coercion_schema(ray_session, csv_dump):
+    from zensearch_ray.sources.jsonl import PAGES_SCHEMA, read_pages_csv
+
+    cf, _ = csv_dump
+    got = read_pages_csv(cf).take_batch(5, batch_format="pyarrow")
+    assert set(got.column_names) == set(PAGES_SCHEMA)
+    for name, typ in PAGES_SCHEMA.items():
+        assert got.schema.field(name).type == typ, name
+    assert isinstance(got["html"][0].as_py(), bytes)

@@ -35,6 +35,10 @@ def resolve_pages_source(path):
 
         return read_warc_pages(path).map_batches(
             extract_and_langid, batch_format="pyarrow", zero_copy_batch=True)
+    if path.endswith((".csv", ".csv.gz")):
+        from zensearch_ray.sources.jsonl import read_pages_csv
+
+        return read_pages_csv(path)
     if path.endswith((".jsonl", ".jsonl.gz")):
         # Arrow's JSON reader decompresses gzip transparently by
         # extension, so compressed crawl dumps take the same path

@@ -46,3 +46,17 @@ def read_pages_jsonl(paths):
     return rd.read_json(paths).map_batches(
         coerce_pages_batch, batch_format="pyarrow"
     )
+
+
+def read_pages_csv(paths):
+    """CSV crawl-export file(s)/dir → Dataset in canonical pages schema
+    (the spreadsheet-born sibling of ``read_pages_jsonl``; one read
+    task per file, gzip by extension, Arrow's CSV reader infers
+    timestamps). The ``html`` column, when present, arrives as a
+    string column (CSV has no binary type) and is cast to binary by
+    the shared coercion."""
+    import ray.data as rd
+
+    return rd.read_csv(paths).map_batches(
+        coerce_pages_batch, batch_format="pyarrow"
+    )
