@@ -1078,6 +1078,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by design, so no value-hash oracle (rows-only
         # driver check; accuracy asserted vs exact in test_sketch.py)
         "events_daily_active_hll": sketch.events_daily_active_hll,
+        # CMS point counts: rows-only by design (approximate,
+        # one-sided error <= (e/width)*N — bounds pinned in tests)
+        "term_counts_cms": sketch.term_counts_cms,
         # two-phase exact heavy hitters: bounded candidate exchange
         # (pigeonhole bound), exact verified counts → full SQL oracle
         "heavy_terms": sketch.heavy_terms,

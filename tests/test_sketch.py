@@ -163,3 +163,101 @@ def test_heavy_hitters_512_blocks_bounded_driver(ray_session):
     # ...but the driver held only the bitmap: ~10 bits per candidate,
     # not k x 512 rows
     assert diag["driver_bloom_bytes"] < 64 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _zipf_keys(n: int, seed: int) -> list[str]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, size=n)
+    return [f"k{r}" for r in np.minimum(ranks, 5000)]
+
+
+def test_cms_overestimates_and_bounds():
+    from collections import Counter
+
+    import numpy as np
+
+    from zensearch_ray.stages.sketch import cms_estimate, cms_partial
+
+    keys = _zipf_keys(50_000, seed=3)
+    true = Counter(keys)
+    width, depth, seed = 2048, 4, 7
+    m = cms_partial(true, depth, width, seed)
+    sk = {"m": m, "n": len(keys), "width": width, "depth": depth,
+          "seed": seed}
+    probes = sorted(true)[:500] + ["never_seen_a", "never_seen_b"]
+    est = cms_estimate(sk, probes)
+    bound = np.e / width * len(keys)
+    for k, e in zip(probes, est):
+        assert e >= true.get(k, 0), k  # one-sided error, always
+        assert e - true.get(k, 0) <= bound, (k, int(e), true.get(k, 0))
+
+
+def test_cms_partials_merge_additively():
+    from collections import Counter
+
+    import numpy as np
+
+    from zensearch_ray.stages.sketch import cms_partial
+
+    a = Counter(_zipf_keys(5_000, seed=1))
+    b = Counter(_zipf_keys(5_000, seed=2))
+    one = cms_partial(a + b, 3, 512, 11)
+    two = cms_partial(a, 3, 512, 11) + cms_partial(b, 3, 512, 11)
+    assert (one == two).all()
+    # empty partial is the additive identity
+    assert (cms_partial(Counter(), 3, 512, 11) == 0).all()
+
+
+def test_cms_build_matches_local_partial(ray_session):
+    """Distributed build (per-batch partials summed on the driver)
+    must equal ONE local partial over the concatenated stream — the
+    additive-merge identity through Ray Data."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zensearch_ray.stages.sketch import cms_build, cms_partial
+
+    keys = _zipf_keys(20_000, seed=5)
+    docs = [" ".join(keys[i::40]) for i in range(40)]
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(8)
+
+    def toks_of(batch):
+        for t in batch["text"].to_pylist():
+            yield from t.split()
+
+    sk = cms_build(ds, toks_of, width=1024, depth=4, seed=7)
+    want = cms_partial(Counter(keys), 4, 1024, 7)
+    assert (sk["m"] == want).all()
+    assert sk["n"] == len(keys)
+
+
+def test_term_counts_cms_entry(ray_session):
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.stages.sketch import term_counts_cms
+
+    sf = "/root/testdata/sf0.001"
+    got = term_counts_cms(sf).set_index("term")["est_count"]
+    true = Counter()
+    for tx in pq.read_table(f"{sf}/documents.parquet",
+                            columns=["text"])["text"].to_pylist():
+        true.update(tokenize(tx))
+    n = sum(true.values())
+    bound = np.e / 4096 * n
+    for term, est in got.items():
+        assert est >= true.get(term, 0), term
+        assert est - true.get(term, 0) <= bound, term
+    assert got["nosuchtermxyz"] <= bound

@@ -287,3 +287,123 @@ def heavy_terms(sf_dir: str, k: int = 100):
         return out
 
     return heavy_hitters(ds, terms_of, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate per-key counts (Cormode &
+# Muthukrishnan 2005). Completes the sketch trio — HLL answers "how
+# many distinct", the CMS answers "how many of THIS key" — in constant
+# exchange volume: each batch ships one (depth × width) int64 count
+# matrix regardless of cardinality, and matrices merge by ADDITION
+# (associative/commutative), so partials combine in any order.
+# Estimates only ever OVER-count: est(k) ≥ true(k), and
+# est(k) ≤ true(k) + εN with probability ≥ 1 − δ for width = ⌈e/ε⌉,
+# depth = ⌈ln 1/δ⌉. Conservative update is deliberately NOT used — it
+# breaks additive mergeability, and merge is the whole point here.
+# ---------------------------------------------------------------------------
+
+
+def _cms_rows(keys: list[str], depth: int, width: int,
+              seed: int) -> np.ndarray:
+    """(depth, len(keys)) int64 bucket positions via Kirsch–
+    Mitzenmacher double hashing: md5(seed || key) yields two stable
+    64-bit halves (u1, u2); row d probes (u1 + d·u2) mod width.
+    Process/platform stable (no PYTHONHASHSEED), fully vectorized
+    after the per-DISTINCT-key digest loop (batch partials hash the
+    batch's key→count map, never the raw token stream)."""
+    from hashlib import md5
+
+    pre = str(seed).encode("utf-8") + b"\x00"
+    dig = [md5(pre + k.encode("utf-8")).digest() for k in keys]
+    u1 = np.fromiter(
+        (int.from_bytes(d[:8], "little") for d in dig),
+        dtype=np.uint64, count=len(dig),
+    )
+    u2 = np.fromiter(
+        (int.from_bytes(d[8:], "little") | 1 for d in dig),  # odd stride
+        dtype=np.uint64, count=len(dig),
+    )
+    rows = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((u1[None, :] + rows * u2[None, :]) %  # uint64 wrap is fine:
+            np.uint64(width)).astype(np.int64)    # wrap is mod-2^64 uniform
+
+
+def cms_partial(counter: dict, depth: int, width: int,
+                seed: int) -> np.ndarray:
+    """(depth, width) int64 count matrix for one batch's key→count
+    map — the map-side partial; vectorized adds per hash row."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    if not counter:
+        return m
+    keys = list(counter.keys())
+    cnts = np.fromiter((counter[k] for k in keys), dtype=np.int64,
+                       count=len(keys))
+    pos = _cms_rows(keys, depth, width, seed)
+    for d in range(depth):
+        np.add.at(m[d], pos[d], cnts)
+    return m
+
+
+def cms_build(ds, keys_of, width: int = 4096, depth: int = 4,
+              seed: int = 7):
+    """ONE streaming pass → the merged (depth, width) matrix + total
+    key-occurrence count N. ``keys_of(batch) -> iterable[str]``
+    (multiset). Exchange volume: depth·width·8 bytes per batch,
+    independent of cardinality (the HLL shape with + instead of max)."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(keys_of(batch))
+        m = cms_partial(c, depth, width, seed)
+        return pa.table(
+            {
+                "m": pa.array([m.ravel()]),
+                "n": pa.array([int(sum(c.values()))], type=pa.int64()),
+            }
+        )
+
+    tot = np.zeros((depth, width), dtype=np.int64)
+    n = 0
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for mm, nn in zip(b["m"].to_pylist(), b["n"].to_pylist()):
+            tot += np.asarray(mm, dtype=np.int64).reshape(depth, width)
+            n += nn
+    return {"m": tot, "n": n, "width": width, "depth": depth, "seed": seed}
+
+
+def cms_estimate(sketch, keys: list[str]) -> np.ndarray:
+    """Point queries: est(k) = min over rows of the key's positions —
+    ≥ true count always, ≤ true + e/width·N w.p. ≥ 1 − e^-depth."""
+    if not keys:
+        return np.empty(0, dtype=np.int64)
+    pos = _cms_rows(keys, sketch["depth"], sketch["width"], sketch["seed"])
+    m = sketch["m"]
+    ests = np.stack([m[d][pos[d]] for d in range(sketch["depth"])])
+    return ests.min(axis=0)
+
+
+def term_counts_cms(sf_dir: str, probes: list[str] | None = None,
+                    width: int = 4096, depth: int = 4):
+    """Driver entry: CMS over the corpus token stream, point-queried
+    for ``probes`` (default: a pinned mixed-frequency probe list).
+    Columns (term, est_count). Approximate by contract (rows-only):
+    est ≥ exact and est − exact ≤ (e/width)·N w.h.p."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zensearch_ray.functions.text import tokenize
+
+    if probes is None:
+        probes = ["the", "spark", "window", "hash", "dup", "vector",
+                  "nosuchtermxyz"]
+
+    def toks_of(batch: pa.Table):
+        for text in batch["text"].to_pylist():
+            yield from tokenize(text)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    sk = cms_build(ds, toks_of, width=width, depth=depth)
+    est = cms_estimate(sk, probes)
+    return pd.DataFrame({"term": probes, "est_count": est.astype(np.int64)})
