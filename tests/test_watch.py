@@ -130,3 +130,71 @@ def test_watch_loop_max_cycles(ray_session, tmp_path):
     n = watch(idx, drop, _cfg(), threshold=0.5, poll_secs=0.01,
               max_cycles=3, on_cycle=lambda s: seen.extend(s))
     assert n == 1 and [s["file"] for s in seen] == ["d1.parquet"]
+
+
+def test_watch_auto_compaction(ray_session, tmp_path):
+    """compact_every=N: once an ingest cycle leaves the index at >= N
+    generations, the watcher folds them in place — queries unchanged,
+    generation count back to 1, sigstore carried over so near-dedup of
+    LATER deltas keeps working across the swap."""
+    from zensearch_ray.pipelines.query import QueryEngine
+    from zensearch_ray.pipelines.watch import watch
+    from zensearch_ray.state.manifest import IndexLayout
+
+    base_tbl = generate_pages_table(120, seed=9)
+    base = str(tmp_path / "base.parquet")
+    pq.write_table(base_tbl, base)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, _cfg())
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+
+    _drop(drop, "delta-001.parquet", _pages(
+        ["https://c.example.com/a"], [FRESH_A]))
+    _drop(drop, "delta-002.parquet", _pages(
+        ["https://c.example.com/b"], [FRESH_B]))
+
+    compactions = []
+    n = watch(idx, drop, _cfg(), near_dedup=True, threshold=0.6,
+              poll_secs=0.01, max_cycles=1, compact_every=2,
+              on_compact=lambda m: compactions.append(m))
+    assert n == 2
+    assert len(compactions) == 1
+    manifest = IndexLayout(idx).read_manifest()
+    assert manifest.get("n_generations", 1) == 1  # folded
+    eng = QueryEngine(idx)
+    assert eng.topk("uniquetokena") and eng.topk("uniquetokenb")
+    # near-dedup continuity across the swap: a near-dup of delta-1's
+    # doc arriving AFTER compaction must still be dropped
+    near = "zzz " + " ".join(FRESH_A.split(" ")[1:])
+    _drop(drop, "delta-003.parquet", _pages(
+        ["https://c.example.com/neardup", "https://c.example.com/c"],
+        [near, "entirely fresh tokens herexyz " * 4],
+    ))
+    # the repeated-token fixture docs share ~2/3 of their shingles
+    # after a one-token edit, so the continuity check probes at 0.6
+    summaries = ingest_once(idx, drop, _cfg(), near_dedup=True,
+                            threshold=0.6)
+    assert summaries and summaries[-1]["dropped"] == 1
+
+
+def test_compact_in_place_fsck_gate_and_idempotence(ray_session, tmp_path):
+    from zensearch_ray.pipelines.compact import compact_in_place
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    base_tbl = generate_pages_table(100, seed=11)
+    base = str(tmp_path / "base.parquet")
+    pq.write_table(base_tbl, base)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(num_shards=4, salt_subs=2, lang="en")
+    build_index(base, idx, cfg)
+    before = QueryEngine(idx).topk("spark window merge", k=10)
+    # crash leftovers must not block the swap
+    os.makedirs(idx + ".compacting", exist_ok=True)
+    os.makedirs(idx + ".precompact", exist_ok=True)
+    m = compact_in_place(idx)
+    assert m["n_docs"] > 0
+    assert not os.path.exists(idx + ".compacting")
+    assert not os.path.exists(idx + ".precompact")
+    after = QueryEngine(idx).topk("spark window merge", k=10)
+    assert after == before

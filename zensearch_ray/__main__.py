@@ -734,7 +734,13 @@ def cmd_watch(args) -> int:
         args.index, args.drop, cfg,
         near_dedup=args.near_dedup, threshold=args.dedup_threshold,
         poll_secs=args.poll_secs, max_cycles=args.max_cycles,
-        on_cycle=report,
+        on_cycle=report, compact_every=args.compact_every,
+        on_compact=lambda m: print(
+            json.dumps({"compacted": True,
+                        "n_docs": m.get("n_docs"),
+                        "n_generations": m.get("n_generations", 1)}),
+            flush=True,
+        ),
     )
     return 0
 
@@ -1207,6 +1213,11 @@ def main(argv=None) -> int:
     )
     w.add_argument("--once", action="store_true",
                    help="one ingest pass, then exit")
+    w.add_argument(
+        "--compact-every", type=int, default=None, metavar="N",
+        help="auto-compact: when an ingest leaves >= N generations, "
+             "fold them in place (tombstones purge; atomic swap)",
+    )
     w.set_defaults(fn=cmd_watch)
 
     args = p.parse_args(argv)

@@ -531,3 +531,46 @@ def _docmeta_sources(src: IndexLayout) -> list[tuple[str, str]]:
         if os.path.isdir(sub) and name.startswith("g"):
             out.append((sub, f"{name}-"))
     return out
+
+
+def compact_in_place(index_dir: str, keep_backup: bool = False) -> dict:
+    """Fold every append generation (and physically purge tombstones)
+    into a fresh artifact and SWAP it into ``index_dir`` — the
+    auto-compaction primitive the ``watch`` loop calls so a
+    long-running ingest can't grow generations without bound.
+
+    Sequence: compact into ``<dir>.compacting`` → carry the MinHash
+    signature store over verbatim (it is generation-structured
+    independently of the postings, so near-dup append keeps working;
+    caveat: signatures of tombstone-PURGED docs survive the copy, so
+    future near-dups of a deleted doc are still dropped — the
+    conservative direction) → metadata fsck gate → two renames
+    (old → ``.precompact`` → new → ``index_dir``). The swap window is
+    two renames; warm replicas re-open on the next version-token check
+    (a reload landing INSIDE the window can fail and retries on the
+    following check — the watch loop sequences ingest and compaction,
+    so its own serving replicas never race). Crash leftovers
+    (``.compacting`` / ``.precompact``) are removed and re-derived —
+    every input survives until the final rename."""
+    from zensearch_ray.pipelines.fsck import fsck_index
+
+    base = index_dir.rstrip("/")
+    tmp_out = base + ".compacting"
+    bak = base + ".precompact"
+    for p in (tmp_out, bak):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    m = compact_index(index_dir, tmp_out)
+    src_ss = os.path.join(index_dir, "sigstore")
+    if os.path.isdir(src_ss):
+        shutil.copytree(src_ss, os.path.join(tmp_out, "sigstore"))
+    rep = fsck_index(tmp_out, deep=False)
+    if not rep["ok"]:
+        raise RuntimeError(
+            f"compacted artifact failed fsck, swap aborted: {rep['errors']}"
+        )
+    os.rename(index_dir, bak)
+    os.rename(tmp_out, index_dir)
+    if not keep_backup:
+        shutil.rmtree(bak)
+    return m

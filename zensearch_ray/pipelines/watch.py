@@ -33,7 +33,8 @@ import os
 import time
 
 _MARKER_DIR = "_ingested"
-_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".warc", ".warc.gz")
+_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".warc", ".warc.gz",
+         ".csv", ".csv.gz")
 
 
 def _marker_path(drop_dir: str, name: str) -> str:
@@ -107,11 +108,19 @@ def ingest_once(index_dir: str, drop_dir: str, cfg=None,
 
 def watch(index_dir: str, drop_dir: str, cfg=None, near_dedup: bool = True,
           threshold: float = 0.9, poll_secs: float = 2.0,
-          max_cycles: int | None = None, on_cycle=None) -> int:
+          max_cycles: int | None = None, on_cycle=None,
+          compact_every: int | None = None, on_compact=None) -> int:
     """Poll ``drop_dir`` forever (or for ``max_cycles`` polls),
     ingesting whatever shows up. Returns the number of files ingested.
     ``on_cycle(summaries)`` fires after every NON-EMPTY cycle (the CLI
-    prints; tests observe)."""
+    prints; tests observe). ``compact_every=N`` is the LSM policy
+    closure: whenever an ingest cycle leaves the index at ≥ N
+    generations, ``compact_in_place`` folds them (and purges
+    tombstones) and atomically swaps the artifact — a long-running
+    watcher's lookup cost stays bounded instead of growing one segment
+    fragment per delta; warm replicas pick the swap up through the
+    same version-token reload as appends. Restart-safe: the trigger
+    reads the manifest's generation count, not watcher state."""
     n_done = 0
     cycles = 0
     while True:
@@ -120,6 +129,13 @@ def watch(index_dir: str, drop_dir: str, cfg=None, near_dedup: bool = True,
             n_done += len(summaries)
             if on_cycle is not None:
                 on_cycle(summaries)
+            gens = summaries[-1].get("n_generations") or 1
+            if compact_every is not None and gens >= compact_every:
+                from zensearch_ray.pipelines.compact import compact_in_place
+
+                m = compact_in_place(index_dir)
+                if on_compact is not None:
+                    on_compact(m)
         cycles += 1
         if max_cycles is not None and cycles >= max_cycles:
             return n_done
