@@ -46,6 +46,10 @@ PHRASE_PREFIX_QUERY = "hash s"
 # all-plural twin of BM25_QUERY: the stem analyzer folds it onto the
 # singular corpus vocabulary (sparks→spark, ..., tables→table)
 STEM_QUERY = "sparks windows merges streams tables"
+# synonym-fold probe: VARIANT surface forms — the folded index stores
+# only the canonicals (quick, large), so retrieval proves both the
+# index-side fold and the query-side fold
+SYNFOLD_QUERY = "fast big table"
 # ranking-quality eval probes: the two standing queries, a rare-term
 # conjunction ('dup' df ≈ 5% — exercises the n_rel<k ideal-DCG
 # truncation), and a vocabulary-miss probe (n_rel must be 0 even
@@ -310,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the manifest flag — the all-plural query folds onto the
         # singular corpus terms
         return corpus.stem_topk(sf_dir, STEM_QUERY, k=10)
+
+    def synfoldq(sf_dir: str):
+        return corpus.synfold_topk(sf_dir, SYNFOLD_QUERY, k=10)
 
     def percolate_docs(sf_dir: str):
         # reverse search: the standing boolean-query registry matched
@@ -939,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
         "bm25_topk_stem": stemq,
+        "bm25_topk_synfold": synfoldq,
         "bm25_topk_range": rng,
         "bm25_topk_fvf": fvf,
         "bm25_topk_decay_gauss": decay_gauss,
@@ -1220,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_stem": _stem_sql(),
+        "bm25_topk_synfold": _synfold_sql(),
         "bm25_topk_range": _range_sql(),
         "bm25_topk_fvf": _fvf_sql(),
         "bm25_topk_decay_gauss": _decay_sql("gauss"),
@@ -3350,6 +3359,31 @@ def _stem_sql() -> str:
     return f"""
         WITH raw AS ({_TOKS}),
         toks AS (SELECT doc_id, {_STEM_CASE} AS term FROM raw),
+        qterms(term) AS (VALUES {qvals}),
+        {_BM25_BODY.strip()}
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _synfold_sql() -> str:
+    """Synonym-fold oracle: the exhaustive-BM25 body over the FOLDED
+    token stream (the exact CASE translation of corpus.SYNFOLD_CFG),
+    query tokens folded through the same table at generation time."""
+    from zensearch_ray.pipelines.corpus import SYNFOLD_CFG
+
+    table = dict(SYNFOLD_CFG)
+    case = "CASE " + " ".join(
+        f"WHEN term = '{a}' THEN '{b}'" for a, b in SYNFOLD_CFG
+    ) + " ELSE term END"
+    qvals = ", ".join(
+        f"('{table.get(t, t)}')" for t in SYNFOLD_QUERY.split()
+    )
+    return f"""
+        WITH raw AS ({_TOKS}),
+        toks AS (SELECT doc_id, {case} AS term FROM raw),
         qterms(term) AS (VALUES {qvals}),
         {_BM25_BODY.strip()}
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,

@@ -26,6 +26,15 @@ def _ensure_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+def _syn_pairs_of(args) -> tuple:
+    path = getattr(args, "fold_synonyms", None)
+    if not path:
+        return ()
+    with open(path) as f:
+        table = json.load(f)
+    return tuple(sorted((str(k), str(v)) for k, v in table.items()))
+
+
 def _cfg_of(args):
     """BuildConfig from the shared config flags (build and watch take
     the same set — an append must match the original build config, so
@@ -44,6 +53,7 @@ def _cfg_of(args):
         title_boost=args.title_boost,
         stopwords=tuple(s for s in args.stopwords.split(",") if s),
         stem=args.stem,
+        synonyms=_syn_pairs_of(args),
         sig_store=args.sigstore,
     )
 
@@ -783,6 +793,12 @@ def main(argv=None) -> int:
             "--stem", action="store_true",
             help="plural S-stemmer at index time (query side stems "
                  "automatically via the manifest; not with --positions)",
+        )
+        p.add_argument(
+            "--fold-synonyms", default=None, metavar="FILE.json",
+            help="index-time synonym folding: JSON {variant: canonical} "
+                 "map applied at tokenize (one posting list per synonym "
+                 "group; query side folds automatically via the manifest)",
         )
         p.add_argument(
             "--sigstore", action="store_true",

@@ -106,6 +106,13 @@ class BuildConfig:
     # reads the flag from the manifest). Compatible with positions
     # (no token is dropped, so every occurrence keeps its offset).
     stem: bool = False
+    # analyzer config: index-time synonym folding — (variant, canonical)
+    # pairs rewrite variants onto canonicals at tokenize, so tf/df mass
+    # merges onto ONE posting list per synonym group (the contraction
+    # form of Lucene's SynonymFilter; the expansion form lives at query
+    # time as topk_synonyms). Query tokens fold identically via the
+    # manifest. Pinned order: synonyms, then stem. Positions-compatible.
+    synonyms: tuple = ()
 
 
 def load_corpus(source, cfg: BuildConfig, base_id_offset: int = 0,
@@ -209,6 +216,9 @@ def config_fingerprint(cfg: BuildConfig, id_mode: str) -> str:
         # stemmed terms are different index CONTENT (only-when-set so
         # existing fingerprints stay stable)
         spec["stem"] = True
+    if cfg.synonyms:
+        # a folded vocabulary is different index CONTENT — never mix
+        spec["synonyms"] = sorted(map(list, cfg.synonyms))
     return hashlib.blake2s(
         json.dumps(spec, sort_keys=True).encode(), digest_size=8
     ).hexdigest()
@@ -512,6 +522,7 @@ def build_index(
             "title_boost": cfg.title_boost,
             "stopwords": cfg.stopwords,
             "stem": cfg.stem,
+            "synonyms": cfg.synonyms,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
@@ -588,6 +599,7 @@ def build_index(
         "positions": cfg.positions,
         "stopwords": sorted(cfg.stopwords),
         "stem": cfg.stem,
+        "synonyms": sorted(map(list, cfg.synonyms)),
         "k1": cfg.params.k1,
         "b": cfg.params.b,
         "heavy_df_threshold": stats["heavy_df_threshold"],
@@ -674,6 +686,7 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
             "title_boost": cfg.title_boost,
             "stopwords": cfg.stopwords,
             "stem": cfg.stem,
+            "synonyms": cfg.synonyms,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,

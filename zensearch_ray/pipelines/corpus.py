@@ -967,6 +967,44 @@ def stem_index_dir_for(sf_dir: str) -> str:
     return d
 
 
+# index-time synonym folding config for the driver entry: fold the
+# surface forms fast→quick and big→large — neither canonical exists as
+# a corpus surface form, so retrieval through them PROVES the fold
+SYNFOLD_CFG = (("big", "large"), ("fast", "quick"))
+
+
+def synfold_index_dir_for(sf_dir: str) -> str:
+    """Cached synonym-folded index twin (separate dir — folded terms
+    are different index contents; fingerprint-enforced)."""
+    import dataclasses
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(
+        tempfile.gettempdir(), f"zensearch_idx_v3_{key}_syn{len(SYNFOLD_CFG)}"
+    )
+    cfg = dataclasses.replace(_INDEX_CFG, synonyms=SYNFOLD_CFG)
+    _locked_build(d, lambda: build_index(_documents_for_index(sf_dir), d, cfg),
+                  expect_fp=_expected_fp(cfg))
+    return d
+
+
+def synfold_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """BM25 top-k over the synonym-FOLDED index: every synonym group
+    shares one posting list (tf/df mass merged onto the canonical),
+    and the engine folds query tokens identically via the manifest —
+    "fast" and "quick" are the same term at every layer. Columns:
+    (rank, doc_id, score)."""
+    engine = QueryEngine(synfold_index_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def stem_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     """BM25 top-k over the S-stemmed index: surface plural/singular
     variants share one posting list (tf mass merges onto the stem,

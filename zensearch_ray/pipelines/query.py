@@ -253,6 +253,12 @@ class QueryEngine:
         # stores stems, so the QUERY tokens must stem identically or
         # surface forms would silently miss ("tables" vs stored "table")
         self.stem = bool(self.manifest.get("stem", False))
+        # index-time synonym folding echoed the same way: a folded
+        # index stores canonical terms only, so query variants must
+        # fold identically or surface forms would silently miss
+        self.syn_fold = {
+            a: b for a, b in self.manifest.get("synonyms") or ()
+        }
 
     def _qtokens(self, text: str) -> list[str]:
         """Query-side analysis: the pinned tokenizer plus, iff the
@@ -264,6 +270,9 @@ class QueryEngine:
         pattern modes (prefix/wildcard/regex/fuzzy) match the stored
         dictionary directly."""
         toks = tokenize(text)
+        if self.syn_fold:
+            syn = self.syn_fold
+            toks = [syn.get(t, t) for t in toks]
         if self.stem:
             from zensearch_ray.functions.text import s_stem
 

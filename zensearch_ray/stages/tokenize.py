@@ -46,8 +46,27 @@ class TokenizeStage:
         title_boost: int = 0,
         stopwords: tuple = (),
         stem: bool = False,
+        synonyms: tuple = (),
     ):
         self.text_col = text_col
+        # analyzer config: index-time synonym FOLDING (the contraction
+        # form of Lucene's SynonymFilter): each (variant, canonical)
+        # pair rewrites the variant token onto the canonical term, so
+        # tf/df mass merges and one posting list serves the whole
+        # synonym group. Applied BEFORE stem (pinned order: surface
+        # variants fold first, then plural stemming). Compatible with
+        # positions — no token is dropped, occurrences keep offsets.
+        norm_pairs = []
+        for a, b in synonyms:
+            ta, tb = tokenize(a), tokenize(b)
+            if len(ta) != 1 or len(tb) != 1:
+                raise ValueError(
+                    f"synonym pair {(a, b)!r} must be single tokens of "
+                    "the pinned tokenizer (multi-token and empty forms "
+                    "can never match a token stream)"
+                )
+            norm_pairs.append((ta[0], tb[0]))
+        self.syn = dict(norm_pairs)
         self.id_col = id_col  # None → derive doc_id = hash64(url)
         # index-time plural stemming (the pinned S-stemmer,
         # functions/text.s_stem): applied per UNIQUE term AFTER the
@@ -134,6 +153,9 @@ class TokenizeStage:
             outer_counts = np.empty(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
                 toks = tokenize(text)
+                if self.syn:
+                    syn = self.syn
+                    toks = [syn.get(t, t) for t in toks]
                 if self.stem:
                     toks = [s_stem(t) for t in toks]
                 doc_lens[i] = len(toks)
@@ -201,6 +223,14 @@ class TokenizeStage:
             if stop:
                 for s in stop:
                     tf.pop(s, None)
+            if self.syn:
+                syn = self.syn
+                if any(t in syn for t in tf):
+                    fold: dict = {}
+                    for t, v in tf.items():
+                        k2 = syn.get(t, t)
+                        fold[k2] = fold.get(k2, 0) + v
+                    tf = fold
             if self.stem:
                 st: dict = {}
                 for t, v in tf.items():
@@ -361,6 +391,7 @@ def tokenize_batch(
     title_boost: int = 0,
     stopwords: tuple = (),
     stem: bool = False,
+    synonyms: tuple = (),
 ) -> pa.Table:
     """Function form of TokenizeStage for STATELESS task pools.
 
@@ -373,6 +404,7 @@ def tokenize_batch(
     return TokenizeStage(
         id_col=id_col, positions=positions, attrs=attrs,
         title_boost=title_boost, stopwords=stopwords, stem=stem,
+        synonyms=synonyms,
     )(batch)
 
 
