@@ -304,6 +304,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES-style metric aggregation over the matched set
         return corpus.match_stats(sf_dir, BM25_QUERY)
 
+    def _match_hist(sf_dir: str):
+        # ES histogram aggregation: doc_len buckets over the match set
+        return corpus.match_histogram(sf_dir, BM25_QUERY, interval=10.0)
+
+    def _match_card(sf_dir: str):
+        # ES cardinality aggregation: distinct sources in the match set
+        return corpus.match_cardinality(sf_dir, BM25_QUERY, col="source")
+
     def stop(sf_dir: str):
         # analyzer config: stopword-filtered index; the leading 'the'
         # in the query is inert (no postings), doc lengths exclude stops
@@ -960,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _quality_clf,
         "doc_bigram_lm": corpus.doc_bigram_lm,
         "match_stats": mstats,
+        "match_histogram": _match_hist,
+        "match_cardinality": _match_card,
         "dump_postings": dump,
         "percolate": percolate_docs,
         "facet_counts": facets,
@@ -1276,6 +1286,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
         """,
         "match_stats": _match_stats_sql(),
+        "match_histogram": _match_histogram_sql(),
+        "match_cardinality": _match_cardinality_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
@@ -3315,6 +3327,32 @@ def _synonyms_sql() -> str:
         SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
                doc_id, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _match_histogram_sql() -> str:
+    """Histogram-aggregation oracle: floor(dl/10)*10 buckets of doc_len
+    over the matched (score > 0) set, empty buckets omitted."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT round(floor(dl.dl / 10.0) * 10.0, 6) AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM scored JOIN dl USING (doc_id)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _match_cardinality_sql() -> str:
+    """Cardinality-aggregation oracle: COUNT(DISTINCT source) over the
+    matched (score > 0) set."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()}
+        SELECT count(DISTINCT d.source)::BIGINT AS n_values
+        FROM scored s JOIN documents d USING (doc_id)
     """
 
 

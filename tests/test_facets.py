@@ -224,3 +224,31 @@ def test_cli_range(facet_index, capsys):
     engine = QueryEngine(facet_index)
     want = engine.topk_range("search engine", "doc_len", 40, 90, k=5)
     assert [(r["doc_id"], r["score"]) for r in out["results"]] == want
+
+
+def test_match_histogram_matches_referee(facet_index):
+    import math
+
+    engine = QueryEngine(facet_index)
+    dl = _dl_of(facet_index)
+    for q in QUERIES:
+        for interval in (10.0, 25.0, 7.0):
+            matched = [dl[d] for d, _ in engine.topk(q, k=10**9)]
+            want: dict[float, int] = {}
+            for v in matched:
+                k = math.floor(v / interval) * interval
+                want[k] = want.get(k, 0) + 1
+            got = engine.match_histogram(q, "doc_len", interval)
+            assert got == sorted(want.items()), (q, interval)
+    assert engine.match_histogram("zzzznotaword", "doc_len", 10.0) == []
+    with pytest.raises(ValueError, match="interval"):
+        engine.match_histogram("search", "doc_len", 0.0)
+
+
+def test_match_cardinality_matches_referee(facet_index):
+    engine = QueryEngine(facet_index)
+    lang_of = _lang_of(facet_index)
+    for q in QUERIES:
+        want = len({lang_of[d] for d, _ in engine.topk(q, k=10**9)})
+        assert engine.match_cardinality(q, "lang") == want, q
+    assert engine.match_cardinality("zzzznotaword", "lang") == 0

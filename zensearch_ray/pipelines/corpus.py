@@ -2039,6 +2039,30 @@ def match_stats(sf_dir: str, query: str) -> pd.DataFrame:
     )
 
 
+def match_histogram(sf_dir: str, query: str,
+                    interval: float = 10.0) -> pd.DataFrame:
+    """ES histogram aggregation over the matched set: fixed-interval
+    doc_len buckets (key = floor(dl/interval)*interval, empty buckets
+    omitted). Columns: (bucket, n_docs), bucket ASC."""
+    rows = QueryEngine(index_dir_for(sf_dir)).match_histogram(
+        query, "doc_len", interval
+    )
+    return pd.DataFrame(
+        {
+            "bucket": np.array([round6(b) for b, _ in rows], dtype=np.float64),
+            "n_docs": np.array([c for _, c in rows], dtype=np.int64),
+        }
+    )
+
+
+def match_cardinality(sf_dir: str, query: str,
+                      col: str = "source") -> pd.DataFrame:
+    """ES cardinality aggregation: DISTINCT values of ``col`` among the
+    matched docs — one row (n_values)."""
+    n = QueryEngine(index_dir_for(sf_dir)).match_cardinality(query, col)
+    return pd.DataFrame({"n_values": np.array([n], dtype=np.int64)})
+
+
 def wildcard_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
     """Glob-pattern BM25 top-k: '*'-wildcards anywhere (suffix/infix —
     the generalization of ``prefix_topk``), expanded against the index

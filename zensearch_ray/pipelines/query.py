@@ -1156,6 +1156,40 @@ class QueryEngine:
             "max": float(v.max()),
         }
 
+    def match_histogram(
+        self, query: str, col: str, interval: float
+    ) -> list[tuple[float, int]]:
+        """ES ``histogram`` aggregation over the MATCHED set (exhaustive
+        OR, score > 0): fixed-``interval`` buckets of a numeric docmeta
+        column, key = floor(value/interval)·interval (the ES bucket-key
+        rule), empty buckets omitted, sorted by key. Returns
+        [(bucket_key, doc_count)]. Metadata-only after matching: like
+        ``match_stats``, the corpus is never read — one docmeta sidecar
+        probe per query."""
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        plan = self._term_plan(query)
+        if not plan:
+            return []
+        uniq, scores = self._accumulate_plan(plan)
+        matched = uniq[scores > 0.0]
+        if not len(matched):
+            return []
+        v = self._numeric_values(matched, col)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return []
+        keys = np.floor(v / interval) * interval
+        uk, counts = np.unique(keys, return_counts=True)
+        return [(float(k), int(c)) for k, c in zip(uk, counts)]
+
+    def match_cardinality(self, query: str, col: str) -> int:
+        """ES ``cardinality`` aggregation over the matched set: number
+        of DISTINCT values of docmeta attribute ``col`` among docs
+        matching the query (exhaustive OR, score > 0) — exact, via the
+        same facet sidecar as ``facet_counts``."""
+        return len(self.facet_counts(query, col))
+
     def topk_collapsed(
         self, query: str, col: str, per: int = 1, k: int = 10
     ) -> list[tuple[int, float]]:
