@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dsir_weights_for(sf_dir)
 
+    def _emb_pca(sf_dir: str):
+        from zensearch_ray.stages.ann import embedding_pca
+
+        return embedding_pca(sf_dir)
+
     def _quality_clf(sf_dir: str):
         # discriminative twin of dsir_weights: hashed-ngram logistic
         # regression trained by distributed full-batch GD (rows-only:
@@ -966,6 +971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": lm,
         "dsir_weights": _dsir,
         "quality_classifier": _quality_clf,
+        # distributed PCA: rows-only (eigendecomposition isn't SQL;
+        # exactness pinned by the local-referee identity test)
+        "embedding_pca": _emb_pca,
         "doc_bigram_lm": corpus.doc_bigram_lm,
         "match_stats": mstats,
         "match_histogram": _match_hist,

@@ -1048,3 +1048,103 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )
+
+
+def pca_fit(ds, emb_col: str = "embedding", n_components: int = 16):
+    """Distributed PCA over an embedding column in ONE streaming pass of
+    exact sufficient statistics: every batch emits (n, Σx, X^T X) —
+    O(d²) per batch regardless of batch size — the driver combines in
+    O(d²) memory, forms the covariance Σ = (ΣXᵀX − n·μμᵀ)/(n−1), and
+    eigendecomposes locally (d × d — embedding dims are hundreds, not
+    millions; for d where d² breaks the driver, randomized sketching is
+    the documented swap). Deterministic sign convention: each component
+    is flipped so its largest-|coordinate| entry is positive (numpy
+    eigenvector sign is otherwise arbitrary). Returns
+    {"mean": (d,), "components": (k, d) rows = top components,
+    "explained_variance": (k,)}."""
+    import ray
+
+    tot_n = 0
+    tot_sum = None
+    tot_outer = None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[emb_col])
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], type=pa.int64()),
+                "s": pa.array([m.sum(axis=0)]),
+                "o": pa.array([(m.T @ m).ravel()]),
+            }
+        )
+
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for n, s, o in zip(b["n"].to_pylist(), b["s"].to_pylist(),
+                           b["o"].to_pylist()):
+            s = np.asarray(s, dtype=np.float64)
+            o = np.asarray(o, dtype=np.float64)
+            if tot_sum is None:
+                tot_sum = np.zeros_like(s)
+                tot_outer = np.zeros_like(o)
+            tot_n += n
+            tot_sum += s
+            tot_outer += o
+    if tot_n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    d = len(tot_sum)
+    mean = tot_sum / tot_n
+    cov = (tot_outer.reshape(d, d) - tot_n * np.outer(mean, mean)) / (
+        tot_n - 1
+    )
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # pinned sign: largest-|coordinate| entry of each component positive
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": evals[order],
+    }
+
+
+def pca_transform(ds, model, emb_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Map-only projection pass: (id, projected list<float>) — the
+    model broadcast once via ``ray.put``, one matmul per batch."""
+    import ray
+
+    ref = ray.put((model["mean"], model["components"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)
+        m = _matrix(batch[emb_col])
+        p = (m - mean[None, :]) @ comps.T
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "projected": pa.array(list(p)),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow").select_columns(
+        [id_col, "projected"]
+    )
+
+
+def embedding_pca(sf_dir: str, n_components: int = 16):
+    """Driver entry: fit PCA on the embeddings table, project every
+    vector. Columns (vec_id, projected). Rows-only by contract
+    (eigendecomposition isn't SQL); exactness pinned by the local-
+    referee identity test."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = pca_fit(ds, n_components=n_components)
+    return pca_transform(ds, model)
