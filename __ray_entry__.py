@@ -466,6 +466,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return exact_substr_dedup(ds, l=EXACT_SUBSTR_L, n_buckets=32)
 
+    def unigram_vocab(sf_dir: str):
+        # SentencePiece-family unigram-LM tokenizer (rows-only:
+        # iterative EM — exactness pinned by the no-histogram referee)
+        from zensearch_ray.stages.unigram import unigram_vocab_for
+
+        return unigram_vocab_for(sf_dir)
+
+    def unigram_pieces(sf_dir: str):
+        from zensearch_ray.stages.unigram import unigram_pieces_for
+
+        return unigram_pieces_for(sf_dir)
+
     def bpe_merges(sf_dir: str):
         import ray.data as rd
 
@@ -1024,6 +1036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balanced_sample": corpus.lang_balanced_sample,
         "bpe_token_counts": corpus.bpe_token_counts,
         "bpe_merges": bpe_merges,
+        "unigram_vocab": unigram_vocab,
+        "unigram_pieces": unigram_pieces,
         "bpe_pieces": bpe_pieces,
         "token_quality": token_quality,
         "gopher_filter": gopher_filter,
