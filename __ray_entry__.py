@@ -58,6 +58,7 @@ EVAL_QUERIES = [BM25_QUERY, PHRASE_QUERY, "dup stream table",
                 "stream nosuchtermxyz"]
 NEAR_WINDOW = 5
 SEQ_GAP = 4  # ordered-proximity chain gap for seq_topk
+TV_DOC_ID = 0  # termvectors probe document (dense ids: 0 exists at all SFs)
 PREFIX_QUERY = "s"
 FUZZY_QUERY = "strem windoq kay"  # typos of stream / window / key
 NOT_QUERY = "spark window -merge -stream"  # exclusion (boolean NOT)
@@ -316,6 +317,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _match_card(sf_dir: str):
         # ES cardinality aggregation: distinct sources in the match set
         return corpus.match_cardinality(sf_dir, BM25_QUERY, col="source")
+
+    def _match_pct(sf_dir: str):
+        # ES percentiles aggregation (percentile_disc rank rule) over
+        # the matched set's doc_len
+        return corpus.match_percentiles(sf_dir, BM25_QUERY)
+
+    def _tvecs(sf_dir: str):
+        # ES termvectors: per-term tf / corpus df / positions for ONE doc
+        return corpus.term_vectors(sf_dir, TV_DOC_ID)
 
     def stop(sf_dir: str):
         # analyzer config: stopword-filtered index; the leading 'the'
@@ -990,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats": mstats,
         "match_histogram": _match_hist,
         "match_cardinality": _match_card,
+        "match_percentiles": _match_pct,
+        "term_vectors": _tvecs,
         "dump_postings": dump,
         "percolate": percolate_docs,
         "facet_counts": facets,
@@ -1310,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
         "match_stats": _match_stats_sql(),
         "match_histogram": _match_histogram_sql(),
         "match_cardinality": _match_cardinality_sql(),
+        "match_percentiles": _match_percentiles_sql(),
+        "term_vectors": _term_vectors_sql(),
         "dump_postings": _dump_postings_sql(),
         "percolate": _percolate_sql(PERCOLATE_QUERIES),
         "bm25_topk_and": _bm25_and_sql(),
@@ -3375,6 +3389,46 @@ def _match_cardinality_sql() -> str:
         {_BM25_BODY.strip()}
         SELECT count(DISTINCT d.source)::BIGINT AS n_values
         FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+def _match_percentiles_sql() -> str:
+    """Percentiles-aggregation oracle: value at 1-based rank ceil(q·n)
+    (the ``percentile_disc`` rule, matching the engine's exact
+    selection) over the matched (score > 0) set's doc_len."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        qterms(term) AS {_BM25_VALUES},
+        {_BM25_BODY.strip()},
+        ranked AS (
+            SELECT dl.dl AS v, row_number() OVER (ORDER BY dl.dl) AS r,
+                   count(*) OVER () AS n
+            FROM scored JOIN dl USING (doc_id)
+        )
+        SELECT qs.q::DOUBLE AS q, round(ranked.v, 6) AS value
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9)) qs(q)
+        JOIN ranked
+          ON ranked.r = least(CAST(ceil(qs.q * ranked.n) AS BIGINT), ranked.n)
+        ORDER BY qs.q
+    """
+
+
+def _term_vectors_sql() -> str:
+    """Termvectors oracle: tf + corpus df + 0-based comma-joined token
+    positions for every term of doc TV_DOC_ID."""
+    return f"""
+        WITH tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        ),
+        dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tp GROUP BY term)
+        SELECT tp.term, count(*)::BIGINT AS tf, min(dfs.df) AS df,
+               string_agg((tp.p - 1)::VARCHAR, ',' ORDER BY tp.p) AS positions
+        FROM tp JOIN dfs USING (term)
+        WHERE tp.doc_id = {TV_DOC_ID}
+        GROUP BY tp.term ORDER BY tp.term
     """
 
 

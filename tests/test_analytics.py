@@ -216,3 +216,63 @@ def test_small_quantity_revenue_empty_selection(ray_session, tmp_path):
     out = small_quantity_revenue(d)
     assert int(out["revenue_cents"].iloc[0]) == 0
     assert float(out["avg_yearly"].iloc[0]) == 0.0
+
+
+def test_term_vectors_referee(ray_session):
+    # brute-force referee over the raw text: term set, tf, positions,
+    # and corpus df (distinct-doc count under the pinned tokenizer)
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.corpus import term_vectors
+
+    got = term_vectors(SF_DIR, 3)
+    texts = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    by_id = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokenize(by_id[3])):
+        pos.setdefault(t, []).append(i)
+    df_counter: Counter = Counter()
+    for txt in by_id.values():
+        df_counter.update(set(tokenize(txt)))
+    assert got["term"].tolist() == sorted(pos)
+    for _, row in got.iterrows():
+        assert row["tf"] == len(pos[row["term"]])
+        assert row["positions"] == ",".join(map(str, pos[row["term"]]))
+        assert row["df"] == df_counter[row["term"]]
+    with pytest.raises(ValueError, match="not found"):
+        term_vectors(SF_DIR, 10**9)
+
+
+def test_match_percentiles_rank_rule(ray_session):
+    # percentile_disc rank rule incl. the q=0.0 / q=1.0 clamps, against
+    # a referee built from the engine's own full match set
+    import pyarrow.parquet as pq
+
+    from zensearch_ray.functions.text import tokenize
+    from zensearch_ray.pipelines.corpus import index_dir_for, match_percentiles
+    from zensearch_ray.pipelines.query import QueryEngine
+
+    texts = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    dl_of = {
+        d: len(tokenize(t))
+        for d, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())
+    }
+    engine = QueryEngine(index_dir_for(SF_DIR))
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    for query in ("stream table", "vector dup"):
+        vals = np.sort([dl_of[d] for d, _ in engine.topk(query, k=10**9)])
+        got = match_percentiles(SF_DIR, query, qs=qs)
+        for q, v in zip(got["q"], got["value"]):
+            want = vals[min(max(math.ceil(q * len(vals)) - 1, 0), len(vals) - 1)]
+            assert v == float(want), (query, q)
+    # vocabulary miss: qs preserved, values all NaN
+    miss = match_percentiles(SF_DIR, "zzzznotaword", qs=qs)
+    assert miss["q"].tolist() == list(qs)
+    assert miss["value"].isna().all()

@@ -2131,6 +2131,65 @@ def did_you_mean(sf_dir: str, query: str) -> pd.DataFrame:
     )
 
 
+def term_vectors(sf_dir: str, doc_id: int) -> pd.DataFrame:
+    """ES ``termvectors`` analog: per term of ONE document — tf, corpus
+    df, and the token positions (comma-joined string so the frame stays
+    scalar-typed for value checking). Reads ONLY the source doc's text
+    via parquet predicate pushdown; df comes from the index. Columns:
+    (term, tf, df, positions), term ASC."""
+    import pyarrow.parquet as pq
+
+    engine = QueryEngine(index_dir_for(sf_dir))
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", doc_id)],
+    )["text"].to_pylist()
+    if not texts:
+        raise ValueError(f"doc_id {doc_id} not found")
+    toks = tokenize(texts[0])
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        pos.setdefault(t, []).append(i)
+    terms = sorted(pos)
+    return pd.DataFrame(
+        {
+            "term": terms,
+            "tf": np.array([len(pos[t]) for t in terms], dtype=np.int64),
+            "df": np.array([engine.df(t) for t in terms], dtype=np.int64),
+            "positions": [",".join(map(str, pos[t])) for t in terms],
+        }
+    )
+
+
+def match_percentiles(sf_dir: str, query: str,
+                      qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
+    """Percentiles aggregation over the match set (the ES
+    ``percentiles`` agg with the exact ``percentile_disc`` rank rule:
+    value at rank ceil(q·n), 1-based, over sorted matched doc_len).
+    Columns: (q, value)."""
+    engine = QueryEngine(index_dir_for(sf_dir))
+    plan = engine._term_plan(query)
+    if not plan:
+        return pd.DataFrame({"q": np.array(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+    uniq, scores = engine._accumulate_plan(plan)
+    matched = uniq[scores > 0.0]
+    v = np.sort(engine._numeric_values(matched, "doc_len"))
+    v = v[~np.isnan(v)]
+    vals = [
+        float(v[min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)])
+        if len(v) else float("nan")
+        for q in qs
+    ]
+    return pd.DataFrame(
+        {
+            "q": np.array(qs, dtype=np.float64),
+            "value": np.array([round6(x) for x in vals], dtype=np.float64),
+        }
+    )
+
+
 def more_like_this(
     sf_dir: str, doc_id: int, m: int = 5, k: int = 10
 ) -> pd.DataFrame:
