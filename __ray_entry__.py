@@ -932,6 +932,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             concurrency=(1, 4),
         )
 
+    def image_phash(sf_dir: str):
+        # image near-dup: pHash fingerprints (actor pool) → the shared
+        # SimHash pigeonhole band exchange; planted-dup table so the
+        # rows-only gate sees real pairs
+        import ray.data as rd
+
+        from zensearch_ray.stages.multimodal import (
+            phash_near_dups,
+            synthesize_image_dup_table,
+        )
+
+        media = rd.from_arrow(
+            synthesize_image_dup_table(40, seed=7, dups_per_base=1)
+        )
+        return phash_near_dups(media, max_hamming=8, n_bands=9)
+
     def media_frames(sf_dir: str):
         import pyarrow.compute as pc
         import ray.data as rd
@@ -1146,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed codec, real pipeline)
         "media_features": media_features,
         "media_frames": media_frames,
+        "image_phash_dups": image_phash,
         # graph family (stages/graph.py): edge extraction + weighted
         # PageRank (broadcast-ranks iterations over object-store edge
         # blocks) + connected components over the near-dup pair graph

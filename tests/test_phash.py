@@ -1,0 +1,113 @@
+"""Perceptual-hash image near-dup (stages/multimodal.py phash63 /
+PHashStage / phash_near_dups):
+
+  * format invariance: identical pixels through PNG and P6 PPM give
+    the IDENTICAL 63-bit hash (lossless codecs);
+  * the distributed pair miner equals a brute-force all-pairs popcount
+    referee exactly (the pigeonhole recall contract, inherited from
+    the shared SimHash band machinery);
+  * planted near-duplicates (sparse pixel edits, alternating codec)
+    are found and link only base↔dup, never across bases;
+  * non-image rows and stub-decoded payloads never reach the hash.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from zensearch_ray.stages.multimodal import (
+    PHashStage,
+    decode_media,
+    encode_png,
+    phash63,
+    phash_near_dups,
+    synthesize_image_dup_table,
+    synthesize_media_table,
+)
+
+MAX_HAMMING = 8
+N_BANDS = 9
+
+
+def _popcount(x: int) -> int:
+    return bin(x).count("1")
+
+
+def _hashes_of(table: pa.Table) -> dict[int, int]:
+    """Local referee: decode + hash every image row, no Ray."""
+    stage = PHashStage()
+    out = stage(table)
+    return dict(zip(out["media_id"].to_pylist(), out["phash"].to_pylist()))
+
+
+def test_phash_format_invariant_and_deterministic():
+    rng = np.random.default_rng(11)
+    pixels = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    png = encode_png(pixels)
+    ppm = f"P6\n56 40\n255\n".encode() + pixels.tobytes()
+    hashes = []
+    for payload in (png, ppm):
+        buf, dec, meta = decode_media(payload, "image")
+        assert dec in ("png", "ppm")
+        img = buf.reshape(meta["height"], meta["width"], 3)
+        hashes.append(phash63(img))
+    assert hashes[0] == hashes[1]
+    assert 0 < hashes[0] < 2**63
+    # exactly 31 of 63 AC coefficients exceed the median
+    assert _popcount(hashes[0]) == 31
+
+
+def test_phash_robust_to_sparse_edits_and_discriminative():
+    tbl = synthesize_image_dup_table(12, seed=7, dups_per_base=1, n_flips=6)
+    h = _hashes_of(tbl)
+    for i in range(12):
+        assert _popcount(h[i] ^ h[10000 + i]) <= MAX_HAMMING, i
+    far = [
+        _popcount(h[a] ^ h[b])
+        for a in range(12)
+        for b in range(a + 1, 12)
+    ]
+    assert min(far) > MAX_HAMMING  # distinct bases never collide
+
+
+def test_phash_near_dups_matches_bruteforce(ray_session):
+    tbl = synthesize_image_dup_table(10, seed=3, dups_per_base=2, n_flips=4)
+    got = phash_near_dups(
+        rd.from_arrow(tbl), max_hamming=MAX_HAMMING, n_bands=N_BANDS
+    )
+    h = _hashes_of(tbl)
+    ids = sorted(h)
+    want = sorted(
+        (a, b, _popcount(h[a] ^ h[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _popcount(h[a] ^ h[b]) <= MAX_HAMMING
+    )
+    assert list(map(tuple, got[["a", "b", "hamming"]].to_numpy())) == want
+    # every planted dup pair is in the result
+    planted = {(i, 10000 + i) for i in range(10)} | {
+        (i, 20000 + i) for i in range(10)
+    }
+    found = {(a, b) for a, b, _ in want}
+    assert planted <= found
+
+
+def test_phash_stage_drops_non_images_and_stubs(ray_session):
+    media = synthesize_media_table(120, seed=42)
+    out = PHashStage()(media)
+    kinds = dict(
+        zip(media["media_id"].to_pylist(), media["kind"].to_pylist())
+    )
+    assert out.num_rows > 0
+    for mid, dec in zip(
+        out["media_id"].to_pylist(), out["decoder"].to_pylist()
+    ):
+        assert kinds[mid] == "image"
+        assert dec in ("png", "ppm", "jpeg", "gif", "bmp")
+
+
+def test_phash_near_dups_band_guard(ray_session):
+    tbl = synthesize_image_dup_table(2, seed=1)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dups(rd.from_arrow(tbl), max_hamming=4, n_bands=4)

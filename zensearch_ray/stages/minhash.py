@@ -658,19 +658,38 @@ def simhash_near_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
     contract, same as :func:`lsh_candidate_pairs_ds`.
     Returns a DataFrame (a, b, hamming), a < b.
     """
-    if n_bands <= max_hamming:
-        raise ValueError("pigeonhole guarantee needs n_bands > max_hamming")
     fp = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    width = 63 // n_bands + 1
+    return hamming_near_pairs_from_fp(
+        fp, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket
+    )
+
+
+def hamming_near_pairs_from_fp(fp_ds, max_hamming: int = 3, n_bands: int = 4,
+                               max_bucket: int = 10000,
+                               fp_col: str = "simhash",
+                               id_col: str = "doc_id", nbits: int = 63):
+    """Generic pigeonhole hamming-pair miner over an (id, fingerprint)
+    dataset — the shared core behind text SimHash near-dup and image
+    pHash near-dup (any ≤63-bit fingerprint in an int64 column).
+
+    Same contract as :func:`simhash_near_pairs`: exact recall for
+    hamming ≤ ``max_hamming`` when ``n_bands > max_hamming`` (two such
+    fingerprints must agree on at least one whole band), candidates
+    verified by XOR popcount, degenerate buckets larger than
+    ``max_bucket`` dropped explicitly. Returns (a, b, hamming), a < b.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError("pigeonhole guarantee needs n_bands > max_hamming")
+    width = nbits // n_bands + 1
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch[fp_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         bands_l, bits_l, ids_l, fp_l = [], [], [], []
         for band in range(n_bands):
             lo = band * width
@@ -710,7 +729,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
         )
 
     pairs = (
-        fp.map_batches(band_rows, batch_format="pyarrow")
+        fp_ds.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(_add_coarse("bits"), batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(emit, batch_format="pandas")

@@ -19,7 +19,10 @@ stages must run with small ``batch_size`` and rely on block splitting
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
@@ -624,4 +627,158 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (the multimodal twin of text SimHash)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=4)
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n); cached per size."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def phash63(img: np.ndarray) -> int:
+    """63-bit perceptual hash (pHash family): grayscale → 32×32
+    nearest resample → 2-D orthonormal DCT-II → 8×8 low-frequency
+    block → the 63 AC coefficients (DC dropped — it only encodes mean
+    brightness) → bit i set iff coeff_i > median(AC).
+
+    Stable under re-encoding (lossless codecs give the identical hash)
+    and under sparse pixel edits (a few pixels barely move the
+    low-frequency coefficients); hamming distance measures visual
+    difference. Exactly 63 bits so the SimHash pigeonhole band
+    machinery applies unchanged."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    small = resize_image(img, 32, 32)
+    d = _dct_matrix(32)
+    freq = d @ small @ d.T
+    ac = freq[:8, :8].ravel()[1:]  # row-major: [0] is the DC term
+    bits = ac > np.median(ac)
+    return int((np.uint64(1) << np.arange(63, dtype=np.uint64))[bits].sum())
+
+
+class PHashStage:
+    """Actor-pool map_batches: image rows → (media_id, phash, decoder).
+
+    Decodes via the shared stdlib codecs; non-image rows and
+    stub-decoded (unknown-format) payloads are dropped — hashing opaque
+    bytes would manufacture false near-dup pairs. The DCT basis is
+    built once per actor."""
+
+    def __init__(self, payload_col: str = "payload", kind_col: str = "kind",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+        self.id_col = id_col
+        _dct_matrix(32)  # warm the per-actor cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, decs = [], [], []
+        for mid, kind, payload in zip(
+            batch[self.id_col].to_pylist(),
+            batch[self.kind_col].to_pylist(),
+            batch[self.payload_col].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            buf, dec, meta = decode_media(payload or b"", kind)
+            w, h = meta.get("width", 0), meta.get("height", 0)
+            if dec == "stub" or not w or not h:
+                continue
+            c = buf.size // (w * h)
+            img = buf.reshape(h, w, c) if c > 1 else buf.reshape(h, w)
+            ids.append(mid)
+            hashes.append(phash63(img))
+            decs.append(dec)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "phash": pa.array(hashes, type=pa.int64()),
+                "decoder": pa.array(decs, type=pa.string()),
+            }
+        )
+
+
+def phash_near_dups(media_ds, max_hamming: int = 8, n_bands: int = 9,
+                    max_bucket: int = 10000) -> pd.DataFrame:
+    """Image near-duplicate pairs by pHash hamming distance ≤
+    ``max_hamming`` — image dedup for a multimodal training corpus.
+
+    PHashStage (actor pool) fingerprints every decodable image, then
+    the SHARED pigeonhole band exchange from text SimHash
+    (``minhash.hamming_near_pairs_from_fp``) mines pairs: exact recall
+    for hamming ≤ max_hamming when n_bands > max_hamming, one bucket
+    groupby as the only shuffle, degenerate buckets capped. Returns
+    (a, b, hamming) over media_id, a < b."""
+    from zensearch_ray.stages.minhash import hamming_near_pairs_from_fp
+
+    fp = media_ds.map_batches(
+        PHashStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 8)
+    )
+    return hamming_near_pairs_from_fp(
+        fp, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+        fp_col="phash", id_col="media_id",
+    )
+
+
+def synthesize_image_dup_table(n_base: int, seed: int = 7,
+                               dups_per_base: int = 1,
+                               n_flips: int = 6) -> pa.Table:
+    """Deterministic image table with PLANTED near-duplicates: each
+    base image (smooth gradient + sinusoid — photograph-like spectra)
+    gets ``dups_per_base`` copies with ``n_flips`` randomly perturbed
+    pixels, re-encoded in an ALTERNATING lossless format (PNG / P6
+    PPM) so near-dup detection must also cross codec boundaries.
+    media_id of the j-th dup of base i is ``(j+1)*10000 + i``."""
+    rng = np.random.default_rng(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+
+    def add(mid: int, pixels: np.ndarray, as_png: bool) -> None:
+        h, w = pixels.shape[:2]
+        if as_png:
+            payload, mime = encode_png(pixels), "image/png"
+        else:
+            payload = f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+            mime = "image/x-portable-pixmap"
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(-1)
+
+    for i in range(n_base):
+        w, h = int(rng.integers(24, 64)), int(rng.integers(24, 64))
+        yy, xx = np.mgrid[0:h, 0:w]
+        # random low-frequency Fourier mixture per channel: distinct
+        # low-freq spectra per base (what pHash actually compares)
+        base = np.zeros((h, w, 3))
+        for c in range(3):
+            acc = np.zeros((h, w))
+            for _ in range(4):
+                fy, fx = rng.uniform(0.5, 4.0), rng.uniform(0.5, 4.0)
+                ph = rng.uniform(0, 2 * np.pi)
+                acc += rng.uniform(0.3, 1.0) * np.sin(
+                    2 * np.pi * (fy * yy / h + fx * xx / w) + ph
+                )
+            base[..., c] = acc
+        base -= base.min()
+        base = (base / max(base.max(), 1e-9) * 255).astype(np.uint8)
+        add(i, base, as_png=bool(i % 2))
+        for j in range(dups_per_base):
+            dup = base.copy()
+            ys = rng.integers(0, h, size=n_flips)
+            xs = rng.integers(0, w, size=n_flips)
+            dup[ys, xs] = rng.integers(0, 256, size=(n_flips, 3))
+            add((j + 1) * 10000 + i, dup, as_png=not bool(i % 2))
     return pa.table(rows, schema=MEDIA_SCHEMA)
