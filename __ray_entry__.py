@@ -948,6 +948,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return phash_near_dups(media, max_hamming=8, n_bands=9)
 
+    def audio_fp(sf_dir: str):
+        # audio near-dup: energy-grid fingerprints → the same shared
+        # pigeonhole band exchange as text SimHash / image pHash
+        import ray.data as rd
+
+        from zensearch_ray.stages.multimodal import (
+            audio_near_dups,
+            synthesize_audio_dup_table,
+        )
+
+        media = rd.from_arrow(
+            synthesize_audio_dup_table(40, seed=13, dups_per_base=1)
+        )
+        return audio_near_dups(media, max_hamming=6, n_bands=7)
+
     def media_frames(sf_dir: str):
         import pyarrow.compute as pc
         import ray.data as rd
@@ -1163,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_frames": media_frames,
         "image_phash_dups": image_phash,
+        "audio_fp_dups": audio_fp,
         # graph family (stages/graph.py): edge extraction + weighted
         # PageRank (broadcast-ranks iterations over object-store edge
         # blocks) + connected components over the near-dup pair graph

@@ -111,3 +111,82 @@ def test_phash_near_dups_band_guard(ray_session):
     tbl = synthesize_image_dup_table(2, seed=1)
     with pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dups(rd.from_arrow(tbl), max_hamming=4, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (ahash63 / AHashStage / audio_near_dups)
+# ---------------------------------------------------------------------------
+
+from zensearch_ray.stages.multimodal import (  # noqa: E402
+    AHashStage,
+    ahash63,
+    audio_near_dups,
+    synthesize_audio_dup_table,
+)
+
+A_MAX_HAMMING = 6
+A_N_BANDS = 7
+
+
+def _ahashes_of(table: pa.Table) -> dict[int, int]:
+    out = AHashStage()(table)
+    return dict(zip(out["media_id"].to_pylist(), out["ahash"].to_pylist()))
+
+
+def test_ahash_amplitude_invariant_and_deterministic():
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 0.2, size=4000)
+    h1 = ahash63(x, 8000)
+    assert h1 == ahash63(x, 8000)
+    # total-energy normalization + median rule: gain changes nothing
+    assert h1 == ahash63(x * 0.25, 8000)
+    assert _popcount(h1) == 31
+    # short clips pad instead of crashing
+    assert isinstance(ahash63(np.zeros(10), 8000), int)
+
+
+def test_ahash_robust_to_noise_and_discriminative():
+    tbl = synthesize_audio_dup_table(12, seed=13, dups_per_base=1)
+    h = _ahashes_of(tbl)
+    for i in range(12):
+        assert _popcount(h[i] ^ h[10000 + i]) <= A_MAX_HAMMING, i
+    far = [
+        _popcount(h[a] ^ h[b])
+        for a in range(12)
+        for b in range(a + 1, 12)
+    ]
+    assert min(far) > A_MAX_HAMMING
+
+
+def test_audio_near_dups_matches_bruteforce(ray_session):
+    tbl = synthesize_audio_dup_table(10, seed=3, dups_per_base=2)
+    got = audio_near_dups(
+        rd.from_arrow(tbl), max_hamming=A_MAX_HAMMING, n_bands=A_N_BANDS
+    )
+    h = _ahashes_of(tbl)
+    ids = sorted(h)
+    want = sorted(
+        (a, b, _popcount(h[a] ^ h[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _popcount(h[a] ^ h[b]) <= A_MAX_HAMMING
+    )
+    assert list(map(tuple, got[["a", "b", "hamming"]].to_numpy())) == want
+    planted = {(i, 10000 + i) for i in range(10)} | {
+        (i, 20000 + i) for i in range(10)
+    }
+    assert planted <= {(a, b) for a, b, _ in want}
+
+
+def test_ahash_stage_drops_non_audio(ray_session):
+    media = synthesize_media_table(120, seed=42)
+    out = AHashStage()(media)
+    kinds = dict(
+        zip(media["media_id"].to_pylist(), media["kind"].to_pylist())
+    )
+    assert out.num_rows > 0
+    for mid, dec in zip(
+        out["media_id"].to_pylist(), out["decoder"].to_pylist()
+    ):
+        assert kinds[mid] == "audio"
+        assert dec == "wav"

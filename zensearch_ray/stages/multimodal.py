@@ -782,3 +782,145 @@ def synthesize_image_dup_table(n_base: int, seed: int = 7,
             dup[ys, xs] = rng.integers(0, 256, size=(n_flips, 3))
             add((j + 1) * 10000 + i, dup, as_png=not bool(i % 2))
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def ahash63(samples: np.ndarray, sr: int) -> int:
+    """63-bit audio fingerprint (Haitsma–Kalker-style energy grid):
+    8 equal time slices × 8 log-spaced frequency bands of |rFFT|²
+    energy, total-energy-normalized, flattened row-major, cell 0
+    dropped, bit i set iff cell_i > median(cells).
+
+    Amplitude-invariant (normalization + median rule) and robust to
+    low-level additive noise; hamming distance measures acoustic
+    difference. Exactly 63 bits so the SimHash/pHash pigeonhole band
+    machinery applies unchanged. ``sr`` is unused by the grid (bands
+    are relative), kept for signature parity with real fingerprints.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 64:
+        x = np.pad(x, (0, 64 - x.size))
+    n = x.size // 8
+    grid = np.empty((8, 8), dtype=np.float64)
+    for t in range(8):
+        mag2 = np.abs(np.fft.rfft(x[t * n : (t + 1) * n])) ** 2
+        mag2 = mag2[1:]  # drop DC
+        edges = np.geomspace(1, len(mag2) + 1, 9)
+        idx = np.minimum(edges.astype(np.int64) - 1, len(mag2))
+        for b in range(8):
+            lo, hi = idx[b], max(idx[b + 1], idx[b] + 1)
+            grid[t, b] = mag2[lo:hi].sum()
+    total = grid.sum()
+    if total > 0:
+        grid /= total
+    cells = grid.ravel()[1:]
+    bits = cells > np.median(cells)
+    return int((np.uint64(1) << np.arange(63, dtype=np.uint64))[bits].sum())
+
+
+class AHashStage:
+    """Actor-pool map_batches: audio rows → (media_id, ahash, decoder).
+
+    Decodes via the stdlib WAV codec; non-audio rows and stub-decoded
+    payloads are dropped (hashing opaque bytes would manufacture false
+    near-dup pairs)."""
+
+    def __init__(self, payload_col: str = "payload", kind_col: str = "kind",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, decs = [], [], []
+        for mid, kind, payload in zip(
+            batch[self.id_col].to_pylist(),
+            batch[self.kind_col].to_pylist(),
+            batch[self.payload_col].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            buf, dec, meta = decode_media(payload or b"", kind)
+            if dec != "wav":
+                continue
+            ids.append(mid)
+            hashes.append(ahash63(buf, meta["sample_rate"]))
+            decs.append(dec)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "ahash": pa.array(hashes, type=pa.int64()),
+                "decoder": pa.array(decs, type=pa.string()),
+            }
+        )
+
+
+def audio_near_dups(media_ds, max_hamming: int = 6, n_bands: int = 7,
+                    max_bucket: int = 10000) -> pd.DataFrame:
+    """Audio near-duplicate pairs by fingerprint hamming distance —
+    audio dedup for a multimodal training corpus, sharing the exact
+    pigeonhole band exchange with text SimHash and image pHash.
+    Returns (a, b, hamming) over media_id, a < b."""
+    from zensearch_ray.stages.minhash import hamming_near_pairs_from_fp
+
+    fp = media_ds.map_batches(
+        AHashStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 8)
+    )
+    return hamming_near_pairs_from_fp(
+        fp, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+        fp_col="ahash", id_col="media_id",
+    )
+
+
+def synthesize_audio_dup_table(n_base: int, seed: int = 13,
+                               dups_per_base: int = 1,
+                               noise: float = 0.005) -> pa.Table:
+    """Deterministic audio table with PLANTED near-duplicates: each
+    base clip (3-tone sinusoid mix, tones drawn without replacement
+    from a log ladder so bases are spectrally distinct) gets
+    ``dups_per_base`` copies with white noise of amplitude ``noise``
+    added before 16-bit quantization. media_id layout matches
+    :func:`synthesize_image_dup_table`."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    ladder = np.geomspace(120.0, 3200.0, 24)
+
+    def add(mid: int, samples: np.ndarray, sr: int, ms: int) -> None:
+        pcm = (np.clip(samples, -1, 1) * 32000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        rows["media_id"].append(mid)
+        rows["kind"].append("audio")
+        rows["payload"].append(buf.getvalue())
+        rows["mime"].append("audio/wav")
+        rows["width"].append(-1)
+        rows["height"].append(-1)
+        rows["duration_ms"].append(ms)
+
+    sr = 8000
+    for i in range(n_base):
+        ms = int(rng.integers(200, 500))
+        n = sr * ms // 1000
+        t = np.arange(n, dtype=np.float64) / sr
+        freqs = rng.choice(ladder, size=3, replace=False)
+        amps = rng.uniform(0.15, 0.3, size=3)
+        # time-windowed tones: a stationary mix would repeat the same
+        # spectrum in all 8 time slices (≈8 informative bits); random
+        # onsets/offsets make the time axis of the grid discriminative
+        base = np.zeros(n, dtype=np.float64)
+        for a, f in zip(amps, freqs):
+            s = float(rng.uniform(0, 0.5))
+            e = float(rng.uniform(s + 0.3, 1.0))
+            i0, i1 = int(s * n), int(e * n)
+            base[i0:i1] += a * np.sin(2 * np.pi * f * t[i0:i1])
+        add(i, base, sr, ms)
+        for j in range(dups_per_base):
+            dup = base + rng.normal(0, noise, size=n)
+            add((j + 1) * 10000 + i, dup, sr, ms)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
