@@ -963,6 +963,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return audio_near_dups(media, max_hamming=6, n_bands=7)
 
+    def video_fp(sf_dir: str):
+        # video near-dup: frame-majority pHash over MJPEG-AVI; dups are
+        # the same footage re-encoded at a different JPEG quality
+        import ray.data as rd
+
+        from zensearch_ray.stages.multimodal import (
+            synthesize_video_dup_table,
+            video_near_dups,
+        )
+
+        media = rd.from_arrow(
+            synthesize_video_dup_table(20, seed=23, dups_per_base=1)
+        )
+        return video_near_dups(media, max_hamming=8, n_bands=9)
+
     def media_frames(sf_dir: str):
         import pyarrow.compute as pc
         import ray.data as rd
@@ -1179,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "image_phash_dups": image_phash,
         "audio_fp_dups": audio_fp,
+        "video_fp_dups": video_fp,
         # graph family (stages/graph.py): edge extraction + weighted
         # PageRank (broadcast-ranks iterations over object-store edge
         # blocks) + connected components over the near-dup pair graph

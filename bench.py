@@ -833,6 +833,23 @@ def run_bench() -> dict:
     _, t = timed(media_decode)
     results["media_decode_400_sec"] = round(t, 3)
 
+    # multimodal near-dup: pHash over 400 planted-dup images, audio
+    # fingerprints over 400 planted-dup clips — both through the shared
+    # pigeonhole band exchange
+    from zensearch_ray.stages.multimodal import (
+        audio_near_dups,
+        phash_near_dups,
+        synthesize_audio_dup_table,
+        synthesize_image_dup_table,
+    )
+
+    img_tbl = synthesize_image_dup_table(200, seed=7, dups_per_base=1)
+    _, t = timed(lambda: phash_near_dups(rd.from_arrow(img_tbl)))
+    results["image_phash_dedup_400_sec"] = round(t, 3)
+    aud_tbl = synthesize_audio_dup_table(200, seed=13, dups_per_base=1)
+    _, t = timed(lambda: audio_near_dups(rd.from_arrow(aud_tbl)))
+    results["audio_fp_dedup_400_sec"] = round(t, 3)
+
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
     from zensearch_ray.pipelines.compact import compact_index

@@ -190,3 +190,71 @@ def test_ahash_stage_drops_non_audio(ray_session):
     ):
         assert kinds[mid] == "audio"
         assert dec == "wav"
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint near-dup (vhash63 / VHashStage / video_near_dups)
+# ---------------------------------------------------------------------------
+
+from zensearch_ray.stages.multimodal import (  # noqa: E402
+    VHashStage,
+    synthesize_video_dup_table,
+    vhash63,
+    video_near_dups,
+)
+
+V_MAX_HAMMING = 8
+V_N_BANDS = 9
+
+
+def test_vhash_majority_rule():
+    # bit set iff set in >= half the frame hashes; empty list → 0
+    assert vhash63([]) == 0
+    assert vhash63([0b1010, 0b1010, 0b0001]) == 0b1010
+    assert vhash63([0b1, 0b10]) == 0b11  # 1 of 2 == half → set
+    assert vhash63([(1 << 63) - 1]) == (1 << 63) - 1
+
+
+def test_video_requality_dups_found_and_bases_distinct():
+    tbl = synthesize_video_dup_table(10, seed=23, dups_per_base=1)
+    out = VHashStage()(tbl)
+    h = dict(zip(out["media_id"].to_pylist(), out["vhash"].to_pylist()))
+    for i in range(10):
+        assert _popcount(h[i] ^ h[10000 + i]) <= V_MAX_HAMMING, i
+    far = [
+        _popcount(h[a] ^ h[b]) for a in range(10) for b in range(a + 1, 10)
+    ]
+    assert min(far) > V_MAX_HAMMING
+
+
+def test_video_near_dups_matches_bruteforce(ray_session):
+    tbl = synthesize_video_dup_table(8, seed=5, dups_per_base=1)
+    got = video_near_dups(
+        rd.from_arrow(tbl), max_hamming=V_MAX_HAMMING, n_bands=V_N_BANDS
+    )
+    out = VHashStage()(tbl)
+    h = dict(zip(out["media_id"].to_pylist(), out["vhash"].to_pylist()))
+    ids = sorted(h)
+    want = sorted(
+        (a, b, _popcount(h[a] ^ h[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _popcount(h[a] ^ h[b]) <= V_MAX_HAMMING
+    )
+    assert list(map(tuple, got[["a", "b", "hamming"]].to_numpy())) == want
+    assert {(i, 10000 + i) for i in range(8)} <= {(a, b) for a, b, _ in want}
+
+
+def test_vhash_stage_drops_non_video_and_fake(ray_session):
+    media = synthesize_media_table(120, seed=42)
+    out = VHashStage()(media)
+    kinds = dict(
+        zip(media["media_id"].to_pylist(), media["kind"].to_pylist())
+    )
+    mimes = dict(
+        zip(media["media_id"].to_pylist(), media["mime"].to_pylist())
+    )
+    assert out.num_rows > 0
+    for mid in out["media_id"].to_pylist():
+        assert kinds[mid] == "video"
+        assert mimes[mid] == "video/x-msvideo"  # fake-bytes rows dropped

@@ -924,3 +924,141 @@ def synthesize_audio_dup_table(n_base: int, seed: int = 13,
             dup = base + rng.normal(0, noise, size=n)
             add((j + 1) * 10000 + i, dup, sr, ms)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def vhash63(frame_hashes: list[int]) -> int:
+    """63-bit video fingerprint: bitwise MAJORITY over per-frame
+    :func:`phash63` values (bit set iff set in ≥ half the frames).
+    Majority voting absorbs per-frame codec noise, so two encodes of
+    the same footage at different JPEG quality land within a small
+    hamming distance."""
+    if not frame_hashes:
+        return 0
+    fps = np.array(frame_hashes, dtype=np.uint64)
+    shifts = np.arange(63, dtype=np.uint64)
+    counts = ((fps[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+    bits = counts * 2 >= len(fps)
+    return int((np.uint64(1) << shifts)[bits].sum())
+
+
+class VHashStage:
+    """Actor-pool map_batches: video rows → (media_id, vhash, n_frames).
+
+    MJPEG-AVI only (the container's one real video codec): demux, decode
+    up to ``max_frames`` evenly-sampled frames, pHash each, majority-
+    combine. Non-video rows and undecodable payloads are dropped."""
+
+    def __init__(self, max_frames: int = 8, payload_col: str = "payload",
+                 kind_col: str = "kind", id_col: str = "media_id"):
+        self.max_frames = max_frames
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+        self.id_col = id_col
+        _dct_matrix(32)  # warm the per-actor cache
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zensearch_ray.functions.jpeg import decode_jpeg
+        from zensearch_ray.functions.riff import extract_mjpeg_frames
+
+        ids, hashes, nfr = [], [], []
+        for mid, kind, payload in zip(
+            batch[self.id_col].to_pylist(),
+            batch[self.kind_col].to_pylist(),
+            batch[self.payload_col].to_pylist(),
+        ):
+            payload = payload or b""
+            if kind != "video" or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                continue
+            frames, _fps = extract_mjpeg_frames(payload)
+            if not frames:
+                continue
+            step = max(1, len(frames) // self.max_frames)
+            picked = frames[::step][: self.max_frames]
+            ids.append(mid)
+            hashes.append(
+                vhash63([phash63(decode_jpeg(fb)) for _, fb in picked])
+            )
+            nfr.append(len(frames))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "vhash": pa.array(hashes, type=pa.int64()),
+                "n_frames": pa.array(nfr, type=pa.int64()),
+            }
+        )
+
+
+def video_near_dups(media_ds, max_hamming: int = 8, n_bands: int = 9,
+                    max_bucket: int = 10000, max_frames: int = 8) -> pd.DataFrame:
+    """Video near-duplicate pairs by majority-pHash hamming distance —
+    the third leg of the multimodal dedup family, through the same
+    shared pigeonhole band exchange. Returns (a, b, hamming), a < b."""
+    from zensearch_ray.stages.minhash import hamming_near_pairs_from_fp
+
+    fp = media_ds.map_batches(
+        VHashStage, fn_constructor_kwargs={"max_frames": max_frames},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 8),
+    )
+    return hamming_near_pairs_from_fp(
+        fp, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+        fp_col="vhash", id_col="media_id",
+    )
+
+
+def synthesize_video_dup_table(n_base: int, seed: int = 23,
+                               dups_per_base: int = 1) -> pa.Table:
+    """Deterministic MJPEG-AVI table with PLANTED near-duplicates: the
+    dup re-encodes the SAME frames at a different JPEG quality (the
+    classic re-upload transform). Frames are low-frequency Fourier
+    mixtures with a per-frame phase drift so bases are spectrally and
+    temporally distinct. media_id layout matches the image/audio
+    synthesizers."""
+    from zensearch_ray.functions.jpeg import encode_jpeg
+    from zensearch_ray.functions.riff import encode_avi_mjpeg
+
+    rng = np.random.default_rng(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+
+    def add(mid: int, frame_pixels: list[np.ndarray], quality: int,
+            w: int, h: int, fps: float) -> None:
+        payload = encode_avi_mjpeg(
+            [encode_jpeg(f, quality=quality) for f in frame_pixels], fps=fps
+        )
+        rows["media_id"].append(mid)
+        rows["kind"].append("video")
+        rows["payload"].append(payload)
+        rows["mime"].append("video/x-msvideo")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(int(len(frame_pixels) * 1000 / fps))
+
+    for i in range(n_base):
+        w, h = int(rng.integers(24, 48)), int(rng.integers(24, 48))
+        n = int(rng.integers(4, 9))
+        fps = float(rng.integers(5, 16))
+        yy, xx = np.mgrid[0:h, 0:w]
+        comps = [
+            (rng.uniform(0.5, 3.0), rng.uniform(0.5, 3.0),
+             rng.uniform(0, 2 * np.pi), rng.uniform(0.3, 1.0),
+             rng.uniform(0.1, 0.6))
+            for _ in range(4)
+        ]
+        frame_pixels = []
+        for t in range(n):
+            img = np.zeros((h, w, 3))
+            for c in range(3):
+                acc = np.zeros((h, w))
+                for fy, fx, ph, amp, drift in comps:
+                    acc += amp * np.sin(
+                        2 * np.pi * (fy * yy / h + fx * xx / w)
+                        + ph + drift * t + c
+                    )
+                img[..., c] = acc
+            img -= img.min()
+            frame_pixels.append(
+                (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+            )
+        add(i, frame_pixels, 85, w, h, fps)
+        for j in range(dups_per_base):
+            add((j + 1) * 10000 + i, frame_pixels, 60, w, h, fps)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
