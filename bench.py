@@ -849,6 +849,14 @@ def run_bench() -> dict:
     aud_tbl = synthesize_audio_dup_table(200, seed=13, dups_per_base=1)
     _, t = timed(lambda: audio_near_dups(rd.from_arrow(aud_tbl)))
     results["audio_fp_dedup_400_sec"] = round(t, 3)
+    from zensearch_ray.stages.multimodal import (
+        synthesize_video_dup_table,
+        video_near_dups,
+    )
+
+    vid_tbl = synthesize_video_dup_table(50, seed=23, dups_per_base=1)
+    _, t = timed(lambda: video_near_dups(rd.from_arrow(vid_tbl)))
+    results["video_fp_dedup_100_sec"] = round(t, 3)
 
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
