@@ -506,17 +506,22 @@ def span_dedup(ds, w: int = 8, n_buckets: int = 64, via: str = "broadcast"):
         ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 
-    def bucket_losers(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["h", "doc_id", "span_idx"])
-        dup = g.groupby("h")["h"].transform("size") > 1
-        first = ~g["h"].duplicated(keep="first")
-        losers = g[dup & ~first]
-        return losers[["doc_id", "span_idx"]]
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group["span_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, d, h))
+        h_s = h[order]
+        # sorted by (h, doc_id, span_idx): a loser is every row AFTER the
+        # first of its h-run (same-h predecessor) — ≡ dup-group & ~first
+        loser = order[np.r_[False, h_s[1:] == h_s[:-1]]]
+        return pa.table({"doc_id": pa.array(d[loser]),
+                         "span_idx": pa.array(s[loser])})
 
     losers = (
         spans.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_losers, batch_format="pandas")
+        .map_groups(bucket_losers, batch_format="pyarrow")
     )
 
     if via == "broadcast":
@@ -590,30 +595,42 @@ def span_dedup(ds, w: int = 8, n_buckets: int = 64, via: str = "broadcast"):
         losers.map_batches(loser_side, batch_format="pyarrow")
     )
 
-    def rebuild_group(group: pd.DataFrame) -> pd.DataFrame:
-        doc_rows = group[group["span_idx"] < 0]
-        loser_rows = group[group["span_idx"] >= 0]
-        by_doc = {
-            did: sub["span_idx"].to_numpy(np.int64)
-            for did, sub in loser_rows.groupby("doc_id")
-        }
+    def rebuild_group(group: pa.Table) -> pa.Table:
+        span_idx = (
+            group["span_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        dids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_mask = span_idx < 0
+        # loser spans sorted by (doc_id, span_idx): per-doc slices fall
+        # out of two searchsorteds instead of a pandas groupby
+        l_d, l_s = dids[~doc_mask], span_idx[~doc_mask]
+        lorder = np.lexsort((l_s, l_d))
+        l_d, l_s = l_d[lorder], l_s[lorder]
+        texts = group["text"]
         out = {"doc_id": [], "text": [], "n_spans": [], "n_removed": []}
-        empty = np.empty(0, dtype=np.int64)
-        for did, text in zip(doc_rows["doc_id"], doc_rows["text"]):
+        for i in np.flatnonzero(doc_mask):
+            did = dids[i]
+            lo = np.searchsorted(l_d, did, "left")
+            hi = np.searchsorted(l_d, did, "right")
             t, ns, nr = _rebuild_doc(
-                tokenize(text), by_doc.get(did, empty), w
+                tokenize(texts[i].as_py()), l_s[lo:hi], w
             )
-            out["doc_id"].append(did)
+            out["doc_id"].append(int(did))
             out["text"].append(t)
             out["n_spans"].append(ns)
             out["n_removed"].append(nr)
-        return pd.DataFrame(out).astype(
-            {"doc_id": np.int64, "n_spans": np.int64, "n_removed": np.int64}
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "text": pa.array(out["text"], type=pa.string()),
+                "n_spans": pa.array(out["n_spans"], type=pa.int64()),
+                "n_removed": pa.array(out["n_removed"], type=pa.int64()),
+            }
         )
 
     return (
         tagged.groupby("__bucket")
-        .map_groups(rebuild_group, batch_format="pandas")
+        .map_groups(rebuild_group, batch_format="pyarrow")
     )
 
 
@@ -694,17 +711,21 @@ def exact_substr_dedup(ds, l: int = 20, n_buckets: int = 64):
         ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 
-    def bucket_losers(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["h", "doc_id", "pos"])
-        dup = g.groupby("h")["h"].transform("size") > 1
-        first = ~g["h"].duplicated(keep="first")
-        losers = g[dup & ~first]
-        return losers[["doc_id", "pos"]]
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, d, h))
+        h_s = h[order]
+        # loser = every row after the first of its h-run (see span_dedup)
+        loser = order[np.r_[False, h_s[1:] == h_s[:-1]]]
+        return pa.table({"doc_id": pa.array(d[loser]),
+                         "pos": pa.array(p[loser])})
 
     losers = (
         windows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_losers, batch_format="pandas")
+        .map_groups(bucket_losers, batch_format="pyarrow")
     )
 
     ldf = losers.to_pandas()

@@ -176,10 +176,10 @@ def band_rows_to_pairs(band_rows, max_bucket: int = 1000,
     empty docs; a production run would salt them) — the cap is explicit
     in the signature, not silent."""
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        band = group["band"].to_numpy(np.int64)
-        bh = group["band_hash"].to_numpy(np.int64)
-        ids = group[id_col].to_numpy(np.int64)
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, bh, band))
         band_s, bh_s, ids_s = band[order], bh[order], ids[order]
         new = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
@@ -193,30 +193,30 @@ def band_rows_to_pairs(band_rows, max_bucket: int = 1000,
             out_a.append(bucket[iu])
             out_b.append(bucket[ju])
         if not out_a:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
 
     pairs = (
         band_rows.map_batches(_add_coarse("band_hash"), batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(emit_pairs, batch_format="pyarrow")
     )
 
     # the same pair surfaces once per agreeing band — dedup the sliver
-    def drop_dup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        ab = np.stack(
-            [batch["a"].to_numpy(np.int64), batch["b"].to_numpy(np.int64)],
-            axis=1,
-        )
+    def drop_dup_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ab = np.stack([a, b], axis=1)
         uniq = np.unique(ab, axis=0) if len(ab) else ab.reshape(0, 2)
-        return pd.DataFrame({"a": uniq[:, 0], "b": uniq[:, 1]})
+        return pa.table({"a": pa.array(np.ascontiguousarray(uniq[:, 0])),
+                         "b": pa.array(np.ascontiguousarray(uniq[:, 1]))})
 
     return (
         pairs.map_batches(_add_coarse("a"), batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(drop_dup_pairs, batch_format="pandas")
+        .map_groups(drop_dup_pairs, batch_format="pyarrow")
     )
 
 
@@ -707,32 +707,44 @@ def hamming_near_pairs_from_fp(fp_ds, max_hamming: int = 3, n_bands: int = 4,
             }
         )
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
+    def emit(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = group["bits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = group["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bits, band))
+        band_s, bits_s = band[order], bits[order]
+        ids_s, fps_s = ids[order], fps[order]
+        new = np.r_[
+            True, (band_s[1:] != band_s[:-1]) | (bits_s[1:] != bits_s[:-1])
+        ]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ids_s)]
+        lens = ends - starts
         out_a, out_b, out_h = [], [], []
-        for (_, _), bucket in group.groupby(["band", "bits"]):
-            if len(bucket) < 2 or len(bucket) > max_bucket:
-                continue
-            ids = bucket["doc_id"].to_numpy()
-            fps = bucket["fp"].to_numpy().astype(np.uint64)
-            order = np.argsort(ids)
-            ids, fps = ids[order], fps[order]
-            for i in range(len(ids)):
-                x = fps[i] ^ fps[i + 1 :]
-                ham = _popcount64(x)
-                hit = ham <= max_hamming
-                for j, hm in zip(np.flatnonzero(hit), ham[hit]):
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
-                    out_h.append(hm)
-        return pd.DataFrame(
-            {"a": out_a, "b": out_b, "hamming": out_h}, dtype="int64"
-        )
+        for i in np.flatnonzero((lens > 1) & (lens <= max_bucket)):
+            ids_b = ids_s[starts[i]:ends[i]]  # already ascending
+            fps_b = fps_s[starts[i]:ends[i]]
+            for j in range(len(ids_b) - 1):
+                ham = _popcount64(fps_b[j] ^ fps_b[j + 1:])
+                hit = np.flatnonzero(ham <= max_hamming)
+                if len(hit):
+                    out_a.append(np.full(len(hit), ids_b[j], dtype=np.int64))
+                    out_b.append(ids_b[j + 1:][hit])
+                    out_h.append(ham[hit])
+        if not out_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "hamming": pa.array(np.concatenate(out_h))})
 
     pairs = (
         fp_ds.map_batches(band_rows, batch_format="pyarrow")
         .map_batches(_add_coarse("bits"), batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
         .to_pandas()
     )
     # the same pair can surface from several agreeing bands — dedup
