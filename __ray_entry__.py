@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pmi(sf_dir: str):
         return corpus.pmi_bigrams(sf_dir, n=20, min_count=5)
 
+    def cooc(sf_dir: str):
+        return corpus.cooc_window(sf_dir, n=20, window=3)
+
     def ngram_rate(sf_dir: str):
         import ray.data as rd
 
@@ -573,6 +576,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vec = probe["embedding"].to_pylist()[0]
         ds = rd.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        from zensearch_ray.stages.ann import cosine_topk
+
+        out = cosine_topk(ds, vec, k=10)
+        out.insert(0, "rank", range(1, len(out) + 1))
+        return out
+
+    def embedding_topk_filtered(sf_dir: str):
+        # filtered vector search (metadata predicate + exact cosine
+        # top-k): the label predicate is pushed into the parquet read —
+        # non-matching row groups never leave storage, and the scored
+        # universe is only the matching rows (pre-filter semantics, the
+        # ES/vespa knn-with-filter shape, NOT post-filtering a larger
+        # top-k)
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        probe = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", 0)],
+        )
+        vec = probe["embedding"].to_pylist()[0]
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pads.field("label") == 3),
         )
         from zensearch_ray.stages.ann import cosine_topk
 
@@ -1072,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": snippets,
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
+        "cooc_window": cooc,
         "dup_ngram_rate": ngram_rate,
         "span_dedup": span_dedup_docs,
         "exact_substr_dedup": exact_substr_docs,
@@ -1112,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
+        "embedding_topk_filtered": embedding_topk_filtered,
         "embedding_mmr_topk": embedding_mmr,
         "embedding_kmeans": embedding_kmeans,
         "embedding_near_dup": embedding_near_dup,
@@ -1714,6 +1747,22 @@ def oracle_sql() -> dict[str, str]:
                    bigram, cnt
             FROM bc ORDER BY cnt DESC, bigram LIMIT 20
         """,
+        "cooc_window": f"""
+            WITH tp AS (
+                SELECT doc_id, unnest(tl) AS term,
+                       generate_subscripts(tl, 1) AS p
+                FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+            ),
+            pr AS (
+                SELECT l.term AS a, r.term AS b
+                FROM tp l JOIN tp r
+                ON l.doc_id = r.doc_id AND r.p > l.p AND r.p <= l.p + 3
+            ),
+            pcnt AS (SELECT a, b, count(*)::BIGINT AS cnt FROM pr GROUP BY a, b)
+            SELECT row_number() OVER (ORDER BY cnt DESC, a, b)::BIGINT AS rank,
+                   a, b, cnt
+            FROM pcnt ORDER BY cnt DESC, a, b LIMIT 20
+        """,
         "pmi_bigrams": f"""
             WITH tp AS (
                 SELECT doc_id, unnest(tl) AS term,
@@ -1959,6 +2008,18 @@ def oracle_sql() -> dict[str, str]:
                        round(list_cosine_similarity(embedding::DOUBLE[],
                                                     (SELECT e FROM probe)), 6) AS sim
                 FROM embeddings
+            )
+            SELECT row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+                   vec_id, sim
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_topk_filtered": """
+            WITH probe AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+            sims AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                                                    (SELECT e FROM probe)), 6) AS sim
+                FROM embeddings WHERE label = 3
             )
             SELECT row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank,
                    vec_id, sim

@@ -310,6 +310,10 @@ def run_bench() -> dict:
     results["more_like_this_sec"] = round(t, 3)
     _, t = timed(lambda: pmi_bigrams(SF_DIR, n=20, min_count=5))
     results["pmi_bigrams_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import cooc_window
+
+    _, t = timed(lambda: cooc_window(SF_DIR, n=20, window=3))
+    results["cooc_window_sec"] = round(t, 3)
     _, t = timed(
         lambda: dup_ngram_rate(
             rd.read_parquet(

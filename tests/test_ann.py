@@ -175,3 +175,26 @@ def test_contrastive_triplets_brute_force_referee(ray_session):
             assert got["vec_id"].tolist() == cand_ids[ref].tolist(), (qi, role)
             assert got["sim"].tolist() == cand_sims[ref].tolist(), (qi, role)
             assert got["rank"].tolist() == list(range(1, len(ref) + 1))
+
+
+def test_filtered_topk_entry_matches_filtered_brute(ray_session):
+    """embedding_topk_filtered (label-predicate pushdown + cosine
+    top-k) ≡ brute force over ONLY the matching rows — pre-filter
+    semantics, not post-filtering a larger unfiltered top-k."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    q = vecs[ids.tolist().index(0)]
+    keep = labels == 3
+    want = _brute(ids[keep], vecs[keep], q, 10)
+    got = entry.queries()["embedding_topk_filtered"](SF)
+    assert got["vec_id"].tolist() == want
+    assert list(got["rank"]) == list(range(1, len(want) + 1))

@@ -184,3 +184,28 @@ def test_decontaminate_referee(ray_session):
     assert not by_id.loc[13, "contaminated"]
     assert by_id.loc[14, "n_ngrams"] == 0 and not by_id.loc[14, "contaminated"]
     assert by_id.loc[15, "n_overlap"] > by_id.loc[10, "n_overlap"]
+
+
+def test_cooc_window_referee(coll_sf_dir):
+    from zensearch_ray.pipelines.corpus import cooc_window
+
+    w = 3
+    cc: Counter = Counter()
+    for text in DOCS:
+        toks = tokenize(text)
+        for d in range(1, w + 1):
+            cc.update(zip(toks, toks[d:]))
+    want = sorted(cc.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    got = cooc_window(coll_sf_dir, n=8, window=w)
+    assert list(zip(zip(got["a"], got["b"]), got["cnt"])) == want
+    assert list(got["rank"]) == list(range(1, 9))
+
+
+def test_cooc_window_1_equals_bigrams(coll_sf_dir):
+    from zensearch_ray.pipelines.corpus import cooc_window
+
+    got = cooc_window(coll_sf_dir, n=5, window=1)
+    big = top_bigrams(coll_sf_dir, n=5)
+    pairs = [f"{a} {b}" for a, b in zip(got["a"], got["b"])]
+    assert pairs == list(big["bigram"])
+    assert list(got["cnt"]) == list(big["cnt"])

@@ -1784,6 +1784,57 @@ def top_bigrams(sf_dir: str, n: int = 20) -> pd.DataFrame:
     return out
 
 
+def _cooc_partials(sf_dir: str, window: int):
+    """Per-batch pre-aggregated skip-gram pair partials: every ORDERED
+    token pair (t_i, t_j) with 1 <= j - i <= window, counted per batch —
+    the shuffle carries per-batch UNIQUE (a, b) pairs, not one row per
+    occurrence (same partial-emitting shape as ``_bigram_partials``)."""
+    from collections import Counter
+
+    def part(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = tokenize(text)
+            for d in range(1, window + 1):
+                c.update(zip(toks, toks[d:]))
+        if c:
+            a, b = map(list, zip(*c.keys()))
+        else:
+            a, b = [], []
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.string()),
+                "b": pa.array(b, type=pa.string()),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(part, batch_format="pyarrow")
+
+
+def cooc_window(sf_dir: str, n: int = 20, window: int = 3) -> pd.DataFrame:
+    """Top-N skip-gram co-occurrence pairs within a token window
+    (word2vec/GloVe-style corpus statistic: every ordered pair of
+    tokens at distance 1..window). Generalizes ``top_bigrams``
+    (window=1 ≡ adjacent bigrams). Ties (cnt DESC, a ASC, b ASC).
+    Columns: (rank, a, b, cnt).
+
+    Scale shape: per-batch Counter partials → ONE bucketed exchange
+    over unique pairs (``functions/agg.bucketed_groupby_sum``) →
+    exact global top-N via per-batch heads (driver merge is
+    N × n_batches rows). Pair-vocabulary scale is bounded by
+    window × bigram-vocabulary, never corpus token count."""
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    agg = bucketed_groupby_sum(
+        _cooc_partials(sf_dir, window), ["a", "b"], ["cnt"]
+    )
+    out = _global_topn(agg, ["cnt", "a", "b"], [False, True, True], n)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def pmi_bigrams(
     sf_dir: str, n: int = 20, min_count: int = 5, join: str = "broadcast"
 ) -> pd.DataFrame:
