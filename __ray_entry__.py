@@ -449,6 +449,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cooc(sf_dir: str):
         return corpus.cooc_window(sf_dir, n=20, window=3)
 
+    GREP_PATTERN = r"hash (join|scan)"
+    EXTRACT_PATTERN = r"(?P<verb>merge|sort) (?P<obj>join|scan|table)"
+
+    def grep(sf_dir: str):
+        return corpus.grep_docs(sf_dir, GREP_PATTERN)
+
+    def extractp(sf_dir: str):
+        return corpus.extract_pattern(sf_dir, EXTRACT_PATTERN)
+
     def ngram_rate(sf_dir: str):
         import ray.data as rd
 
@@ -1104,6 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": bigrams,
         "pmi_bigrams": pmi,
         "cooc_window": cooc,
+        "grep_docs": grep,
+        "extract_pattern": extractp,
         "dup_ngram_rate": ngram_rate,
         "span_dedup": span_dedup_docs,
         "exact_substr_dedup": exact_substr_docs,
@@ -1746,6 +1757,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY cnt DESC, bigram)::BIGINT AS rank,
                    bigram, cnt
             FROM bc ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        "grep_docs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'hash (join|scan)'))::BIGINT
+                       AS n_matches
+            FROM documents
+            WHERE regexp_matches(text, 'hash (join|scan)')
+            ORDER BY doc_id
+        """,
+        "extract_pattern": """
+            SELECT doc_id,
+                   regexp_extract(text, '(merge|sort) (join|scan|table)', 1)
+                       AS verb,
+                   regexp_extract(text, '(merge|sort) (join|scan|table)', 2)
+                       AS obj
+            FROM documents
+            WHERE regexp_matches(text, '(merge|sort) (join|scan|table)')
+            ORDER BY doc_id
         """,
         "cooc_window": f"""
             WITH tp AS (

@@ -1784,6 +1784,62 @@ def top_bigrams(sf_dir: str, n: int = 20) -> pd.DataFrame:
     return out
 
 
+def grep_docs(sf_dir: str, pattern: str) -> pd.DataFrame:
+    """Distributed content grep: every doc whose TEXT matches ``pattern``
+    (RE2 syntax — the same engine DuckDB's ``regexp_matches`` uses, so
+    semantics align exactly). Columns (doc_id, n_matches), doc_id ASC.
+
+    Fully Arrow-native map pass: ``pc.count_substring_regex`` runs the
+    compiled RE2 automaton over the string column with zero Python
+    per-row work; only matching (doc_id, count) rows leave each batch —
+    output scale is hit count, never corpus size."""
+    import pyarrow.compute as pc
+
+    def part(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern)
+        t = pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                      "n_matches": n.cast(pa.int64())})
+        return t.filter(pc.greater(t["n_matches"], 0))
+
+    out = _documents(sf_dir).map_batches(part, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-empty to_pandas() loses columns
+        out = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                            "n_matches": pd.Series(dtype=np.int64)})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def extract_pattern(sf_dir: str, pattern: str) -> pd.DataFrame:
+    """Distributed regex field extraction: first match of ``pattern``'s
+    named capture groups per doc (RE2 — aligned with DuckDB
+    ``regexp_extract``). Columns (doc_id, <group names...>), matching
+    docs only, doc_id ASC. Arrow-native: ``pc.extract_regex`` returns a
+    struct column; non-matching rows are null-filtered — the per-batch
+    output is matches only, so extraction over 100 TB emits only the
+    harvested fields."""
+    import pyarrow.compute as pc
+
+    def part(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["text"], pattern)
+        keep = ex.is_valid()
+        cols = {"doc_id": batch["doc_id"].cast(pa.int64()).filter(keep)}
+        ex = ex.filter(keep)
+        typ = ex.type
+        for i in range(typ.num_fields):
+            name = typ.field(i).name
+            cols[name] = pc.struct_field(ex, i).cast(pa.string())
+        return pa.table(cols)
+
+    out = _documents(sf_dir).map_batches(part, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-empty to_pandas() loses columns
+        import re as _re
+
+        cols = {"doc_id": pd.Series(dtype=np.int64)}
+        for g in _re.compile(pattern).groupindex:
+            cols[g] = pd.Series(dtype=str)
+        out = pd.DataFrame(cols)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _cooc_partials(sf_dir: str, window: int):
     """Per-batch pre-aggregated skip-gram pair partials: every ORDERED
     token pair (t_i, t_j) with 1 <= j - i <= window, counted per batch —
