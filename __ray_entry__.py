@@ -338,6 +338,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # singular corpus terms
         return corpus.stem_topk(sf_dir, STEM_QUERY, k=10)
 
+    def restemq(sf_dir: str):
+        # the SAME stem analyzer arrived at by ANALYZER REINDEX: the
+        # stemmed index is derived from the plain index's own postings
+        # (pipelines/reindex — corpus text never read); same oracle as
+        # bm25_topk_stem, so the gate value-checks the migration path
+        return corpus.reindexed_stem_topk(sf_dir, STEM_QUERY, k=10)
+
     def synfoldq(sf_dir: str):
         return corpus.synfold_topk(sf_dir, SYNFOLD_QUERY, k=10)
 
@@ -1067,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapsed": collapsed,
         "bm25_topk_stop": stop,
         "bm25_topk_stem": stemq,
+        "bm25_topk_reindexed": restemq,
         "bm25_topk_synfold": synfoldq,
         "bm25_topk_range": rng,
         "bm25_topk_fvf": fvf,
@@ -1365,6 +1373,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_collapsed": _collapsed_sql(),
         "bm25_topk_stop": _stopword_sql(),
         "bm25_topk_stem": _stem_sql(),
+        # the reindexed (postings-derived) stem index must answer
+        # identically to the from-corpus stem build — same oracle
+        "bm25_topk_reindexed": _stem_sql(),
         "bm25_topk_synfold": _synfold_sql(),
         "bm25_topk_range": _range_sql(),
         "bm25_topk_fvf": _fvf_sql(),

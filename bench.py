@@ -862,6 +862,21 @@ def run_bench() -> dict:
     _, t = timed(lambda: video_near_dups(rd.from_arrow(vid_tbl)))
     results["video_fp_dedup_100_sec"] = round(t, 3)
 
+    # -- analyzer reindex from postings only (corpus never re-read);
+    # runs BEFORE the deletion lifecycle (needs an un-tombstoned src)
+    from zensearch_ray.pipelines.build_index import BuildConfig as _BC
+    from zensearch_ray.pipelines.reindex import reindex_analyzer
+
+    reindex_dir = f"/tmp/zensearch_bench_reindex_{NUM_CPUS}"
+    shutil.rmtree(reindex_dir, ignore_errors=True)
+    _, t = timed(
+        reindex_analyzer, index_dir, reindex_dir,
+        _BC(num_shards=cfg.num_shards, salt_subs=cfg.salt_subs,
+            lang=cfg.lang, extract_from_html=cfg.extract_from_html,
+            stem=True),
+    )
+    results["reindex_stem_sec"] = round(t, 3)
+
     # -- deletion lifecycle on the bench index (runs LAST: it mutates
     # the bench index, which is rebuilt from scratch every run) ----------
     from zensearch_ray.pipelines.compact import compact_index

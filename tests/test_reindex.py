@@ -1,0 +1,136 @@
+"""Analyzer reindex (postings-only migration) ≡ a from-corpus build
+with the same analyzer config — the whole point of the operator:
+decoded postings, corpus stats and query results must be EQUAL, and
+the corpus text must never be read."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from zensearch_ray.pipelines.build_index import BuildConfig, build_index
+from zensearch_ray.pipelines.query import QueryEngine
+from zensearch_ray.pipelines.reindex import reindex_analyzer
+from zensearch_ray.sources.pages import generate_pages_table
+from zensearch_ray.state.manifest import IndexLayout
+
+QUERIES = [
+    "search engine ranking",
+    "the of and",
+    "café straße naïve",
+    "posting shard delta varint",
+]
+
+
+def _cfg(**kw):
+    base = dict(num_shards=4, salt_subs=2, heavy_df_threshold=60, lang="en")
+    base.update(kw)
+    return BuildConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("reindex_src")
+    t = generate_pages_table(250, seed=7)
+    p = str(root / "pages.parquet")
+    pq.write_table(t, p, row_group_size=64)
+    return p
+
+
+@pytest.fixture(scope="module")
+def plain_index(ray_session, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "plain")
+    build_index(corpus, d, _cfg())
+    return d
+
+
+def _postings_df(index_dir):
+    from zensearch_ray.pipelines.export import dump_postings
+
+    df = dump_postings(index_dir).to_pandas()
+    return df.sort_values(["term", "doc_id"], ignore_index=True)
+
+
+def _assert_equivalent(direct_dir, reindexed_dir):
+    md = IndexLayout(direct_dir).read_manifest()
+    mr = IndexLayout(reindexed_dir).read_manifest()
+    for k in ("n_docs", "sum_dl", "avgdl", "total_postings", "stopwords",
+              "stem", "synonyms", "id_mode"):
+        assert mr[k] == md[k], (k, mr[k], md[k])
+    pd.testing.assert_frame_equal(
+        _postings_df(reindexed_dir), _postings_df(direct_dir)
+    )
+    ed, er = QueryEngine(direct_dir), QueryEngine(reindexed_dir)
+    for q in QUERIES:
+        assert er.topk(q, 10) == ed.topk(q, 10), q
+        assert er.topk_pruned(q, 10) == ed.topk_pruned(q, 10), q
+
+
+def test_reindex_stem_equivalent(ray_session, corpus, plain_index, tmp_path):
+    cfg = _cfg(stem=True)
+    direct = str(tmp_path / "direct_stem")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_stem")
+    man = reindex_analyzer(plain_index, re_d, cfg)
+    assert man["reindexed_from"] == plain_index
+    _assert_equivalent(direct, re_d)
+
+
+def test_reindex_stopwords_equivalent(ray_session, corpus, plain_index, tmp_path):
+    # stopwords change doc_len/avgdl — the hard case (Lucene StopFilter
+    # semantics must fall out of the tf sums, including docs whose
+    # every token is stopped)
+    cfg = _cfg(stopwords=("the", "of", "and", "a", "to"))
+    direct = str(tmp_path / "direct_stop")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_stop")
+    reindex_analyzer(plain_index, re_d, cfg)
+    _assert_equivalent(direct, re_d)
+    # the analyzer must have actually changed the corpus stats
+    assert (
+        IndexLayout(re_d).read_manifest()["sum_dl"]
+        < IndexLayout(plain_index).read_manifest()["sum_dl"]
+    )
+
+
+def test_reindex_synonyms_plus_stem_equivalent(
+    ray_session, corpus, plain_index, tmp_path
+):
+    cfg = _cfg(stem=True, synonyms=(("crawler", "crawl"), ("indexes", "index")))
+    direct = str(tmp_path / "direct_syn")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_syn")
+    reindex_analyzer(plain_index, re_d, cfg)
+    _assert_equivalent(direct, re_d)
+
+
+def test_reindex_guards(ray_session, plain_index, tmp_path):
+    with pytest.raises(ValueError, match="no analyzer"):
+        reindex_analyzer(plain_index, str(tmp_path / "x1"), _cfg())
+    with pytest.raises(ValueError, match="positional"):
+        reindex_analyzer(
+            plain_index, str(tmp_path / "x2"), _cfg(stem=True, positions=True)
+        )
+    with pytest.raises(ValueError, match="title_boost"):
+        reindex_analyzer(
+            plain_index, str(tmp_path / "x3"), _cfg(stem=True, title_boost=2)
+        )
+
+
+def test_reindex_refuses_analyzer_source(ray_session, corpus, tmp_path):
+    src = str(tmp_path / "stemmed_src")
+    build_index(corpus, src, _cfg(stem=True))
+    with pytest.raises(ValueError, match="already carries an analyzer"):
+        reindex_analyzer(src, str(tmp_path / "x"), _cfg(stopwords=("the",)))
+
+
+def test_reindex_refuses_tombstoned_source(
+    ray_session, corpus, plain_index, tmp_path
+):
+    import shutil
+
+    src = str(tmp_path / "tombstoned")
+    shutil.copytree(plain_index, src)
+    IndexLayout(src).write_deletes(np.array([0], dtype=np.int64))
+    with pytest.raises(ValueError, match="tombstones"):
+        reindex_analyzer(src, str(tmp_path / "x"), _cfg(stem=True))

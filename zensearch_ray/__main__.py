@@ -434,6 +434,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_reindex(args) -> int:
+    """Analyzer migration from the committed index's own postings —
+    see ``pipelines/reindex.reindex_analyzer`` (the corpus text is
+    never read; equivalence with a from-corpus build is pinned in
+    ``tests/test_reindex.py``)."""
+    from zensearch_ray.pipelines.build_index import BuildConfig
+    from zensearch_ray.pipelines.reindex import reindex_analyzer
+
+    _ensure_ray()
+    cfg = BuildConfig(
+        num_shards=args.shards,
+        salt_subs=args.salt_subs,
+        stem=args.stem,
+        stopwords=tuple(s for s in args.stopwords.split(",") if s),
+        synonyms=_syn_pairs_of(args),
+    )
+    manifest = reindex_analyzer(args.index, args.output, cfg)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_vcompact(args) -> int:
     from zensearch_ray.pipelines.vector import compact_vector_index
 
@@ -1048,6 +1069,21 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True, help="source index (untouched)")
     c.add_argument("--output", required=True, help="compacted index directory")
     c.set_defaults(fn=cmd_compact)
+
+    c = sub.add_parser(
+        "reindex",
+        help="analyzer migration from a committed index's own postings "
+             "(stem / stopwords / synonyms) — the corpus is never re-read",
+    )
+    c.add_argument("--index", required=True, help="source index (untouched)")
+    c.add_argument("--output", required=True, help="reindexed index directory")
+    c.add_argument("--stem", action="store_true")
+    c.add_argument("--stopwords", default="", help="comma-separated")
+    c.add_argument("--fold-synonyms", default=None,
+                   help="JSON file of variant→canonical token pairs")
+    c.add_argument("--shards", type=int, default=32)
+    c.add_argument("--salt-subs", type=int, default=8)
+    c.set_defaults(fn=cmd_reindex)
 
     mg = sub.add_parser(
         "merge",

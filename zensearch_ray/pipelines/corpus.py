@@ -1022,6 +1022,41 @@ def stem_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def reindexed_stem_dir_for(sf_dir: str) -> str:
+    """Cached stem twin built by ANALYZER REINDEX: derived from the
+    committed plain index's own postings (``pipelines/reindex``) — the
+    corpus text is never read. Separate cache dir from the from-corpus
+    stem twin so the driver gate value-checks BOTH construction paths
+    against the same SQL oracle (their contents are asserted
+    bit-equivalent in ``tests/test_reindex.py``)."""
+    import dataclasses
+
+    from zensearch_ray.pipelines.reindex import reindex_analyzer
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_idx_v3_{key}_restem")
+    cfg = dataclasses.replace(_INDEX_CFG, stem=True)
+    src = index_dir_for(sf_dir)  # the validated plain cache
+    _locked_build(d, lambda: reindex_analyzer(src, d, cfg),
+                  expect_fp=_expected_fp(cfg))
+    return d
+
+
+def reindexed_stem_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
+    """``stem_topk`` served from the REINDEXED stem index (postings-only
+    analyzer migration) — must be value-identical to the from-corpus
+    stem build and to the SQL oracle. Columns: (rank, doc_id, score)."""
+    engine = QueryEngine(reindexed_stem_dir_for(sf_dir))
+    kept = [(d, round6(s)) for d, s in engine.topk(query, k=k)]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(kept) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in kept], dtype=np.int64),
+            "score": np.array([s for _, s in kept], dtype=np.float64),
+        }
+    )
+
+
 def stopword_topk(sf_dir: str, query: str, k: int = 10) -> pd.DataFrame:
     """BM25 top-k over the stopword-filtered index: stop terms carry no
     postings and doc lengths count surviving tokens only (Lucene
