@@ -107,13 +107,66 @@ def test_reindex_synonyms_plus_stem_equivalent(
 def test_reindex_guards(ray_session, plain_index, tmp_path):
     with pytest.raises(ValueError, match="no analyzer"):
         reindex_analyzer(plain_index, str(tmp_path / "x1"), _cfg())
-    with pytest.raises(ValueError, match="positional"):
+    with pytest.raises(ValueError, match="no positions"):
+        # a positional target cannot be derived from a positionless src
         reindex_analyzer(
             plain_index, str(tmp_path / "x2"), _cfg(stem=True, positions=True)
         )
     with pytest.raises(ValueError, match="title_boost"):
         reindex_analyzer(
             plain_index, str(tmp_path / "x3"), _cfg(stem=True, title_boost=2)
+        )
+
+
+@pytest.fixture(scope="module")
+def positional_index(ray_session, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "plain_pos")
+    build_index(corpus, d, _cfg(positions=True))
+    return d
+
+
+def test_reindex_positional_stem_equivalent(
+    ray_session, corpus, positional_index, tmp_path
+):
+    """Positional migration: merged position lists must reproduce the
+    from-corpus positional stem build exactly — including PHRASE
+    queries, the whole reason positions exist."""
+    cfg = _cfg(stem=True, positions=True)
+    direct = str(tmp_path / "direct_pos_stem")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_pos_stem")
+    reindex_analyzer(positional_index, re_d, cfg)
+    _assert_equivalent(direct, re_d)
+    from zensearch_ray.pipelines.export import dump_postings
+
+    dp = dump_postings(direct, positions=True).to_pandas()
+    rp = dump_postings(re_d, positions=True).to_pandas()
+    dp["pos"] = dp["pos"].map(tuple)
+    rp["pos"] = rp["pos"].map(tuple)
+    pd.testing.assert_frame_equal(
+        rp.sort_values(["term", "doc_id"], ignore_index=True),
+        dp.sort_values(["term", "doc_id"], ignore_index=True),
+    )
+    ed, er = QueryEngine(direct), QueryEngine(re_d)
+    for q in ["search engine", "the of", "posting shard"]:
+        assert er.topk_phrase(q, 10) == ed.topk_phrase(q, 10), q
+
+
+def test_reindex_positional_downgrade(
+    ray_session, corpus, positional_index, tmp_path
+):
+    # a positional source reindexed WITHOUT positions ≡ the plain
+    # (positionless) from-corpus stem build
+    cfg = _cfg(stem=True)
+    direct = str(tmp_path / "direct_stem_flat")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_stem_flat")
+    reindex_analyzer(positional_index, re_d, cfg)
+    _assert_equivalent(direct, re_d)
+    with pytest.raises(ValueError, match="stopwords"):
+        reindex_analyzer(
+            positional_index, str(tmp_path / "x"),
+            _cfg(positions=True, stopwords=("the",)),
         )
 
 

@@ -54,26 +54,48 @@ class _DecodeSegment:
     over postings.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, positions: bool = False):
         self.deleted = IndexLayout(index_dir).read_deletes()
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["term"]
-        parts = [decode_posting(r) for r in batch.to_pylist()]
+        rows = batch.to_pylist()
+        parts = [decode_posting(r) for r in rows]
         lens = np.array([len(p[0]) for p in parts], dtype=np.int64)
         if not lens.sum():
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int64()),
-                    "dl": pa.array([], type=pa.int64()),
-                }
-            )
+            cols = {
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "dl": pa.array([], type=pa.int64()),
+            }
+            if self.positions:
+                cols["pos"] = pa.array([], type=pa.list_(pa.int32()))
+            return pa.table(cols)
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
         term_idx = np.repeat(np.arange(len(parts), dtype=np.int32), lens)
+        pos_col = None
+        if self.positions:
+            from zensearch_ray.functions.codec import decode_positions
+
+            # one flat positional stream per term row, sliced per
+            # posting by its tf (token offsets within each doc)
+            flats = [
+                decode_positions(r["pos"], p[1])
+                for r, p in zip(rows, parts)
+            ]
+            flat_all = (
+                np.concatenate(flats) if flats else np.empty(0, np.int64)
+            )
+            offs = np.zeros(len(ids) + 1, dtype=np.int32)
+            np.cumsum(tfs, out=offs[1:])
+            pos_col = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(flat_all.astype(np.int32), type=pa.int32()),
+            )
         if self.deleted is not None and len(self.deleted):
             j = np.searchsorted(self.deleted, ids)
             hit = (j < len(self.deleted)) & (
@@ -87,34 +109,41 @@ class _DecodeSegment:
                     dls[keep],
                     term_idx[keep],
                 )
+                if pos_col is not None:
+                    pos_col = pos_col.take(pa.array(np.flatnonzero(keep)))
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(term_idx), terms
         ).cast(pa.string())
-        return pa.table(
-            {
-                "term": term_col,
-                "doc_id": pa.array(ids),
-                "tf": pa.array(tfs.astype(np.int64)),
-                "dl": pa.array(dls.astype(np.int64)),
-            }
-        )
+        cols = {
+            "term": term_col,
+            "doc_id": pa.array(ids),
+            "tf": pa.array(tfs.astype(np.int64)),
+            "dl": pa.array(dls.astype(np.int64)),
+        }
+        if pos_col is not None:
+            cols["pos"] = pos_col
+        return pa.table(cols)
 
 
-def dump_postings(index_dir: str):
+def dump_postings(index_dir: str, positions: bool = False):
     """Decode every committed segment into a streaming Dataset of
     ``(term, doc_id, tf, dl)`` rows (live docs only — tombstones are
     filtered exactly as at query time). ``dl`` is the indexed document
-    length, replicated per posting as stored in the segments."""
+    length, replicated per posting as stored in the segments.
+    ``positions=True`` (positional index only) adds a ``pos``
+    list<int32> column — each posting's token offsets within its doc."""
     import ray.data as rd
 
     layout = IndexLayout(index_dir)
     files = _segment_files(layout)
     if not files:
         raise FileNotFoundError(f"no committed segments under {index_dir}")
-    ds = rd.read_parquet(files, columns=["term", "docs", "tfs", "dls"])
+    cols = ["term", "docs", "tfs", "dls"] + (["pos"] if positions else [])
+    ds = rd.read_parquet(files, columns=cols)
     return ds.map_batches(
         _DecodeSegment,
-        fn_constructor_kwargs={"index_dir": index_dir},
+        fn_constructor_kwargs={"index_dir": index_dir,
+                               "positions": positions},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )

@@ -38,13 +38,20 @@ Distributed shape (corpus text is NEVER touched):
 Reindexing an appended index also COMPACTS it (every generation's
 postings feed one gen-0 output), mirroring ``compact_index``.
 
-Out of scope, guarded loudly: positional sources/targets (stopword
-removal changes adjacency; positional merge under folding is a
-different operator), ``title_boost`` (field mixing is not recoverable
-from summed tfs), sources that already carry an analyzer (composing
-analyzers ≠ applying the composition to raw text — e.g. S-stem is not
-idempotent across its rules), and tombstoned sources (run
-``compact_index`` first so the doc universe is unambiguous).
+Positional sources migrate too (``cfg.positions=True``): each merged
+``(doc, term')`` row's position list is the sorted union of its source
+terms' occurrence offsets (disjoint by construction — distinct tokens
+at distinct offsets), so PHRASE queries on the reindexed index answer
+identically to a from-corpus positional build. Stopwords remain
+incompatible with positions (token removal changes adjacency), exactly
+as in the direct build; a positional source may also be downgraded to
+a positionless target by leaving ``cfg.positions`` off.
+
+Out of scope, guarded loudly: ``title_boost`` (field mixing is not
+recoverable from summed tfs), sources that already carry an analyzer
+(composing analyzers ≠ applying the composition to raw text — e.g.
+S-stem is not idempotent across its rules), and tombstoned sources
+(run ``compact_index`` first so the doc universe is unambiguous).
 """
 
 from __future__ import annotations
@@ -119,11 +126,15 @@ def reindex_analyzer(
 
     src = IndexLayout(src_dir)
     man = src.read_manifest()
-    if man.get("positions") or cfg.positions:
+    if cfg.positions and not man.get("positions"):
         raise ValueError(
-            "reindex_analyzer does not support positional indexes "
-            "(stopword removal changes adjacency; positional merge "
-            "under term folding is a different operator)"
+            "cfg.positions=True but the source index carries no "
+            "positions — they cannot be invented from tfs"
+        )
+    if cfg.positions and cfg.stopwords:
+        raise ValueError(
+            "stopwords are incompatible with a positional target "
+            "(token removal changes phrase adjacency semantics)"
         )
     if cfg.title_boost:
         raise ValueError(
@@ -162,6 +173,7 @@ def reindex_analyzer(
 
     # ---- stage 2: map the analyzer over posting rows (term-unique) ----
     analyze = _analyzer_map(cfg)
+    positions = bool(cfg.positions)
 
     def map_terms(batch: pa.Table) -> pa.Table:
         term = batch["term"]
@@ -179,18 +191,21 @@ def reindex_analyzer(
         doc_ids = (
             batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         )
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids),
-                "term": new_vocab.take(pa.array(codes[keep])),
-                "tf": batch["tf"].cast(pa.int32()).take(
-                    pa.array(np.flatnonzero(keep))
-                ),
-                "__bucket": pa.array(_doc_bucket(doc_ids, n_doc_buckets)),
-            }
-        )
+        keep_idx = pa.array(np.flatnonzero(keep))
+        cols = {
+            "doc_id": pa.array(doc_ids),
+            "term": new_vocab.take(pa.array(codes[keep])),
+            "tf": batch["tf"].cast(pa.int32()).take(keep_idx),
+            "__bucket": pa.array(_doc_bucket(doc_ids, n_doc_buckets)),
+        }
+        if positions:
+            pcol = batch["pos"]
+            if isinstance(pcol, pa.ChunkedArray):
+                pcol = pcol.combine_chunks()
+            cols["pos"] = pcol.take(keep_idx)
+        return pa.table(cols)
 
-    posting_rows = dump_postings(src_dir).map_batches(
+    posting_rows = dump_postings(src_dir, positions=positions).map_batches(
         map_terms, batch_format="pyarrow"
     )
 
@@ -221,6 +236,8 @@ def reindex_analyzer(
             "tf": pa.nulls(len(doc_ids), type=pa.int32()),
             "__bucket": pa.array(_doc_bucket(doc_ids, n_doc_buckets)),
         }
+        if positions:
+            cols["pos"] = pa.nulls(len(doc_ids), type=pa.list_(pa.int32()))
         for c in meta_names:
             cols[f"m_{c}"] = batch[c]
         return pa.table(cols)
@@ -232,6 +249,8 @@ def reindex_analyzer(
             "tf": batch["tf"],
             "__bucket": batch["__bucket"],
         }
+        if positions:
+            cols["pos"] = batch["pos"]
         for c in meta_names:
             cols[f"m_{c}"] = pa.nulls(batch.num_rows, type=meta_types[c])
         return pa.table(cols)
@@ -272,6 +291,40 @@ def reindex_analyzer(
             m_code = np.empty(0, np.int64)
             m_tf = np.empty(0, np.int64)
 
+        m_pos_flat = m_pos_offs = None
+        if positions:
+            # merge position lists under term folding: the merged
+            # (doc, term') row's positions are the UNION of its source
+            # terms' occurrence offsets — disjoint by construction
+            # (distinct tokens at distinct offsets), sorted per merged
+            # row via one segment-keyed lexsort (no Python loop)
+            pcol = post["pos"]
+            if isinstance(pcol, pa.ChunkedArray):
+                pcol = pcol.combine_chunks()
+            v = pcol.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.asarray(pcol.offsets, dtype=np.int64)
+            row_lens = (o[1:] - o[:-1])
+            starts_r = o[:-1][order]
+            lens_r = row_lens[order]
+            total = int(lens_r.sum())
+            # gather each sorted row's slice into one contiguous stream
+            cum = np.zeros(len(lens_r) + 1, dtype=np.int64)
+            np.cumsum(lens_r, out=cum[1:])
+            idx = (
+                np.repeat(starts_r - cum[:-1], lens_r)
+                + np.arange(total, dtype=np.int64)
+            )
+            v_rows = v[idx]
+            if len(d_s):
+                m_len = np.add.reduceat(lens_r, starts)
+            else:
+                m_len = np.empty(0, np.int64)
+            seg = np.repeat(np.arange(len(m_len), dtype=np.int64), m_len)
+            v_sorted = v_rows[np.lexsort((v_rows, seg))]
+            m_pos_flat = v_sorted
+            m_pos_offs = np.zeros(len(m_len) + 1, dtype=np.int32)
+            np.cumsum(m_len, out=m_pos_offs[1:])
+
         # per-doc slices of the merged rows, aligned to the sorted
         # doc universe (docs with no surviving terms get empty lists)
         lo = np.searchsorted(m_doc, m_ids, "left")
@@ -304,6 +357,12 @@ def reindex_analyzer(
         cols["tfs"] = pa.ListArray.from_arrays(
             off_arr, pa.array(m_tf.astype(np.int32), type=pa.int32())
         )
+        if positions:
+            inner = pa.ListArray.from_arrays(
+                pa.array(m_pos_offs, type=pa.int32()),
+                pa.array(m_pos_flat.astype(np.int32), type=pa.int32()),
+            )
+            cols["poss"] = pa.ListArray.from_arrays(off_arr, inner)
         return pa.table(cols)
 
     tokenized = tagged.groupby("__bucket").map_groups(
@@ -328,13 +387,13 @@ def reindex_analyzer(
             "skip_parts": frozenset(committed_before.keys()),
             "docid32": id_ceiling is not None and id_ceiling < 2**31,
             "emit_dl": True,
-            "emit_pos": False,
+            "emit_pos": positions,
         },
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
     build_fn = _build_partition_fn(
-        dst_dir, avgdl, cfg.params, config_fp=fp
+        dst_dir, avgdl, cfg.params, config_fp=fp, positions=positions
     )
     part_stats = (
         exploded.groupby("part")
@@ -358,7 +417,7 @@ def reindex_analyzer(
         "n_generations": 1,
         "num_shards": cfg.num_shards,
         "salt_subs": cfg.salt_subs,
-        "positions": False,
+        "positions": positions,
         "stopwords": sorted(cfg.stopwords),
         "stem": cfg.stem,
         "synonyms": sorted(map(list, cfg.synonyms)),
