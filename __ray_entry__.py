@@ -415,6 +415,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dym(sf_dir: str):
         return corpus.did_you_mean(sf_dir, FUZZY_QUERY)
 
+    def suggest_phrase_q(sf_dir: str):
+        # whole-query spelling correction reranked by the corpus
+        # bigram LM (ES phrase-suggester analog)
+        return corpus.suggest_phrase(sf_dir, PHRASE_SUGGEST_QUERY, k=3)
+
     def complete(sf_dir: str):
         # search-box completion: terms under the prefix by df desc
         return corpus.autocomplete_terms(sf_dir, COMPLETE_PREFIX, k=10)
@@ -1110,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": fuzzy,
         "fuzzy2_topk": fuzzy2,
         "did_you_mean": dym,
+        "suggest_phrase": suggest_phrase_q,
         "autocomplete": complete,
         "significant_terms": sig_terms,
         "explain_topk": explain,
@@ -1468,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": _fuzzy_sql(),
         "fuzzy2_topk": _fuzzy_sql(dist=2),
         "did_you_mean": _dym_sql(),
+        "suggest_phrase": _phrase_suggest_sql(),
         "autocomplete": f"""
             WITH toks AS ({_TOKS})
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df
@@ -3880,6 +3887,72 @@ def _not_sql() -> str:
         FROM scored
         WHERE doc_id NOT IN (SELECT doc_id FROM excl)
         ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+# "sow" has TWO dictionary neighbors (slow, row) — the bigram LM, not
+# the token-level df rank, decides which candidate phrase wins
+PHRASE_SUGGEST_QUERY = "sow dat merge"
+
+
+def _phrase_suggest_sql() -> str:
+    """Phrase-suggester oracle (3-token pinned query): per-token top-5
+    candidates (levenshtein ≤ 1; exact token first, then df DESC, term
+    ASC), cross-joined into candidate phrases, scored by the pinned
+    bigram stupid-backoff chain (ln(c(t1)/total) + Σ ln S(w_i|w_{i-1}),
+    S = c12/c1 if c12 ≥ 2 else 0.4·c2/total), top-3 by
+    (round6(logp) DESC, phrase ASC)."""
+    t1, t2, t3 = PHRASE_SUGGEST_QUERY.split()
+
+    def cand(name: str, tok: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT v.term, u.c FROM vocab v JOIN uni u ON u.term = v.term
+            WHERE levenshtein(v.term, '{tok}') <= 1
+            ORDER BY (v.term <> '{tok}'), v.df DESC, v.term LIMIT 5
+        )"""
+
+    return f"""
+        WITH tp AS (
+            SELECT doc_id, unnest(tl) AS term,
+                   generate_subscripts(tl, 1) AS p
+            FROM (SELECT doc_id, {_TOKLIST} AS tl FROM documents)
+        ),
+        uni AS (SELECT term, count(*)::BIGINT AS c FROM tp GROUP BY term),
+        vocab AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM tp GROUP BY term
+        ),
+        tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+        big AS (
+            SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+            FROM tp a JOIN tp b
+            ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            GROUP BY 1, 2
+        ),
+        {cand('c1', t1)},
+        {cand('c2', t2)},
+        {cand('c3', t3)},
+        scored AS (
+            SELECT c1.term || ' ' || c2.term || ' ' || c3.term AS phrase,
+                   round(
+                       ln(c1.c / (SELECT t FROM tot))
+                       + CASE WHEN coalesce(b12.c, 0) >= 2
+                              THEN ln(b12.c::DOUBLE / c1.c)
+                              ELSE ln(0.4 * c2.c / (SELECT t FROM tot)) END
+                       + CASE WHEN coalesce(b23.c, 0) >= 2
+                              THEN ln(b23.c::DOUBLE / c2.c)
+                              ELSE ln(0.4 * c3.c / (SELECT t FROM tot)) END
+                   , 6) AS logp
+            FROM c1
+            CROSS JOIN c2
+            CROSS JOIN c3
+            LEFT JOIN big b12 ON b12.w1 = c1.term AND b12.w2 = c2.term
+            LEFT JOIN big b23 ON b23.w1 = c2.term AND b23.w2 = c3.term
+        )
+        SELECT row_number() OVER (ORDER BY logp DESC, phrase)::BIGINT AS rank,
+               phrase, logp
+        FROM scored ORDER BY logp DESC, phrase LIMIT 3
     """
 
 

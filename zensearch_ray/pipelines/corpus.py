@@ -2273,6 +2273,117 @@ def did_you_mean(sf_dir: str, query: str) -> pd.DataFrame:
     )
 
 
+def suggest_phrase(sf_dir: str, query: str, k: int = 3, per_tok: int = 5,
+                   min_count: int = 2, alpha: float = 0.4) -> pd.DataFrame:
+    """ES phrase-suggester analog: whole-query "did you mean" where
+    candidate phrases are rescored by the corpus bigram LM, not ranked
+    token-by-token (the token-level form is ``did_you_mean``).
+
+    Spec (pinned, shared with ``doc_bigram_lm``'s stupid backoff —
+    Brants et al. 2007):
+      * per query token (in order): candidates = dictionary terms at
+        byte-Levenshtein ≤ 1, top ``per_tok`` by (distance ASC,
+        df DESC, term ASC); a token with no neighbor keeps itself;
+      * phrase score = ln(c(t1)/total) + Σ_pairs ln S(w_i | w_{i-1}),
+        S = c(w1,w2)/c(w1) when the corpus bigram count ≥ ``min_count``,
+        else alpha·c(w2)/total; an OOV token (only possible via the
+        kept-original branch) floors its unigram count at 1;
+      * top-k by (round6(logp) DESC, phrase ASC).
+
+    Scale shape: candidate generation scans the term DICTIONARY
+    (metadata-scale, engine-cached — same path as ``did_you_mean``);
+    LM counts ride ONE tagged vocabulary-scale exchange (the
+    ``doc_bigram_lm`` counting pass) but are FILTERED map-side against
+    the broadcast candidate-gram set, so the driver sees at most
+    per_tok²·(n−1) + per_tok·n count rows — never the vocabulary.
+    Columns: (rank, phrase, logp)."""
+    import itertools
+
+    import ray
+    import ray.data as rd
+
+    from zensearch_ray.functions.fuzzy import edit1_mask
+
+    toks = tokenize(query)
+    if not toks:
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int64),
+                             "phrase": pd.Series(dtype=object),
+                             "logp": pd.Series(dtype=np.float64)})
+    if len(toks) > 8:
+        raise ValueError("suggest_phrase supports queries of ≤ 8 tokens")
+    engine = QueryEngine(index_dir_for(sf_dir))
+    vocab = engine._all_terms()
+    cands: list[list[str]] = []
+    for tok in toks:
+        hits = [vocab[i] for i in np.nonzero(edit1_mask(vocab, tok))[0]]
+        hits.sort(key=lambda t: (t != tok, -engine.df(t), t))
+        cands.append(hits[:per_tok] if hits else [tok])
+
+    SEP = "\x1f"
+    needed = {f"1{SEP}{t}" for cs in cands for t in cs}
+    for a_cs, b_cs in zip(cands, cands[1:]):
+        needed.update(
+            f"2{SEP}{a}{SEP}{b}" for a in a_cs for b in b_cs
+        )
+    need_ref = ray.put(frozenset(needed))
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        need = ray.get(need_ref)
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            ts = tokenize(text)
+            c.update(x for x in ("1" + SEP + t for t in ts) if x in need)
+            c.update(
+                x
+                for x in ("2" + SEP + a + SEP + b for a, b in zip(ts, ts[1:]))
+                if x in need
+            )
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    got = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cnt = dict(zip(got["key"], got["c"].astype(np.int64)))
+    total = float(engine.manifest["sum_dl"])
+
+    def uc(t: str) -> int:
+        return int(cnt.get(f"1{SEP}{t}", 0))
+
+    def pair_logp(a: str, b: str) -> float:
+        cab = int(cnt.get(f"2{SEP}{a}{SEP}{b}", 0))
+        ca = uc(a)
+        if cab >= min_count and ca:
+            return float(np.log(cab / ca))
+        return float(np.log(alpha * max(uc(b), 1) / total))
+
+    rows = []
+    for combo in itertools.product(*cands):
+        lp = float(np.log(max(uc(combo[0]), 1) / total))
+        lp += sum(pair_logp(a, b) for a, b in zip(combo, combo[1:]))
+        rows.append((" ".join(combo), round(lp, 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "phrase": pd.Series([r[0] for r in rows], dtype=object),
+            "logp": np.array([r[1] for r in rows], dtype=np.float64),
+        }
+    )
+
+
 def term_vectors(sf_dir: str, doc_id: int) -> pd.DataFrame:
     """ES ``termvectors`` analog: per term of ONE document — tf, corpus
     df, and the token positions (comma-joined string so the frame stays
