@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_urgent_orders,
         "orders_per_nation": relational.orders_per_nation,
         "events_hourly": relational.events_hourly,
+        "events_hourly_derivative": relational.events_hourly_derivative,
         "pricing_rollup": relational.pricing_rollup,
         "pricing_cube": relational.pricing_cube,
         "customer_order_histogram": relational.customer_order_histogram,
@@ -2431,6 +2432,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
                        AS sum_value_cents
             FROM events GROUP BY user_id, hour_epoch
+        """,
+        "events_hourly_derivative": """
+            WITH h AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           AS hour_epoch,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT hour_epoch, n_events,
+                   coalesce(n_events - lag(n_events)
+                            OVER (ORDER BY hour_epoch), 0)::BIGINT AS delta,
+                   sum(n_events)
+                       OVER (ORDER BY hour_epoch)::BIGINT AS cum
+            FROM h ORDER BY hour_epoch
         """,
         # floor(epoch(...)) matches numpy datetime64[us] -> [s] truncation
         "events_sessionize": """

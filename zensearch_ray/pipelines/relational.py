@@ -183,6 +183,43 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_hourly_derivative(sf_dir: str) -> pd.DataFrame:
+    """Pipeline aggregation over the hourly date histogram (the ES
+    ``derivative`` / ``cumulative_sum`` pipeline-agg genre): corpus-wide
+    per-hour event counts, each bucket's delta vs the previous EXISTING
+    bucket (first bucket delta 0), and the running total.
+
+    Distributed shape: per-batch hour-count partials → ONE bucketed
+    exchange over hour keys; the ordered diff/cumsum run on the
+    AGGREGATED timeline, which is metadata-scale (hours of history —
+    ~10⁵ rows for a decade), never event-scale. Columns
+    (hour_epoch, n_events, delta, cum), hour ASC."""
+    import ray.data as rd
+
+    from zensearch_ray.functions.agg import bucketed_groupby_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        hour = (secs // 3600) * 3600
+        out = pd.DataFrame({"hour_epoch": hour, "n_events": 1})
+        return out.groupby("hour_epoch", as_index=False)["n_events"].sum()
+
+    agg = bucketed_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["hour_epoch"],
+        sum_cols=["n_events"],
+    ).to_pandas()
+    agg = agg.sort_values("hour_epoch", ignore_index=True)
+    n = agg["n_events"].to_numpy(np.int64)
+    agg["hour_epoch"] = agg["hour_epoch"].astype(np.int64)
+    agg["n_events"] = n
+    agg["delta"] = np.diff(n, prepend=n[:1]) if len(n) else n
+    agg["cum"] = np.cumsum(n)
+    return agg
+
+
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = np.datetime64("1998-06-15")  # mid-corpus cut (events span 95-01)
 
