@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactness pinned by the local-referee identity test)
         "embedding_pca": _emb_pca,
         "doc_bigram_lm": corpus.doc_bigram_lm,
+        "doc_trigram_lm": corpus.doc_trigram_lm,
         "match_stats": mstats,
         "match_histogram": _match_hist,
         "match_cardinality": _match_card,
@@ -1429,6 +1430,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON p.w1 = u1.term
             JOIN uni u2 ON p.w2 = u2.term
             GROUP BY p.doc_id
+        """,
+        "doc_trigram_lm": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                           AS toks
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks
+                    GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+            pairs AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM docs, unnest(range(1, len(toks))) AS r(i)
+            ),
+            big AS (
+                SELECT w1, w2, count(*)::DOUBLE AS c12
+                FROM pairs GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            wins AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                       toks[i + 2] AS w3
+                FROM docs, unnest(range(1, len(toks) - 1)) AS r(i)
+            ),
+            tri AS (
+                SELECT w1, w2, w3, count(*)::DOUBLE AS c123
+                FROM wins GROUP BY w1, w2, w3 HAVING count(*) >= 2
+            )
+            SELECT w.doc_id,
+                   round(avg(
+                       CASE WHEN t.c123 IS NOT NULL
+                                THEN ln(t.c123 / b12.c12)
+                            WHEN b23.c12 IS NOT NULL
+                                THEN ln(0.4) + ln(b23.c12 / u2.c)
+                            ELSE 2 * ln(0.4)
+                                 + ln(u3.c / (SELECT t FROM tot)) END
+                   ), 6) AS trigram_lm
+            FROM wins w
+            LEFT JOIN tri t
+                ON w.w1 = t.w1 AND w.w2 = t.w2 AND w.w3 = t.w3
+            LEFT JOIN big b12 ON w.w1 = b12.w1 AND w.w2 = b12.w2
+            LEFT JOIN big b23 ON w.w2 = b23.w1 AND w.w3 = b23.w2
+            JOIN uni u2 ON w.w2 = u2.term
+            JOIN uni u3 ON w.w3 = u3.term
+            GROUP BY w.doc_id
         """,
         "match_stats": _match_stats_sql(),
         "match_histogram": _match_histogram_sql(),

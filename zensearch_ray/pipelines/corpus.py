@@ -2708,6 +2708,113 @@ def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def doc_trigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
+    """Per-document TRIGRAM language-model score — the recursive stupid
+    backoff one order above ``doc_bigram_lm`` (Brants et al. 2007):
+    mean over a doc's token triples of ln S(w3|w1,w2), with
+      S3 = c(w1w2w3)/c(w1w2)      when the trigram count ≥ min_count
+         = alpha · S2(w3|w2)      otherwise,
+      S2 = c(w2w3)/c(w2)          when the bigram count ≥ min_count
+         = alpha · c(w3)/total    otherwise.
+    Docs with fewer than three tokens emit no row.
+
+    Distributed plan mirrors ``doc_bigram_lm``: uni/bi/tri counts ride
+    ONE tagged vocabulary-scale exchange; the PRUNED bi/tri tables are
+    the broadcast model (pruning bounds them — a trigram that survives
+    min_count implies its bigram prefix survives too, so every needed
+    denominator is in the pruned set); scoring is a map-only pass.
+    Output: (doc_id, trigram_lm)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    SEP = "\x1f"
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            toks = tokenize(text)
+            c.update("1" + SEP + t for t in toks)
+            c.update("2" + SEP + a + SEP + b for a, b in zip(toks, toks[1:]))
+            c.update(
+                "3" + SEP + a + SEP + b + SEP + d
+                for a, b, d in zip(toks, toks[1:], toks[2:])
+            )
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    tri: dict[tuple[str, str, str], int] = {}
+    for key, c in zip(counts["key"], counts["c"]):
+        kind, rest = key.split(SEP, 1)
+        if kind == "1":
+            uni[rest] = int(c)
+        elif int(c) >= min_count:
+            parts = rest.split(SEP)
+            if kind == "2":
+                big[(parts[0], parts[1])] = int(c)
+            else:
+                tri[(parts[0], parts[1], parts[2])] = int(c)
+    total = float(sum(uni.values()))
+    la = float(np.log(alpha))
+    tri_logp = {
+        w: float(np.log(c / big[w[:2]])) for w, c in tri.items()
+    }
+    bi_logp = {
+        w: la + float(np.log(c / uni[w[0]])) for w, c in big.items()
+    }
+    backoff = {
+        t: 2 * la + float(np.log(c / total)) for t, c in uni.items()
+    }
+    model_ref = ray.put((tri_logp, bi_logp, backoff))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t3, t2, bo = ray.get(model_ref)
+        ids, scores = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text)
+            if len(toks) < 3:
+                continue
+            s = 0.0
+            for w in zip(toks, toks[1:], toks[2:]):
+                lp = t3.get(w)
+                if lp is None:
+                    lp = t2.get(w[1:])
+                    if lp is None:
+                        lp = bo[w[2]]
+                s += lp
+            ids.append(doc_id)
+            scores.append(s / (len(toks) - 2))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "trigram_lm": pa.array(
+                    round6(np.asarray(scores, dtype=np.float64)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def jaccard_topk_indexed(sf_dir: str, probe_doc_id: int = 0, k: int = 10,
                          _diag: dict | None = None) -> pd.DataFrame:
     """Index-backed unigram-Jaccard top-k: (rank, doc_id, jaccard).
