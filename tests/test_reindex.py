@@ -187,3 +187,28 @@ def test_reindex_refuses_tombstoned_source(
     IndexLayout(src).write_deletes(np.array([0], dtype=np.int64))
     with pytest.raises(ValueError, match="tombstones"):
         reindex_analyzer(src, str(tmp_path / "x"), _cfg(stem=True))
+
+
+def test_reindex_appended_source_compacts(ray_session, corpus, tmp_path):
+    """Reindexing a multi-generation (appended) source must cover every
+    generation's postings and docmeta EXACTLY ONCE — equivalent to the
+    from-corpus stem build over the union, in one gen-0 output."""
+    import pyarrow.parquet as pq2
+
+    t = pq.read_table(corpus)
+    half_a = str(tmp_path / "a.parquet")
+    half_b = str(tmp_path / "b.parquet")
+    pq2.write_table(t.slice(0, 125), half_a, row_group_size=64)
+    pq2.write_table(t.slice(125), half_b, row_group_size=64)
+    src = str(tmp_path / "appended")
+    build_index(half_a, src, _cfg())
+    build_index(half_b, src, _cfg(), append=True)
+    assert IndexLayout(src).read_manifest()["n_generations"] == 2
+
+    cfg = _cfg(stem=True)
+    direct = str(tmp_path / "direct_union_stem")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_appended")
+    man = reindex_analyzer(src, re_d, cfg)
+    assert man["n_generations"] == 1
+    _assert_equivalent(direct, re_d)

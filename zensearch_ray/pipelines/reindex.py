@@ -209,11 +209,11 @@ def reindex_analyzer(
         map_terms, batch_format="pyarrow"
     )
 
-    # ---- doc universe + metadata from src docmeta (all generations) ----
-    meta_files = [
-        src.docmeta_gen_dir(g) for g in range(man.get("n_generations", 1))
-    ]
-    meta_ds = rd.read_parquet(meta_files)
+    # ---- doc universe + metadata from src docmeta (all generations:
+    # appended gens nest INSIDE docmeta_dir and the directory read is
+    # recursive, so the root alone covers every generation exactly
+    # once — listing gen subdirs explicitly would double-read them) ----
+    meta_ds = rd.read_parquet(src.docmeta_gen_dir(0))
     meta_schema = meta_ds.schema()
     meta_names = [
         c for c in meta_schema.names if c not in ("doc_id", "doc_len")
