@@ -212,3 +212,16 @@ def test_reindex_appended_source_compacts(ray_session, corpus, tmp_path):
     man = reindex_analyzer(src, re_d, cfg)
     assert man["n_generations"] == 1
     _assert_equivalent(direct, re_d)
+
+
+def test_reindex_refuses_mismatched_resume(ray_session, plain_index, tmp_path):
+    """A target dir holding artifacts from a DIFFERENT analyzer config
+    must be refused, not silently mixed (the build_index resume guard,
+    mirrored)."""
+    d = str(tmp_path / "resume_mix")
+    reindex_analyzer(plain_index, d, _cfg(stem=True))
+    with pytest.raises(ValueError, match="docstats built under config"):
+        reindex_analyzer(plain_index, d, _cfg(stopwords=("the",)))
+    # same config: idempotent rerun (everything committed → no-op build)
+    man = reindex_analyzer(plain_index, d, _cfg(stem=True))
+    assert man["n_partitions_built_this_run"] == 0

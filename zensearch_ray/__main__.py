@@ -449,6 +449,8 @@ def cmd_reindex(args) -> int:
         stem=args.stem,
         stopwords=tuple(s for s in args.stopwords.split(",") if s),
         synonyms=_syn_pairs_of(args),
+        positions=args.positions,
+        attrs=tuple(args.attrs),
     )
     manifest = reindex_analyzer(args.index, args.output, cfg)
     print(json.dumps(manifest))
@@ -1081,6 +1083,12 @@ def main(argv=None) -> int:
     c.add_argument("--stopwords", default="", help="comma-separated")
     c.add_argument("--fold-synonyms", default=None,
                    help="JSON file of variant→canonical token pairs")
+    c.add_argument("--positions", action="store_true",
+                   help="carry positions through (positional source only; "
+                        "omit to downgrade to a positionless index)")
+    c.add_argument("--attrs", nargs="*", default=[],
+                   help="docmeta attribute columns to carry through "
+                        "(must match the source build's --attrs)")
     c.add_argument("--shards", type=int, default=32)
     c.add_argument("--salt-subs", type=int, default=8)
     c.set_defaults(fn=cmd_reindex)

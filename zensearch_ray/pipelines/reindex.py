@@ -170,6 +170,23 @@ def reindex_analyzer(
     fp = config_fingerprint(cfg, id_mode)
     layout = IndexLayout(dst_dir)
     layout.ensure_dirs()
+    # resume safety (mirrors build_index): refuse to mix artifacts from
+    # a previous run under a DIFFERENT analyzer config — stale docstats
+    # or retained partitions would be silent index corruption
+    prior_stats = layout.read_docstats()
+    if prior_stats is not None and prior_stats.get("config_fp") != fp:
+        raise ValueError(
+            f"reindex target {dst_dir} holds docstats built under config "
+            f"{prior_stats.get('config_fp')!r} != current {fp!r}; use a "
+            "fresh output dir (or delete it) to reindex with a new config"
+        )
+    for part, m in layout.committed_parts().items():
+        if m.get("config_fp") != fp:
+            raise ValueError(
+                f"reindex target {dst_dir} partition {part} was committed "
+                f"under config {m.get('config_fp')!r} != current {fp!r}; "
+                "use a fresh output dir to reindex with a new config"
+            )
 
     # ---- stage 2: map the analyzer over posting rows (term-unique) ----
     analyze = _analyzer_map(cfg)

@@ -211,6 +211,9 @@ def events_hourly_derivative(sf_dir: str) -> pd.DataFrame:
         keys=["hour_epoch"],
         sum_cols=["n_events"],
     ).to_pandas()
+    if agg.empty:  # all-empty to_pandas() loses columns
+        agg = pd.DataFrame({"hour_epoch": pd.Series(dtype=np.int64),
+                            "n_events": pd.Series(dtype=np.int64)})
     agg = agg.sort_values("hour_epoch", ignore_index=True)
     n = agg["n_events"].to_numpy(np.int64)
     agg["hour_epoch"] = agg["hour_epoch"].astype(np.int64)
