@@ -394,6 +394,12 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: doc_bigram_lm(SF_DIR).count())
     results["bigram_lm_sec"] = round(t, 3)
+    from zensearch_ray.pipelines.corpus import doc_trigram_lm, suggest_phrase
+
+    _, t = timed(lambda: doc_trigram_lm(SF_DIR).count())
+    results["trigram_lm_sec"] = round(t, 3)
+    _, t = timed(lambda: suggest_phrase(SF_DIR, "sow dat merge", k=3))
+    results["suggest_phrase_sec"] = round(t, 3)
     from zensearch_ray.pipelines.relational import (
         late_shipment_priority,
         sales_opportunity,

@@ -2658,10 +2658,25 @@ def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
             }
         )
 
+    def prune(t: pa.Table) -> pa.Table:
+        # the min_count prune runs IN the pipeline, after the keyed
+        # aggregate and before the driver collect — the singleton
+        # n-gram long tail (the bulk of the gram vocabulary) never
+        # reaches the driver; unigrams are the backoff table and are
+        # kept unconditionally
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.starts_with(t["key"], "1" + SEP),
+            pc.greater_equal(t["c"], min_count),
+        )
+        return t.filter(keep)
+
     counts = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("c", alias_name="c"))
+        .map_batches(prune, batch_format="pyarrow")
         .to_pandas()
     )
     uni: dict[str, int] = {}
@@ -2751,10 +2766,22 @@ def doc_trigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
             }
         )
 
+    def prune(t: pa.Table) -> pa.Table:
+        # min_count prune IN the pipeline (see doc_bigram_lm): the
+        # singleton bi/tri-gram long tail never reaches the driver
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.starts_with(t["key"], "1" + SEP),
+            pc.greater_equal(t["c"], min_count),
+        )
+        return t.filter(keep)
+
     counts = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("c", alias_name="c"))
+        .map_batches(prune, batch_format="pyarrow")
         .to_pandas()
     )
     uni: dict[str, int] = {}
