@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25+ (Lv & Zhai 2011): idf * (tf_norm + 1.0) per matched term
         return corpus.sim_topk(sf_dir, BM25_QUERY, "bm25plus", k=10)
 
+    def lmjm(sf_dir: str):
+        # LM Jelinek-Mercer (lambda=0.1), matched-terms-only Lucene shape
+        return corpus.sim_topk(sf_dir, BM25_QUERY, "lmjm", k=10)
+
     def boosting(sf_dir: str):
         # ES boosting query: BM25 over the positive terms, docs touching
         # any negative term demoted by NEG_BOOST (not excluded)
@@ -1066,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_dismax": bm25_dismax,
         "tfidf_topk": tfidf,
         "lmd_topk": lmd,
+        "lmjm_topk": lmjm,
         "bm25plus_topk": bm25plus,
         "boosting_topk": boosting,
         "spanfirst_topk": spanfirst,
@@ -1371,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_dismax": _bm25_dismax_sql(),
         "tfidf_topk": _tfidf_sql(),
         "lmd_topk": _lmd_sql(),
+        "lmjm_topk": _lmjm_sql(),
         "bm25plus_topk": _bm25plus_sql(),
         "boosting_topk": _boosting_sql(),
         "spanfirst_topk": _spanfirst_sql(),
@@ -4571,6 +4577,45 @@ def _lmd_sql() -> str:
                       ((SELECT avgdl FROM stats) * (SELECT n FROM stats))
                       / (2000.0 * ctf.ctf))
                    + ln(2000.0 / (dl.dl + 2000.0)) AS c
+            FROM tf
+            JOIN ctf USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+        ),
+        scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+               doc_id, round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+def _lmjm_sql() -> str:
+    """LM Jelinek-Mercer (λ=0.1) oracle, matched-terms-only Lucene
+    shape: per matched (term, doc) contribution
+    ln(1 + (1−λ)·(tf/dl) / (λ·ctf/T)) with T = avgdl·N; every
+    contribution is strictly positive, so every matching doc ranks.
+    Expression grouping mirrors ``topk_sim(similarity='lmjm')``."""
+    return f"""
+        WITH toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                         (SELECT avg(dl) FROM dl) AS avgdl),
+        qterms(term) AS {_BM25_VALUES},
+        tf AS (
+            SELECT t.term, t.doc_id, count(*)::DOUBLE AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY t.term, t.doc_id
+        ),
+        ctf AS (
+            SELECT term, count(*)::DOUBLE AS ctf
+            FROM toks JOIN qterms USING (term) GROUP BY term
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (1.0 - 0.1) * (tf.tf / dl.dl)
+                      / (0.1 * ctf.ctf /
+                         ((SELECT avgdl FROM stats) * (SELECT n FROM stats))))
+                       AS c
             FROM tf
             JOIN ctf USING (term)
             JOIN dl ON tf.doc_id = dl.doc_id

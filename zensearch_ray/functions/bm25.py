@@ -33,6 +33,11 @@ from zensearch_ray.functions.text import term_frequencies, tokenize
 # LM-Dirichlet smoothing parameter (Zhai & Lafferty 2004's recommended
 # range is 500–10000; Lucene's LMDirichletSimilarity defaults to 2000)
 LMD_MU = 2000.0
+# Jelinek-Mercer interpolation weight — the short-query setting from
+# Zhai & Lafferty 2004 ("A study of smoothing methods for language
+# models applied to ad hoc information retrieval", §5: λ≈0.1 for
+# title/short queries)
+LMJM_LAMBDA = 0.1
 
 
 @dataclass(frozen=True)

@@ -473,10 +473,17 @@ class QueryEngine:
           DISTINCT query term with δ = ``delta`` (paper default 1.0);
           tf_norm is the checked k1/b kernel, idf=0 terms skipped,
           zero-score filter and tie order as in the BM25 path.
+        - ``lmjm``: LM Jelinek-Mercer (Zhai & Lafferty 2004, the Lucene
+          ``LMJelinekMercerSimilarity`` shape, λ = ``LMJM_LAMBDA``)::
+
+            ln(1 + (1−λ)·(tf/dl) / (λ·ctf/T))     per matched term
+
+          strictly positive for every match, so the zero-score filter
+          is a no-op by construction; T and ctf as in ``lmd``.
         """
         if similarity == "bm25":
             return self.topk(query, k)
-        if similarity not in ("tfidf", "lmd", "bm25plus"):
+        if similarity not in ("tfidf", "lmd", "bm25plus", "lmjm"):
             raise ValueError(f"unknown similarity: {similarity!r}")
         total = self.avgdl * self.n_docs
         all_ids, all_contrib = [], []
@@ -500,6 +507,14 @@ class QueryEngine:
                     continue
                 contrib = w * (
                     tf_norm(tfs, dls, self.avgdl, self.params) + delta
+                )
+            elif similarity == "lmjm":
+                from zensearch_ray.functions.bm25 import LMJM_LAMBDA
+
+                ctf = float(tfs.sum())
+                lam = LMJM_LAMBDA
+                contrib = np.log(
+                    1.0 + (1.0 - lam) * (tfs / dls) / (lam * ctf / total)
                 )
             else:  # lmd — expression shape mirrors the SQL oracle
                 ctf = float(tfs.sum())
