@@ -884,12 +884,12 @@ def main(argv=None) -> int:
     )
     q.add_argument(
         "--similarity",
-        choices=["bm25", "tfidf", "lmd", "bm25plus"],
+        choices=["bm25", "tfidf", "lmd", "bm25plus", "lmjm"],
         default=None,
         help="ranking function over the same index (Lucene Similarity "
              "plug): bm25 (default), tfidf (SMART ltn), lmd "
-             "(LM Dirichlet mu=2000), bm25plus (BM25+ delta=1.0); "
-             "exhaustive evaluation",
+             "(LM Dirichlet mu=2000), bm25plus (BM25+ delta=1.0), "
+             "lmjm (LM Jelinek-Mercer lambda=0.1); exhaustive evaluation",
     )
     q.add_argument(
         "--negative", metavar="TERMS", default=None,
