@@ -225,3 +225,28 @@ def test_reindex_refuses_mismatched_resume(ray_session, plain_index, tmp_path):
     # same config: idempotent rerun (everything committed → no-op build)
     man = reindex_analyzer(plain_index, d, _cfg(stem=True))
     assert man["n_partitions_built_this_run"] == 0
+
+
+def test_reindex_partial_crash_resume(ray_session, corpus, plain_index, tmp_path):
+    """Interrupted reindex (strict subset of partitions committed)
+    resumed afterwards == an uninterrupted reindex — partition-level
+    lineage is shared with build_index and must hold here too."""
+    import os
+
+    cfg = _cfg(stem=True)
+    full = str(tmp_path / "full")
+    reindex_analyzer(plain_index, full, cfg)
+    resumed = str(tmp_path / "resumed")
+    reindex_analyzer(plain_index, resumed, cfg)
+    layout = IndexLayout(resumed)
+    parts = sorted(layout.committed_parts().keys())
+    assert len(parts) >= 3
+    killed = parts[::2]
+    for p in killed:
+        os.remove(layout.posting_path(p))
+        os.remove(layout.part_manifest_path(p))
+    os.remove(layout.manifest_path)
+
+    man = reindex_analyzer(plain_index, resumed, cfg)
+    assert man["n_partitions_built_this_run"] == len(killed)
+    pd.testing.assert_frame_equal(_postings_df(resumed), _postings_df(full))
