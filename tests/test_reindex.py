@@ -227,7 +227,7 @@ def test_reindex_refuses_mismatched_resume(ray_session, plain_index, tmp_path):
     assert man["n_partitions_built_this_run"] == 0
 
 
-def test_reindex_partial_crash_resume(ray_session, corpus, plain_index, tmp_path):
+def test_reindex_partial_crash_resume(ray_session, plain_index, tmp_path):
     """Interrupted reindex (strict subset of partitions committed)
     resumed afterwards == an uninterrupted reindex — partition-level
     lineage is shared with build_index and must hold here too."""

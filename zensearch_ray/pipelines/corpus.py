@@ -1359,7 +1359,8 @@ def sim_topk(
     sf_dir: str, query: str, similarity: str, k: int = 10
 ) -> pd.DataFrame:
     """Top-k under a pluggable similarity (``tfidf`` SMART ltn /
-    ``lmd`` LM-Dirichlet μ=2000 / ``bm25plus`` BM25+ δ=1.0) over the
+    ``lmd`` LM-Dirichlet μ=2000 / ``bm25plus`` BM25+ δ=1.0 /
+    ``lmjm`` LM Jelinek-Mercer λ=0.1) over the
     SAME cached index segments
     as ``bm25_topk`` — the ranking function swaps without re-indexing
     (Lucene Similarity semantics). Columns: (rank, doc_id, score),
@@ -2619,6 +2620,25 @@ def regex_topk(sf_dir: str, pattern: str, k: int = 10) -> pd.DataFrame:
     )
 
 
+def _gram_prune_fn(min_count: int, sep: str):
+    """Pipeline-side n-gram model prune shared by the LM builders: the
+    min_count filter runs AFTER the keyed aggregate and BEFORE the
+    driver collect, so the singleton gram long tail (the bulk of the
+    gram vocabulary) never reaches the driver; unigram rows (marker
+    '1') are the backoff table and are kept unconditionally."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.starts_with(t["key"], "1" + sep),
+            pc.greater_equal(t["c"], min_count),
+        )
+        return t.filter(keep)
+
+    return prune
+
+
 def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
     """Per-document bigram language-model score with stupid backoff —
     the CCNet-style fluency filter one order up from ``doc_lm_score``:
@@ -2658,25 +2678,11 @@ def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
             }
         )
 
-    def prune(t: pa.Table) -> pa.Table:
-        # the min_count prune runs IN the pipeline, after the keyed
-        # aggregate and before the driver collect — the singleton
-        # n-gram long tail (the bulk of the gram vocabulary) never
-        # reaches the driver; unigrams are the backoff table and are
-        # kept unconditionally
-        import pyarrow.compute as pc
-
-        keep = pc.or_(
-            pc.starts_with(t["key"], "1" + SEP),
-            pc.greater_equal(t["c"], min_count),
-        )
-        return t.filter(keep)
-
     counts = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("c", alias_name="c"))
-        .map_batches(prune, batch_format="pyarrow")
+        .map_batches(_gram_prune_fn(min_count, SEP), batch_format="pyarrow")
         .to_pandas()
     )
     uni: dict[str, int] = {}
@@ -2685,7 +2691,7 @@ def doc_bigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
         kind, rest = key.split(SEP, 1)
         if kind == "1":
             uni[rest] = int(c)
-        elif int(c) >= min_count:
+        else:  # non-unigram rows arrive pre-pruned to c >= min_count
             w1, w2 = rest.split(SEP, 1)
             big[(w1, w2)] = int(c)
     total = float(sum(uni.values()))
@@ -2766,22 +2772,11 @@ def doc_trigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
             }
         )
 
-    def prune(t: pa.Table) -> pa.Table:
-        # min_count prune IN the pipeline (see doc_bigram_lm): the
-        # singleton bi/tri-gram long tail never reaches the driver
-        import pyarrow.compute as pc
-
-        keep = pc.or_(
-            pc.starts_with(t["key"], "1" + SEP),
-            pc.greater_equal(t["c"], min_count),
-        )
-        return t.filter(keep)
-
     counts = (
         ds.map_batches(counts_partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("c", alias_name="c"))
-        .map_batches(prune, batch_format="pyarrow")
+        .map_batches(_gram_prune_fn(min_count, SEP), batch_format="pyarrow")
         .to_pandas()
     )
     uni: dict[str, int] = {}
@@ -2791,7 +2786,7 @@ def doc_trigram_lm(sf_dir: str, min_count: int = 2, alpha: float = 0.4):
         kind, rest = key.split(SEP, 1)
         if kind == "1":
             uni[rest] = int(c)
-        elif int(c) >= min_count:
+        else:  # non-unigram rows arrive pre-pruned to c >= min_count
             parts = rest.split(SEP)
             if kind == "2":
                 big[(parts[0], parts[1])] = int(c)

@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 
 from zensearch_ray.functions.bm25 import (
     LMD_MU,
+    LMJM_LAMBDA,
     BM25Params,
     idf,
     tf_norm,
@@ -509,8 +510,6 @@ class QueryEngine:
                     tf_norm(tfs, dls, self.avgdl, self.params) + delta
                 )
             elif similarity == "lmjm":
-                from zensearch_ray.functions.bm25 import LMJM_LAMBDA
-
                 ctf = float(tfs.sum())
                 lam = LMJM_LAMBDA
                 contrib = np.log(
