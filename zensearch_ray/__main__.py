@@ -80,9 +80,10 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
+    from zensearch_ray.pipelines.alias import resolve_if_alias
     from zensearch_ray.pipelines.query import QueryEngine, resolve_docs
 
-    engine = QueryEngine(args.index)
+    engine = QueryEngine(resolve_if_alias(args.index))
     mode = args.mode or "pruned"
     if args.similarity and args.similarity != "bm25":
         # the ranking function swaps without re-indexing; exhaustive
@@ -431,6 +432,21 @@ def cmd_compact(args) -> int:
     _ensure_ray()
     manifest = compact_index(args.index, args.output)
     print(json.dumps(manifest))
+    return 0
+
+
+def cmd_alias(args) -> int:
+    """Atomic serving cutover: point a stable alias file at a committed
+    index (``pipelines/alias``). Warm replicas (serve/http) pick a swap
+    up on their live-reload tick — the zero-downtime half of
+    ``reindex``."""
+    from zensearch_ray.pipelines.alias import resolve_alias, set_alias
+
+    if args.set:
+        rec = set_alias(args.path, args.set)
+        print(json.dumps(rec))
+    else:
+        print(json.dumps({"index_dir": resolve_alias(args.path)}))
     return 0
 
 
@@ -1071,6 +1087,17 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True, help="source index (untouched)")
     c.add_argument("--output", required=True, help="compacted index directory")
     c.set_defaults(fn=cmd_compact)
+
+    c = sub.add_parser(
+        "alias",
+        help="atomic serving cutover: point a stable alias file at a "
+             "committed index (set) or print its target (get)",
+    )
+    c.add_argument("--path", required=True, help="alias file path")
+    c.add_argument("--set", default=None,
+                   help="index directory to point the alias at "
+                        "(omit to print the current target)")
+    c.set_defaults(fn=cmd_alias)
 
     c = sub.add_parser(
         "reindex",

@@ -38,24 +38,37 @@ class _EngineReplica:
 
     def __init__(self, index_dir: str, cache_terms: int = 4096,
                  reload_secs: float | None = None):
+        from zensearch_ray.pipelines.alias import resolve_if_alias
         from zensearch_ray.pipelines.query import QueryEngine
 
-        self._index_dir = index_dir
+        self._index_dir = index_dir  # may be an ALIAS file (alias.py)
         self._cache_terms = cache_terms
         self._reload_secs = reload_secs
-        self.engine = QueryEngine(index_dir, cache_terms=cache_terms)
+        self.engine = QueryEngine(
+            resolve_if_alias(index_dir), cache_terms=cache_terms
+        )
         if reload_secs is not None:
-            self._token = self.engine.layout.version_token()
+            self._token = self._current_token()
             self._last_check = _time.monotonic()
 
+    def _current_token(self):
+        # covers BOTH the alias target (a swap re-points traffic) and
+        # the target index's own version token (append/delete in place)
+        from zensearch_ray.pipelines.alias import resolve_if_alias
+        from zensearch_ray.state.manifest import IndexLayout
+
+        target = resolve_if_alias(self._index_dir)
+        return (target, IndexLayout(target).version_token())
+
     def refresh(self) -> bool:
-        """Reload the engine if the index changed; True if reloaded."""
+        """Reload the engine if the index (or alias target) changed;
+        True if reloaded."""
         from zensearch_ray.pipelines.query import QueryEngine
 
-        token = self.engine.layout.version_token()
+        token = self._current_token()
         if token == getattr(self, "_token", None):
             return False
-        self.engine = QueryEngine(self._index_dir, cache_terms=self._cache_terms)
+        self.engine = QueryEngine(token[0], cache_terms=self._cache_terms)
         self._token = token
         return True
 
