@@ -2497,7 +2497,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events - lag(n_events)
                             OVER (ORDER BY hour_epoch), 0)::BIGINT AS delta,
                    sum(n_events)
-                       OVER (ORDER BY hour_epoch)::BIGINT AS cum
+                       OVER (ORDER BY hour_epoch)::BIGINT AS cum,
+                   round(avg(n_events::DOUBLE) OVER (
+                       ORDER BY hour_epoch ROWS 2 PRECEDING), 6) AS ma3
             FROM h ORDER BY hour_epoch
         """,
         # floor(epoch(...)) matches numpy datetime64[us] -> [s] truncation

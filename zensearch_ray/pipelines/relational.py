@@ -184,16 +184,18 @@ def events_hourly(sf_dir: str):
 
 
 def events_hourly_derivative(sf_dir: str) -> pd.DataFrame:
-    """Pipeline aggregation over the hourly date histogram (the ES
-    ``derivative`` / ``cumulative_sum`` pipeline-agg genre): corpus-wide
-    per-hour event counts, each bucket's delta vs the previous EXISTING
-    bucket (first bucket delta 0), and the running total.
+    """Pipeline aggregations over the hourly date histogram (the ES
+    ``derivative`` / ``cumulative_sum`` / ``moving_avg`` pipeline-agg
+    trio): corpus-wide per-hour event counts, each bucket's delta vs
+    the previous EXISTING bucket (first bucket delta 0), the running
+    total, and the trailing 3-bucket moving average (window shrinks at
+    the head, the SQL ``ROWS 2 PRECEDING`` shape; round6).
 
     Distributed shape: per-batch hour-count partials → ONE bucketed
-    exchange over hour keys; the ordered diff/cumsum run on the
-    AGGREGATED timeline, which is metadata-scale (hours of history —
-    ~10⁵ rows for a decade), never event-scale. Columns
-    (hour_epoch, n_events, delta, cum), hour ASC."""
+    exchange over hour keys; the ordered diff/cumsum/rolling kernels
+    run on the AGGREGATED timeline, which is metadata-scale (hours of
+    history — ~10⁵ rows for a decade), never event-scale. Columns
+    (hour_epoch, n_events, delta, cum, ma3), hour ASC."""
     import ray.data as rd
 
     from zensearch_ray.functions.agg import bucketed_groupby_sum
@@ -220,6 +222,13 @@ def events_hourly_derivative(sf_dir: str) -> pd.DataFrame:
     agg["n_events"] = n
     agg["delta"] = np.diff(n, prepend=n[:1]) if len(n) else n
     agg["cum"] = np.cumsum(n)
+    c = np.cumsum(np.r_[0, n]).astype(np.float64)
+    w = np.minimum(np.arange(1, len(n) + 1), 3)
+    agg["ma3"] = (
+        np.round((c[1:] - c[np.maximum(np.arange(len(n)) - 2, 0)]) / w, 6)
+        if len(n)
+        else np.array([], dtype=np.float64)
+    )
     return agg
 
 
