@@ -154,6 +154,19 @@ def test_complete_endpoint(server, http_index):
     assert status == 400 and "prefix" in body["error"]
 
 
+def test_suggest_endpoint(server, http_index):
+    engine = QueryEngine(http_index)
+    status, body = _get(server, "/suggest", q="serch engin")
+    assert status == 200
+    want = [
+        {"token": t, "suggestion": s, "df": d}
+        for t, s, d in engine.suggest("serch engin")
+    ]
+    assert body["suggestions"] == want and body["query"] == "serch engin"
+    status, body = _get(server, "/suggest")
+    assert status == 400 and "q" in body["error"]
+
+
 def test_explain_endpoint(server, http_index):
     engine = QueryEngine(http_index)
     q = "data stream"

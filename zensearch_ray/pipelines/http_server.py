@@ -16,6 +16,9 @@ Endpoints:
         returns raw (doc_id, score) pairs.
   GET /facets?q=...&col=lang → {"query", "col", "facets"}
   GET /complete?prefix=...&k=10 → {"prefix", "completions"}
+  GET /suggest?q=... → {"query", "suggestions"} — per-token
+      did-you-mean (``QueryEngine.suggest``: best dictionary term at
+      byte-Levenshtein ≤ 1, exact spelling wins, ties df DESC)
   GET /explain?q=...&k=10[&doc=ID] → {"query", "k", "explain"} — the
       Lucene-Explanation surface: per-term BM25 breakdown rows
       (``QueryEngine.explain``) for the top-k docs or one given doc.
@@ -113,6 +116,8 @@ class SearchHTTPServer:
                         self._facets(qs)
                     elif url.path == "/complete":
                         self._complete(qs)
+                    elif url.path == "/suggest":
+                        self._suggest(qs)
                     elif url.path == "/explain":
                         self._explain(qs)
                     elif url.path == "/stats":
@@ -203,10 +208,23 @@ class SearchHTTPServer:
                     ],
                 })
 
+            def _suggest(self, qs: dict) -> None:
+                q = qs.get("q", "").strip()
+                if not q:
+                    raise ValueError("missing required param q")
+                self._reply(200, {
+                    "query": q,
+                    "suggestions": [
+                        {"token": t, "suggestion": s, "df": df}
+                        for t, s, df in svc.suggest(q)
+                    ],
+                })
+
             def _stats(self) -> None:
+                from zensearch_ray.pipelines.alias import resolve_if_alias
                 from zensearch_ray.state.manifest import IndexLayout
 
-                layout = IndexLayout(index_dir)
+                layout = IndexLayout(resolve_if_alias(index_dir))
                 m = layout.read_manifest() or {}
                 self._reply(200, {
                     "replicas": len(svc._replicas),

@@ -137,6 +137,10 @@ class _EngineReplica:
         self._maybe_reload()
         return self.engine.autocomplete(prefix, k)
 
+    def suggest(self, query: str):
+        self._maybe_reload()
+        return self.engine.suggest(query)
+
     def explain(self, query: str, k: int, doc_id: int | None = None):
         self._maybe_reload()
         return self.engine.explain(query, k=k, doc_id=doc_id)
@@ -240,6 +244,12 @@ class QueryService:
         import ray
 
         return ray.get(self._next().complete.remote(prefix, k))
+
+    def suggest(self, query: str):
+        """Per-token did-you-mean through a warm replica."""
+        import ray
+
+        return ray.get(self._next().suggest.remote(query))
 
     def explain(self, query: str, k: int = 10, doc_id: int | None = None):
         """Per-term BM25 score breakdown through a warm replica — the
