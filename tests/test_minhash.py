@@ -148,3 +148,40 @@ def test_max_bucket_caps_degenerate_corpus(ray_session):
     # and with a generous cap the pairs ARE found (cap is the only gate)
     small = rd.from_arrow(t.slice(0, 20))
     assert len(lsh_candidate_pairs(small, max_bucket=1000)) == 20 * 19 // 2
+
+
+def test_band_layout_no_dead_band(ray_session):
+    """Regression: 63 bits / 9 bands used width = 63//9 + 1 = 8, so band
+    8 started at bit 64 — a zero-information band (always 0) that
+    funneled every row into one bucket.  With a corpus above max_bucket
+    that bucket was dropped, and a hamming-8 pair whose 8 differing bits
+    land one-per-band in bands 0..7 (agreeing only on band 8) was LOST.
+    Ceil width (7) makes band 8 carry bits 56..62 and the pair is found."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.minhash import hamming_near_pairs_from_fp
+
+    rng = np.random.default_rng(42)
+    n = 300
+    fps = rng.integers(0, 1 << 63, size=n, dtype=np.int64)
+    # planted pair: differ in exactly one bit inside each of bands 0..7
+    # (ceil width 7 → band b covers bits [7b, 7b+7)); band 8 agrees.
+    a = np.int64(0x123456789ABCDEF)
+    b = a
+    for band in range(8):
+        b ^= np.int64(1) << np.int64(7 * band)
+    fps[0], fps[1] = a, b
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "simhash": pa.array(fps, type=pa.int64())})
+    )
+    got = hamming_near_pairs_from_fp(
+        ds, max_hamming=8, n_bands=9, max_bucket=50
+    )
+    pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+    assert (0, 1) in pairs
+    # degenerate layouts must raise, never silently weaken the guarantee
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        hamming_near_pairs_from_fp(ds, max_hamming=3, n_bands=6, nbits=10)

@@ -104,6 +104,31 @@ def test_reindex_synonyms_plus_stem_equivalent(
     _assert_equivalent(direct, re_d)
 
 
+def test_reindex_stopwords_plus_synonyms_equivalent(
+    ray_session, corpus, plain_index, tmp_path
+):
+    # The one composition where an analyzer-ORDER divergence between
+    # reindex's _analyzer_map (stop→syn→stem) and the from-corpus
+    # TokenizeStage would surface: a synonym SOURCE that is a stopword
+    # ("the"→"search" must never fire: the stop filter runs first) and a
+    # synonym TARGET that is a stopword ("engine"→"to" must SURVIVE:
+    # synonyms run after the stop filter, so the produced "to" stays).
+    cfg = _cfg(
+        stem=True,
+        stopwords=("the", "of", "and", "a", "to"),
+        synonyms=(("the", "search"), ("engine", "to"), ("indexes", "index")),
+    )
+    direct = str(tmp_path / "direct_stop_syn")
+    build_index(corpus, direct, cfg)
+    re_d = str(tmp_path / "re_stop_syn")
+    reindex_analyzer(plain_index, re_d, cfg)
+    _assert_equivalent(direct, re_d)
+    # the stopworded source synonym must not have resurrected "the"
+    assert QueryEngine(re_d).topk("the", 10) == QueryEngine(direct).topk(
+        "the", 10
+    )
+
+
 def test_reindex_guards(ray_session, plain_index, tmp_path):
     with pytest.raises(ValueError, match="no analyzer"):
         reindex_analyzer(plain_index, str(tmp_path / "x1"), _cfg())

@@ -64,3 +64,12 @@ def test_empty_query_empty_frame(sp_sf_dir):
     got = suggest_phrase(sp_sf_dir, "...", k=3)
     assert len(got) == 0
     assert list(got.columns) == ["rank", "phrase", "logp"]
+
+
+def test_all_oov_query_backoff_no_crash(sp_sf_dir):
+    # ALL candidate grams absent from the corpus: the counts aggregate
+    # comes back as an all-empty frame (which loses its columns in
+    # to_pandas) — must fall through to backoff scoring, not KeyError.
+    got = suggest_phrase(sp_sf_dir, "zzzqqq wwwyyy", k=2)
+    assert got["phrase"][0] == "zzzqqq wwwyyy"
+    assert np.isfinite(got["logp"][0])

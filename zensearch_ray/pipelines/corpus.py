@@ -2356,6 +2356,12 @@ def suggest_phrase(sf_dir: str, query: str, k: int = 3, per_tok: int = 5,
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
     )
+    if got.empty:
+        # all-empty to_pandas() loses columns: an all-OOV query whose
+        # candidate grams never occur in the corpus must fall through to
+        # backoff scoring, not KeyError on the missing "key" column.
+        got = pd.DataFrame({"key": pd.Series(dtype=object),
+                            "c": pd.Series(dtype=np.int64)})
     cnt = dict(zip(got["key"], got["c"].astype(np.int64)))
     total = float(engine.manifest["sum_dl"])
 

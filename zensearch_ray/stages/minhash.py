@@ -685,7 +685,18 @@ def hamming_near_pairs_from_fp(fp_ds, max_hamming: int = 3, n_bands: int = 4,
     """
     if n_bands <= max_hamming:
         raise ValueError("pigeonhole guarantee needs n_bands > max_hamming")
-    width = nbits // n_bands + 1
+    # Ceil split so every band carries real fingerprint bits.  The old
+    # floor+1 width made the last band read past bit ``nbits`` for some
+    # (nbits, n_bands) combos (e.g. 63 bits / 9 bands -> band 8 was
+    # h >> 64 == 0 for every row): a zero-information band that funnels
+    # all rows into one bucket, silently voiding the pigeonhole
+    # guarantee whenever that degenerate bucket exceeds ``max_bucket``.
+    width = (nbits + n_bands - 1) // n_bands
+    if (n_bands - 1) * width >= nbits:
+        raise ValueError(
+            f"band layout degenerate: band {n_bands - 1} would start at bit "
+            f"{(n_bands - 1) * width} >= nbits={nbits}; lower n_bands"
+        )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         h = batch[fp_col].to_numpy(zero_copy_only=False).astype(np.uint64)
