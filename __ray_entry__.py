@@ -853,20 +853,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_persisted(sf_dir: str):
         # persisted IVF lifecycle: build-once artifact (cached per sf
         # dir), query reads ONLY the probed-list partitions
-        import os
-        import tempfile
-
         import pandas as pd
         import pyarrow.parquet as pq
 
-        from zensearch_ray.functions.ids import hash64
-        from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
-
-        key = hash64(os.path.realpath(sf_dir)) % 10**12
-        d = os.path.join(tempfile.gettempdir(), f"zensearch_vidx_v1_{key}")
-        build_vector_index(
-            f"{sf_dir}/embeddings.parquet", d, n_lists=16, n_partitions=8
+        from zensearch_ray.pipelines.vector import (
+            VectorIndex,
+            vector_index_dir_for,
         )
+
+        d = vector_index_dir_for(sf_dir)
         probe = pq.read_table(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],
@@ -880,22 +875,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_sq8(sf_dir: str):
         # int8 scalar-quantized IVF: 8x smaller partitions, asymmetric
         # (approximate) distance — rows-only by construction
-        import os
-        import tempfile
-
         import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
 
-        from zensearch_ray.functions.ids import hash64
-        from zensearch_ray.pipelines.vector import VectorIndex, build_vector_index
-
-        key = hash64(os.path.realpath(sf_dir)) % 10**12
-        d = os.path.join(tempfile.gettempdir(), f"zensearch_vsq8_v1_{key}")
-        build_vector_index(
-            f"{sf_dir}/embeddings.parquet", d, n_lists=16, n_partitions=8,
-            quant="sq8",
+        from zensearch_ray.pipelines.vector import (
+            VectorIndex,
+            vector_index_dir_for,
         )
+
+        d = vector_index_dir_for(sf_dir, quant="sq8")
         probe = pq.read_table(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],

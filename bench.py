@@ -535,6 +535,23 @@ def run_bench() -> dict:
     emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     _, t = timed(lambda: cosine_topk(emb, probe, k=10))
     results["ann_topk_sec"] = round(t, 3)
+    # hybrid fusion: serving shape (dense leg = persisted IVF, nprobe=4,
+    # probed-partition reads only) vs the brute full-corpus-scan referee —
+    # the gap is the point of routing the dense leg through the index
+    from zensearch_ray.pipelines.corpus import hybrid_rrf
+    from zensearch_ray.pipelines.vector import vector_index_dir_for
+
+    vector_index_dir_for(SF_DIR)  # warm the build-once artifact (untimed)
+    hybrid_rrf(SF_DIR, "spark window merge", k=10, dense="ivf", nprobe=4)
+    _, t = timed(
+        lambda: hybrid_rrf(SF_DIR, "vector merge sort", k=10,
+                           dense="ivf", nprobe=4)
+    )
+    results["hybrid_rrf_ivf_sec"] = round(t, 4)
+    _, t = timed(
+        lambda: hybrid_rrf(SF_DIR, "vector merge sort", k=10, dense="scan")
+    )
+    results["hybrid_rrf_scan_sec"] = round(t, 3)
     from zensearch_ray.stages.ann import mmr_topk
 
     _, t = timed(lambda: mmr_topk(emb, probe, k=10, fetch_n=50, lam=0.7))

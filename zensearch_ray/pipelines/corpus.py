@@ -1113,23 +1113,27 @@ RRF_DEPTH = 100
 def hybrid_rrf(
     sf_dir: str, query: str, probe_vec_id: int = 0, k: int = 10,
     depth: int = RRF_DEPTH, rrf_k: int = RRF_K,
+    dense: str = "ivf", nprobe: int | None = None,
 ) -> pd.DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25
     top-``depth``) and dense (cosine top-``depth``) rankings —
     rrf(d) = Σ 1/(rrf_k + rank_list(d)) over the lists containing d,
-    the standard hybrid-search combiner. Both legs are the engine's
-    already-oracle-checked operators (posting-list BM25 + streaming
-    per-batch partial cosine top-k); fusion itself is k-sized driver
-    work. Output: (rank, doc_id, rrf), ties → doc_id ASC.
+    the standard hybrid-search combiner. Both legs are serving-path
+    operators: posting-list BM25 + the PERSISTED IVF index
+    (``pipelines/vector``) — build-once/query-many, never a full-table
+    stream per query. ``nprobe`` defaults to ALL lists (full probe ≡
+    exact cosine, bit-identical to the brute scan and the SQL oracle);
+    pass a smaller nprobe for the at-scale serving shape where only
+    the probed-list partitions are read. ``dense="scan"`` keeps the
+    streaming per-batch cosine as the referee path. Fusion itself is
+    k-sized driver work. Output: (rank, doc_id, rrf), ties → doc_id
+    ASC.
 
     The test tables join 1:1 (embeddings.vec_id ≡ documents.doc_id);
     on a real corpus the dense leg's ids are whatever embedding sidecar
     the pipeline produced — the operator only needs the two id-ranked
     lists."""
     import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from zensearch_ray.stages.ann import cosine_topk
 
     bm = QueryEngine(index_dir_for(sf_dir)).topk(query, depth)
     probe = pq.read_table(
@@ -1137,19 +1141,40 @@ def hybrid_rrf(
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "==", probe_vec_id)],
     )["embedding"].to_pylist()[0]
-    emb = cosine_topk(
-        rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        ),
-        probe,
-        k=depth,
-    )
+    if dense == "ivf":
+        from zensearch_ray.pipelines.vector import (
+            VectorIndex,
+            vector_index_dir_for,
+        )
+
+        vi = VectorIndex(vector_index_dir_for(sf_dir))
+        ids, _ = vi.search(
+            np.asarray(probe, dtype=np.float64), k=depth,
+            nprobe=int(vi.manifest["n_lists"]) if nprobe is None else nprobe,
+        )
+        dense_ids = ids.tolist()
+    elif dense == "scan":
+        import ray.data as rd
+
+        from zensearch_ray.stages.ann import cosine_topk
+
+        emb = cosine_topk(
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            ),
+            probe,
+            k=depth,
+        )
+        dense_ids = emb["vec_id"].tolist()
+    else:
+        raise ValueError(f"unknown dense leg {dense!r}")
     # fuse bm25-leg first, then dense-leg — the SQL oracle adds its
     # COALESCEd terms in the same order, so sums match bit for bit
     scores: dict[int, float] = {}
     for r, (d, _) in enumerate(bm, 1):
         scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
-    for r, d in enumerate(emb["vec_id"].tolist(), 1):
+    for r, d in enumerate(dense_ids, 1):
         scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (rrf_k + r)
     top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pd.DataFrame(

@@ -54,6 +54,29 @@ _MANIFEST = "vector_manifest.json"
 _CENTROIDS = "centroids.parquet"
 
 
+def vector_index_dir_for(sf_dir: str, n_lists: int = 16,
+                         n_partitions: int = 8,
+                         quant: str | None = None) -> str:
+    """Build-once cache of the persisted IVF index for a test-table
+    directory's ``embeddings.parquet`` — the vector-side twin of
+    ``corpus.index_dir_for``. Every serving-path entry (persisted ANN,
+    hybrid fusion) shares ONE artifact per (sf_dir, quant) instead of
+    re-scanning the raw table per query; ``build_vector_index`` no-ops
+    when the manifest already exists."""
+    import tempfile
+
+    from zensearch_ray.functions.ids import hash64
+
+    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    tag = "vsq8" if quant == "sq8" else "vidx"
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_{tag}_v1_{key}")
+    build_vector_index(
+        f"{sf_dir}/embeddings.parquet", d,
+        n_lists=n_lists, n_partitions=n_partitions, quant=quant,
+    )
+    return d
+
+
 def _sq8_train(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (mins, scales) over a NORMALIZED sample. A zero
     span (constant dimension) gets scale 1 so encode/decode stay
