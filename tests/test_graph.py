@@ -112,3 +112,70 @@ def test_dup_components_vs_bruteforce(ray_session):
     got = dup_components(ds, thr).to_pandas()
     got_map = dict(zip(got["vec_id"], got["component_id"]))
     assert got_map == want
+
+
+def test_pagerank_sharded_matches_broadcast_and_reference(ray_session):
+    """The co-partitioned shard exchange must reproduce the broadcast
+    layout's values exactly (same pinned semantics, float64 both
+    ways) — string nodes, dangling node, parallel edges, multi-block."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.graph import pagerank_sharded
+
+    rng = np.random.default_rng(13)
+    names = [f"host{i:03d}" for i in range(80)]
+    edges = [(names[i], names[(i + 7) % 80], 1.0) for i in range(80)]
+    edges += [
+        (names[int(rng.integers(0, 80))], names[int(rng.integers(0, 80))],
+         float(w))
+        for w in rng.integers(1, 6, size=200)
+    ]
+    edges.append((names[0], "sink", 2.0))  # dangling dst
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    ds = rd.from_pandas(df).repartition(7)
+    got = pagerank_sharded(ds, num_partitions=5).set_index("node")["pagerank"]
+    want = pagerank_reference(edges)
+    assert set(got.index) == set(want)
+    for n, r in want.items():
+        assert got[n] == pytest.approx(r, abs=1e-12), n
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+    bc = _pr_frame(edges).set_index("node")["pagerank"]
+    for n in bc.index:
+        assert got[n] == pytest.approx(bc[n], abs=1e-13), n
+
+
+def test_pagerank_sharded_integer_nodes_and_empty(ray_session):
+    import ray.data as rd
+
+    from zensearch_ray.stages.graph import pagerank_sharded
+
+    edges = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0)]
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    got = pagerank_sharded(rd.from_pandas(df), num_partitions=3)
+    want = pagerank_reference(edges)
+    gm = dict(zip(got["node"], got["pagerank"]))
+    for n, r in want.items():
+        assert gm[n] == pytest.approx(r, abs=1e-12)
+    empty = pagerank_sharded(
+        rd.from_pandas(pd.DataFrame(columns=["src", "dst", "w"])))
+    assert len(empty) == 0
+
+
+def test_pagerank_auto_routes_by_cap(ray_session):
+    """Forced tiny cap → sharded path; generous cap → broadcast path.
+    Both must agree bit-for-bit on the same graph."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.graph import pagerank_auto
+
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+             ("c", "d", 1.0), ("d", "a", 1.0)]
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    lo = pagerank_auto(rd.from_pandas(df), broadcast_cap=2,
+                       num_partitions=3)
+    hi = pagerank_auto(rd.from_pandas(df), broadcast_cap=10**6)
+    lm = dict(zip(lo["node"], lo["pagerank"]))
+    hm = dict(zip(hi["node"], hi["pagerank"]))
+    assert set(lm) == set(hm)
+    for n in lm:
+        assert lm[n] == pytest.approx(hm[n], abs=1e-13), n

@@ -329,10 +329,10 @@ def event_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20) -> pd.Da
     engines."""
     import ray.data as rd
 
-    from zensearch_ray.stages.graph import pagerank
+    from zensearch_ray.stages.graph import pagerank_auto
 
     edges = event_transitions(sf_dir).rename(columns={"n": "w"})
-    pr = pagerank(rd.from_pandas(edges), damping=damping, iters=iters)
+    pr = pagerank_auto(rd.from_pandas(edges), damping=damping, iters=iters)
     pr["pagerank"] = round6(pr["pagerank"])
     pr = pr.sort_values(
         ["pagerank", "node"], ascending=[False, True], kind="mergesort"

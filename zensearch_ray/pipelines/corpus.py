@@ -2539,7 +2539,7 @@ def term_pagerank(
     import pyarrow.compute as pc
 
     from zensearch_ray.functions.agg import bucketed_groupby_sum
-    from zensearch_ray.stages.graph import pagerank
+    from zensearch_ray.stages.graph import pagerank_auto
 
     big = bucketed_groupby_sum(_bigram_partials(sf_dir), ["bigram"], ["cnt"])
 
@@ -2554,7 +2554,7 @@ def term_pagerank(
         )
 
     edges = big.map_batches(split_edges, batch_format="pyarrow")
-    pr = pagerank(edges, damping=damping, iters=iters)
+    pr = pagerank_auto(edges, damping=damping, iters=iters)
     pr["pagerank"] = round6(pr["pagerank"])
     pr = (
         pr.sort_values(["pagerank", "node"], ascending=[False, True], kind="mergesort")

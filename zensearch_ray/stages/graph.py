@@ -18,14 +18,14 @@ those triples with the current rank vector broadcast via ``ray.put``
 (zero-copy read per task). Per-iteration output is one dense partial
 contribution vector per block — |V| floats, not edge-scale.
 
-The NODE vector is the assumed-small side (|V| « |E|: hosts vs links,
-terms vs bigram occurrences, event types vs transitions) — the standard
-web-PageRank layout. For a node set that outgrows driver memory the
-join-based alternative already in the repo applies: per-iteration hash
-join of edges against a label/rank Dataset exactly as
-``stages/minhash.py:connected_components`` does for min-label
-propagation; this module deliberately implements the broadcast variant
-so BOTH shapes exist.
+The NODE vector is the assumed-small side for :func:`pagerank` (|V| «
+|E|: hosts vs links, terms vs bigram occurrences, event types vs
+transitions) — the standard web-PageRank layout. For node sets that
+outgrow a broadcast, :func:`pagerank_sharded` keeps the rank vector as
+node-hash SHARDS in actors with a co-partitioned contribution
+exchange per iteration (the ``connected_components`` layout, held
+warm); :func:`pagerank_auto` routes between the two on a
+provable-upper-bound node-count estimate.
 
 Raw ``@ray.remote`` is justified here (same stance as
 ``stages/ann.py:near_dup_pairs``): the Dataset API would re-plan and
@@ -126,6 +126,244 @@ def pagerank(
         dang = float(ranks[dangling].sum())
         ranks = base + damping * (contrib + dang / n_nodes)
     return pd.DataFrame({"node": nodes, "pagerank": ranks})
+
+
+def pagerank_sharded(
+    edges_ds,
+    damping: float = 0.85,
+    iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Co-partitioned PageRank for node sets that outgrow a broadcast.
+
+    Same pinned semantics as :func:`pagerank`, different layout: the
+    rank vector lives as ``num_partitions`` node-hash SHARDS inside
+    long-lived actors — no task ever sees the full |V| vector. One
+    map-side shuffle partitions the edges by hash(src) (each shard
+    actor then owns every edge whose out-weight it needs, so
+    ``out(u)`` is complete locally); prep pre-indexes each edge's dst
+    into the owning shard's node order ONCE. Per iteration the only
+    exchange is the sparse per-(src-shard → dst-shard) contribution
+    partials (≤ min(|E|, P·|V|/P) rows, actor→actor via plasma) plus
+    P dangling-mass SCALARS through the driver — the 10^12-node web
+    graph shape the broadcast variant's docstring promises.
+
+    Result collection remains |V|-scale (one (node, pagerank) frame,
+    parity with :func:`pagerank`); at real scale consume per-shard
+    tables instead of the concatenated frame.
+    """
+    import ray
+
+    from zensearch_ray.state.sink import _part_of
+
+    P = int(num_partitions)
+    packed = edges_ds.select_columns([src_col, dst_col, w_col]).materialize()
+    block_refs = packed.to_arrow_refs()
+
+    @ray.remote
+    def split_block(tbl: pa.Table):
+        """One pass: rows split by hash(src) shard (as plasma refs) +
+        the per-shard node vocabularies this block observes."""
+        empty = tbl.num_rows == 0 or src_col not in tbl.column_names
+        subs, nodes = [], []
+        if not empty:
+            ps = _part_of(tbl[src_col], P)
+            pd_ = _part_of(tbl[dst_col], P)
+            s_np = tbl[src_col].to_numpy(zero_copy_only=False)
+            d_np = tbl[dst_col].to_numpy(zero_copy_only=False)
+        for p in range(P):
+            if empty:
+                subs.append(None)
+                nodes.append(ray.put(np.array([])))
+                continue
+            mask = ps == p
+            subs.append(ray.put(tbl.filter(pa.array(mask))) if mask.any()
+                        else None)
+            # node vocab slivers stay in plasma too — the driver only
+            # ever holds refs, never any part of the vocabulary
+            nodes.append(ray.put(np.unique(np.concatenate(
+                [s_np[mask], d_np[pd_ == p]]))))
+        return subs, nodes
+
+    split = ray.get([split_block.remote(r) for r in block_refs])
+
+    # num_cpus=0: the shards are coordination-bound rank OWNERS (state +
+    # short vectorized bursts), so they must all schedule even on a
+    # small session — P one-CPU actors on a 4-CPU test node would
+    # deadlock at __init__. At cluster scale give them real resources
+    # via .options().
+    @ray.remote(num_cpus=0)
+    class _Shard:
+        """Owns rank shard p: nodes_p (sorted), ranks_p, outw_p, and
+        the src-shard-p edges pre-grouped by destination shard."""
+
+        def __init__(self, p: int, sub_refs: list):
+            import ray as _ray
+
+            self.p = p
+            tables = [t for t in _ray.get(sub_refs) if t is not None
+                      and t.num_rows]
+            self.edges = (pa.concat_tables(tables) if tables else None)
+
+        def nodes(self, node_refs: list) -> np.ndarray:
+            import ray as _ray
+
+            arrs = [a for a in _ray.get(node_refs) if len(a)]
+            self.nodes_p = (np.unique(np.concatenate(arrs)) if arrs
+                            else np.array([]))
+            return self.nodes_p
+
+        def prep(self, node_refs: list) -> int:
+            """Index edges once against the final shard vocabularies.
+            The full vocabulary (P plasma refs, zero-copy reads) is
+            touched only here — never per iteration."""
+            import ray as _ray
+
+            all_nodes = _ray.get(list(node_refs))
+            nv = len(self.nodes_p)
+            self.outw = np.zeros(nv)
+            self.by_q: dict[int, tuple] = {}
+            if self.edges is not None:
+                s = np.searchsorted(
+                    self.nodes_p,
+                    self.edges[src_col].to_numpy(zero_copy_only=False))
+                w = self.edges[w_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                self.outw = np.bincount(s, weights=w, minlength=nv)
+                qd = _part_of(self.edges[dst_col], P)
+                d_np = self.edges[dst_col].to_numpy(zero_copy_only=False)
+                for q in range(P):
+                    m = qd == q
+                    if m.any():
+                        d_idx = np.searchsorted(all_nodes[q], d_np[m])
+                        self.by_q[q] = (s[m], d_idx, w[m])
+                self.edges = None  # raw rows no longer needed
+            self.dangling = self.outw == 0.0
+            self.ranks = None
+            return nv
+
+        def init_ranks(self, n_total: int):
+            self.n_total = n_total
+            self.ranks = np.full(len(self.nodes_p),
+                                 1.0 / n_total if n_total else 0.0)
+
+        def local_dangling(self) -> float:
+            return float(self.ranks[self.dangling].sum())
+
+        def contribs(self):
+            """Sparse (dst_idx, partial_sum) per destination shard —
+            pre-aggregated here so partial size is bounded by the
+            destination shard's vocabulary, not this shard's edges."""
+            out = []
+            for q in range(P):
+                t = self.by_q.get(q)
+                if t is None:
+                    out.append(None)
+                    continue
+                s_idx, d_idx, w = t
+                vals = self.ranks[s_idx] * w / self.outw[s_idx]
+                uniq, inv = np.unique(d_idx, return_inverse=True)
+                out.append((uniq, np.bincount(inv, weights=vals)))
+            return tuple(out)
+
+        def apply(self, dang_total: float, damping_: float, part_refs):
+            import ray as _ray
+
+            # contribution partials flow actor→actor through plasma —
+            # the driver only ever relays the refs
+            parts = _ray.get(list(part_refs))
+            contrib = np.zeros(len(self.nodes_p))
+            for part in parts:
+                if part is not None:
+                    d_idx, vals = part
+                    contrib[d_idx] += vals
+            base = (1.0 - damping_) / self.n_total
+            self.ranks = base + damping_ * (
+                contrib + dang_total / self.n_total)
+            return True
+
+        def result(self) -> pa.Table:
+            return pa.table({"node": pa.array(self.nodes_p),
+                             "pagerank": pa.array(self.ranks)})
+
+    shards = [
+        _Shard.remote(p, [blk[0][p] for blk in split
+                          if blk[0][p] is not None])
+        for p in range(P)
+    ]
+    node_refs = [
+        s.nodes.remote([blk[1][p] for blk in split])
+        for p, s in enumerate(shards)
+    ]
+    ray.wait(node_refs, num_returns=P)
+    counts = ray.get([s.prep.remote(node_refs) for s in shards])
+    n_total = int(sum(counts))
+    if n_total == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "pagerank": pd.Series([], dtype=np.float64)})
+    ray.get([s.init_ranks.remote(n_total) for s in shards])
+
+    for _ in range(iters):
+        dang = float(sum(ray.get(
+            [s.local_dangling.remote() for s in shards])))
+        part_refs = [
+            s.contribs.options(num_returns=P).remote() for s in shards
+        ]
+        ray.get([
+            shards[q].apply.remote(dang, damping,
+                                   [pr[q] for pr in part_refs])
+            for q in range(P)
+        ])
+
+    tables = ray.get([s.result.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    # nodeless shards (P > |V|) carry a typeless empty schema — drop
+    # them rather than let concat fight over the node column type
+    tables = [t for t in tables if t.num_rows]
+    df = pa.concat_tables(tables).to_pandas()
+    return df.sort_values("node", ignore_index=True)
+
+
+def pagerank_auto(
+    edges_ds,
+    damping: float = 0.85,
+    iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    broadcast_cap: int = 2_000_000,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Route by node-set size, like ``ann.near_dup_pairs_auto``: the
+    broadcast layout (one ``ray.put`` rank vector per iteration —
+    cheapest while |V| fits every worker) below ``broadcast_cap``
+    distinct nodes, the co-partitioned shard exchange above it. The
+    estimate is the SUM of per-block distinct counts (an upper bound,
+    computed from scalars — never the vocabulary itself), so the
+    broadcast path is only chosen when the true |V| provably fits."""
+    import ray
+
+    packed = edges_ds.select_columns([src_col, dst_col, w_col]).materialize()
+
+    @ray.remote
+    def block_card(tbl: pa.Table) -> int:
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            return 0
+        return len(np.union1d(
+            tbl[src_col].to_numpy(zero_copy_only=False),
+            tbl[dst_col].to_numpy(zero_copy_only=False)))
+
+    upper = sum(ray.get([block_card.remote(r)
+                         for r in packed.to_arrow_refs()]))
+    kw = dict(damping=damping, iters=iters, src_col=src_col,
+              dst_col=dst_col, w_col=w_col)
+    if upper <= broadcast_cap:
+        return pagerank(packed, **kw)
+    return pagerank_sharded(packed, num_partitions=num_partitions, **kw)
 
 
 def pagerank_reference(
