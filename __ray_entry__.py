@@ -1161,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate": corpus.source_quality_gate,
         "ccnet_buckets": corpus.ccnet_buckets,
         "source_cap": corpus.source_cap,
+        "frontier_delta": _frontier_delta_entry,
         "lang_source_counts": corpus.lang_source_counts,
         # similarity search
         "embedding_topk": embedding_topk,
@@ -1923,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": _docs_split_sql(),
         "docs_sample": _docs_sample_sql(),
         "source_cap": _source_cap_sql(),
+        "frontier_delta": _frontier_delta_sql(),
         "gopher_filter": f"""
             WITH toks AS ({_TOKS}),
             tf AS (
@@ -4462,6 +4464,62 @@ def _source_cap_sql() -> str:
                    ) AS rn
             FROM documents
         ) WHERE rn <= {SOURCE_CAP}
+    """
+
+
+def _frontier_delta_entry(sf_dir: str):
+    from zensearch_ray.pipelines.frontier import frontier_delta
+
+    return frontier_delta(sf_dir)
+
+
+def _frontier_delta_sql() -> str:
+    """Frontier-delta oracle: the pinned synthetic-link scheme computed
+    ARITHMETICALLY (no HTML roundtrip) — so a match proves the Ray
+    side's href collector harvested exactly the planted anchors, the
+    canonicalizer produced the exact pinned form, the Bloom anti-join
+    is exact, and the host cap kept exactly the K smallest urls."""
+    from zensearch_ray.pipelines.frontier import (
+        HOST_CAP,
+        HOST_MOD,
+        N_LINKS_MOD,
+        PAGE_MOD,
+        VISITED_LT,
+        VISITED_MOD,
+    )
+
+    return f"""
+        WITH links AS (
+            SELECT d.doc_id,
+                   'http://host' ||
+                   CAST((d.doc_id*7 + j.j*13 + d.n_chars) % {HOST_MOD}
+                        AS VARCHAR) ||
+                   '.example/p/' ||
+                   CAST((d.doc_id*31 + j.j) % {PAGE_MOD} AS VARCHAR) AS url
+            FROM documents d
+            JOIN (SELECT UNNEST(range(1, {N_LINKS_MOD})) AS j) j
+              ON j.j <= d.doc_id % {N_LINKS_MOD}
+        ),
+        visited AS (
+            SELECT DISTINCT url FROM links
+            WHERE doc_id % {VISITED_MOD} < {VISITED_LT}
+        ),
+        fresh AS (
+            SELECT DISTINCT url FROM links
+            WHERE doc_id % {VISITED_MOD} >= {VISITED_LT}
+              AND url NOT IN (SELECT url FROM visited)
+        ),
+        capped AS (
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                   url,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+                       ORDER BY url
+                   ) AS rn
+            FROM fresh
+        )
+        SELECT host, url FROM capped WHERE rn <= {HOST_CAP}
+        ORDER BY host, url
     """
 
 

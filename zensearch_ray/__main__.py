@@ -540,6 +540,27 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_frontier(args) -> int:
+    """Crawl-frontier delta: harvest links from a stored-pages parquet
+    (html column), canonicalize, anti-join against the index's docmeta
+    URL set, cap per host, write (host, url) parquet — the batch
+    replay of the reference's page-navigator link walk
+    (``crawler/internal/crawler/page_navigator.go:93-218``)."""
+    from zensearch_ray.pipelines.frontier import frontier_from_pages
+
+    _ensure_ray()
+    out = frontier_from_pages(
+        args.pages, args.index, cap=args.cap,
+        same_host_only=args.same_host_only,
+    )
+    out.write_parquet(args.output)
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetDataset(args.output).read(columns=["url"]).num_rows
+    print(json.dumps({"frontier_urls": int(n), "output": args.output}))
+    return 0
+
+
 def cmd_percolate(args) -> int:
     """Batch reverse search: match a standing boolean-query registry
     (JSON {query_id: expression}) against a document parquet; sparse
@@ -1243,6 +1264,18 @@ def main(argv=None) -> int:
     ex.add_argument("--index", required=True)
     ex.add_argument("--output", required=True)
     ex.set_defaults(fn=cmd_export)
+
+    fr = sub.add_parser(
+        "frontier",
+        help="link harvest + anti-join vs indexed urls → new-frontier parquet",
+    )
+    fr.add_argument("--pages", required=True, help="stored pages parquet (html col)")
+    fr.add_argument("--index", required=True)
+    fr.add_argument("--output", required=True)
+    fr.add_argument("--cap", type=int, default=5, help="max urls kept per host")
+    fr.add_argument("--same-host-only", action="store_true",
+                    help="keep only links to hosts the corpus already covers")
+    fr.set_defaults(fn=cmd_frontier)
 
     s = sub.add_parser("serve", help="warm serving loop: stdin queries → JSON lines")
     s.add_argument("--index", required=True)

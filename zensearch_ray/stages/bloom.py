@@ -66,11 +66,28 @@ def bloom_params(n_keys: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+def _keys_u64(keys: np.ndarray) -> np.ndarray:
+    """Keys → stable uint64: numeric dtypes cast; strings hash through
+    blake2b per UNIQUE value (process-stable — python ``hash`` is
+    salted), fanned back out by the inverse index. Hashing strings
+    narrows the bloom to a filter on hash64(key); exactness is
+    unaffected because the verify join compares the original keys."""
+    if keys.dtype.kind in "iuf":
+        return keys.astype(np.uint64)
+    from zensearch_ray.functions.ids import hash64
+
+    uniq, inv = np.unique(keys.astype(object), return_inverse=True)
+    hu = np.fromiter((hash64(str(s)) for s in uniq), dtype=np.uint64,
+                     count=len(uniq))
+    return hu[inv]
+
+
 def _probe_indices(keys: np.ndarray, m: int, k: int):
     """Yield k vectorized bit indices per key (double hashing: the
     k-probe family from two independent 64-bit hashes)."""
-    h1 = _splitmix64(keys.astype(np.uint64))
-    h2 = _splitmix64(keys.astype(np.uint64) ^ _SEED2) | np.uint64(1)
+    ku = _keys_u64(keys)
+    h1 = _splitmix64(ku)
+    h2 = _splitmix64(ku ^ _SEED2) | np.uint64(1)
     mm = np.uint64(m)
     for i in range(k):
         yield ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
@@ -119,7 +136,7 @@ def build_bloom(ds, key_col: str, n_hint: int | None = None,
         # deterministic merge-group from the data (OR is commutative,
         # so ANY assignment is correct; hashing the first key spreads
         # blobs across reducers)
-        grp = int(_splitmix64(keys[:1].astype(np.uint64))[0] % np.uint64(fan_in)) if keys.size else 0
+        grp = int(_splitmix64(_keys_u64(keys[:1]))[0] % np.uint64(fan_in)) if keys.size else 0
         return pa.table({_GRP: pa.array([grp], type=pa.int32()),
                          _BLOB: pa.array([words.tobytes()], type=pa.large_binary())})
 

@@ -208,3 +208,48 @@ def extract_batch(
         idx = batch.column_names.index(title_col)
         return batch.set_column(idx, title_col, titles)
     return batch.append_column(title_col, titles)
+
+
+# anchor-href collector (operator E2's harvesting half — the link walk
+# of ``crawler/internal/crawler/page_navigator.go:93-218``). Pinned
+# REGEX-ONLY spec so any engine (including a SQL regexp_extract_all
+# oracle) reproduces the harvest: every <a ...> tag's href value, in
+# document order, double/single/unquoted forms, entities unescaped.
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.IGNORECASE,
+)
+
+
+def extract_links(html: bytes | str) -> list[str]:
+    """href values of every anchor tag of one HTML document, in
+    document order (duplicates preserved — frontier counting is the
+    caller's concern)."""
+    if isinstance(html, (bytes, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html):
+        href = next(g for g in m.groups() if g is not None)
+        if href:
+            out.append(unescape(href))
+    return out
+
+
+def extract_links_batch(
+    batch: pa.Table, html_col: str = "html", id_col: str = "doc_id",
+    out_col: str = "href",
+) -> pa.Table:
+    """``map_batches`` body: html column → flat (id, href) link rows
+    (one row per harvested anchor)."""
+    ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, hrefs = [], []
+    for i, h in zip(ids_np.tolist(), batch[html_col].to_pylist()):
+        for href in extract_links(h):
+            out_ids.append(i)
+            hrefs.append(href)
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, type=batch[id_col].type),
+            out_col: pa.array(hrefs, type=pa.string()),
+        }
+    )
