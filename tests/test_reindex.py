@@ -275,3 +275,25 @@ def test_reindex_partial_crash_resume(ray_session, plain_index, tmp_path):
     man = reindex_analyzer(plain_index, resumed, cfg)
     assert man["n_partitions_built_this_run"] == len(killed)
     pd.testing.assert_frame_equal(_postings_df(resumed), _postings_df(full))
+
+
+def test_cache_tokenized_flip_equivalent(ray_session, corpus, tmp_path):
+    """cache_tokenized=False (the at-scale auto-flip target: recompute
+    pass 2 instead of pinning the tokenized corpus) must produce a
+    bit-identical index to the pinned path, and AUTO must record its
+    decision in the manifest."""
+    a = str(tmp_path / "pinned")
+    b = str(tmp_path / "recompute")
+    build_index(corpus, a, _cfg(cache_tokenized=True))
+    build_index(corpus, b, _cfg(cache_tokenized=False))
+    pd.testing.assert_frame_equal(_postings_df(a), _postings_df(b))
+    ma = IndexLayout(a).read_manifest()
+    mb = IndexLayout(b).read_manifest()
+    for k in ("n_docs", "sum_dl", "avgdl", "total_postings"):
+        assert ma[k] == mb[k]
+    assert ma["cache_tokenized"] is True
+    assert mb["cache_tokenized"] is False
+    c = str(tmp_path / "auto")
+    mc = build_index(corpus, c, _cfg(cache_tokenized=None))
+    assert mc["cache_tokenized"] is True  # tiny corpus → pin
+    pd.testing.assert_frame_equal(_postings_df(c), _postings_df(a))

@@ -39,6 +39,12 @@ from zensearch_ray.state.manifest import IndexLayout
 
 TOKENIZER_SPEC = "nfc-casefold-nonalnum-v1"
 CODEC_SPEC = "delta-varint-blockmax128-v1"
+# cache_tokenized=None auto-flip: tokenized blocks carry the token list
+# next to doc metadata — measured ≈2× the source text bytes — and the
+# pin is only worth it while that fits comfortably beside the shuffle's
+# own working set (half the store). See BuildConfig.cache_tokenized.
+_TOKENIZED_BLOWUP = 2.0
+_CACHE_STORE_FRAC = 0.5
 
 
 @dataclass
@@ -60,7 +66,14 @@ class BuildConfig:
     # blocks into one task (coalescing halved map width at bench shape)
     tokenize_batch_size: int = 1024
     tokenize_concurrency: int | tuple[int, int] | None = None
-    cache_tokenized: bool = True
+    # pin the tokenized corpus between pass 1 and pass 2 (skips the
+    # second tokenize execution) — None = AUTO: cache only while the
+    # estimated tokenized footprint fits a bounded share of the object
+    # store; beyond that, materializing is corpus-scale spill churn and
+    # recomputing pass 2 is the cheaper move (tokenize is CPU-light
+    # relative to disk-spill round-trips at that size). True/False
+    # force either path.
+    cache_tokenized: bool | None = None
     # dl rides the posting exchange UNLESS the dense id space is small
     # enough to broadcast a doc_id→dl int32 array instead (4 B/doc; the
     # default cap = 128 MB broadcast). Saves 4 B/posting of shuffle
@@ -527,7 +540,21 @@ def build_index(
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
-    if cfg.cache_tokenized:
+    cache_tok = cfg.cache_tokenized
+    if cache_tok is None:
+        # AUTO: pin only while the tokenized footprint (≈ blowup ×
+        # source bytes, parquet-metadata estimate — no execution) fits
+        # a bounded share of the object store. Above that the pin is
+        # corpus-scale spill churn; recomputing pass 2 wins.
+        try:
+            est = int(corpus.size_bytes() or 0)
+        except Exception:
+            est = 0
+        store = float(ray.cluster_resources().get("object_store_memory", 0.0))
+        cache_tok = not (
+            store > 0 and est * _TOKENIZED_BLOWUP > store * _CACHE_STORE_FRAC
+        )
+    if cache_tok:
         # tokenization is the CPU-heavy stage; pinning its output avoids
         # recomputing it for pass 2 (object store spills to disk if needed)
         tokenized = tokenized.materialize()
@@ -611,6 +638,7 @@ def build_index(
         "build_wall_sec": round(elapsed, 3),
         "phase_secs": phases,
         "docs_per_sec": round(stats["n_docs"] / elapsed, 1) if elapsed > 0 else None,
+        "cache_tokenized": bool(cache_tok),
     }
     if sig_docs is not None:
         manifest["sig_store_docs"] = sig_docs
@@ -691,7 +719,17 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
     )
-    if cfg.cache_tokenized:
+    cache_tok = cfg.cache_tokenized
+    if cache_tok is None:
+        try:
+            est = int(corpus.size_bytes() or 0)
+        except Exception:
+            est = 0
+        store = float(ray.cluster_resources().get("object_store_memory", 0.0))
+        cache_tok = not (
+            store > 0 and est * _TOKENIZED_BLOWUP > store * _CACHE_STORE_FRAC
+        )
+    if cache_tok:
         tokenized = tokenized.materialize()
     t = mark("tokenize", t_start)
 

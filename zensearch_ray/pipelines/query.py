@@ -342,7 +342,8 @@ class QueryEngine:
             return []
         files = self._trigram_files() if len(substr) >= 3 else None
         if files is None:
-            out = [t for t in self._all_terms() if substr in t]
+            out = sorted({t for chunk in self._vocab_chunks()
+                          for t in chunk if substr in t})
         else:
             tris = sorted({substr[i : i + 3] for i in range(len(substr) - 2)})
             cands: set[str] = set()
@@ -1312,6 +1313,45 @@ class QueryEngine:
             terms.update(t["term"].to_pylist())
         return sorted(terms)
 
+    # resident (term, df) arrays are cached only while the dictionary
+    # provably fits this many terms (sidecar METADATA row-count upper
+    # bound — no read); beyond it autocomplete switches to per-query
+    # pruned window reads so replica memory never scales with vocab
+    _VOCAB_CACHE_MAX_TERMS = 2_000_000
+
+    def _vocab_upper_bound(self) -> int:
+        """Upper bound on |vocab| from sidecar parquet metadata (sum of
+        per-file row counts; duplicates across shards/generations only
+        raise the bound — the cache decision errs toward windowing)."""
+        b = getattr(self, "_vocab_bound", None)
+        if b is None:
+            b = 0
+            for path in self._term_dict_files():
+                b += pq.ParquetFile(path).metadata.num_rows
+            self._vocab_bound = b
+        return b
+
+    def _df_window(self, lo: str, hi: str):
+        """(terms, summed dfs) for the dictionary window [lo, hi) via
+        pruned (term, df) segment reads — the unbounded-vocab serving
+        path for autocomplete."""
+        import pandas as _pd
+
+        frames = []
+        for shard in range(self.num_shards):
+            for path in self._part_files(shard):
+                frames.append(
+                    pq.read_table(
+                        path, columns=["term", "df"],
+                        filters=[("term", ">=", lo), ("term", "<", hi)],
+                    ).to_pandas()
+                )
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+        g = _pd.concat(frames).groupby("term", sort=True)["df"].sum()
+        return g.index.to_numpy(dtype=object), g.to_numpy(np.int64)
+
     def _term_df_arrays(self):
         """(sorted unique term array, aligned summed df int64) — the
         autocomplete serving structure, built ONCE per engine from a
@@ -1358,12 +1398,18 @@ class QueryEngine:
         if not prefix:
             return []
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        terms, dfs = self._term_df_arrays()
-        lo_i = int(np.searchsorted(terms, prefix, "left"))
-        hi_i = int(np.searchsorted(terms, hi, "left"))
-        if lo_i >= hi_i:
-            return []
-        sub_t, sub_d = terms[lo_i:hi_i], dfs[lo_i:hi_i]
+        if (self._vocab_df is not None
+                or self._vocab_upper_bound() <= self._VOCAB_CACHE_MAX_TERMS):
+            terms, dfs = self._term_df_arrays()
+            lo_i = int(np.searchsorted(terms, prefix, "left"))
+            hi_i = int(np.searchsorted(terms, hi, "left"))
+            if lo_i >= hi_i:
+                return []
+            sub_t, sub_d = terms[lo_i:hi_i], dfs[lo_i:hi_i]
+        else:  # vocab-scale dictionary: pruned per-query window read
+            sub_t, sub_d = self._df_window(prefix, hi)
+            if not len(sub_t):
+                return []
         order = np.lexsort((sub_t.astype(str), -sub_d))[:k]
         return [(str(sub_t[i]), int(sub_d[i])) for i in order]
 
@@ -1425,13 +1471,15 @@ class QueryEngine:
                 if cands is not None:
                     out = [t for t in cands if rx.match(t)]
             if out is None:
-                vocab = self._all_terms()
-                lo, hi = 0, len(vocab)
-                if segs[0]:  # sorted vocab → literal-prefix window
-                    lo = bisect_left(vocab, segs[0])
+                if segs[0]:  # sorted sidecar → pruned literal-prefix window
                     stop = segs[0][:-1] + chr(ord(segs[0][-1]) + 1)
-                    hi = bisect_left(vocab, stop, lo)
-                out = [t for t in vocab[lo:hi] if rx.match(t)]
+                    out = [t for t in self._vocab_window(segs[0], stop)
+                           if rx.match(t)]
+                else:  # no window: stream the dictionary, hold matches only
+                    seen: set[str] = set()
+                    for chunk in self._vocab_chunks():
+                        seen.update(t for t in chunk if rx.match(t))
+                    out = sorted(seen)
         if len(out) > max_terms:
             raise ValueError(
                 f"wildcard {pattern!r} expands to {len(out)} terms (> {max_terms})"
@@ -1478,13 +1526,15 @@ class QueryEngine:
                 break
             lit.append(ch)
         prefix = "".join(lit)
-        vocab = self._all_terms()
-        lo, hi = 0, len(vocab)
         if prefix:
-            lo = bisect_left(vocab, prefix)
             stop = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            hi = bisect_left(vocab, stop, lo)
-        out = [t for t in vocab[lo:hi] if rx.fullmatch(t)]
+            out = [t for t in self._vocab_window(prefix, stop)
+                   if rx.fullmatch(t)]
+        else:  # no literal prefix: stream the dictionary, hold matches
+            seen: set[str] = set()
+            for chunk in self._vocab_chunks():
+                seen.update(t for t in chunk if rx.fullmatch(t))
+            out = sorted(seen)
         if len(out) > max_terms:
             raise ValueError(
                 f"regex {pattern!r} expands to {len(out)} terms (> {max_terms})"
@@ -1505,6 +1555,33 @@ class QueryEngine:
                 continue
             plan.append((p, w))
         return self._score_plan(plan, k)
+
+    def _vocab_window(self, lo: str, hi: str | None) -> list[str]:
+        """Sorted unique dictionary terms in [lo, hi) via PRUNED
+        sidecar range reads (parquet predicate + sorted-term row-group
+        stats) — the at-scale replacement for bisecting a resident
+        ``_all_terms`` copy: memory is the window, not the vocabulary."""
+        filters = [("term", ">=", lo)]
+        if hi is not None:
+            filters.append(("term", "<", hi))
+        terms: set[str] = set()
+        for path in self._term_dict_files():
+            terms.update(
+                pq.read_table(path, columns=["term"], filters=filters)[
+                    "term"
+                ].to_pylist()
+            )
+        return sorted(terms)
+
+    def _vocab_chunks(self):
+        """Per-sidecar-file sorted term chunks — the STREAMING form of
+        ``_all_terms`` for matchers with no prefix window (substring
+        fallback, regex without a literal prefix, edit-1 fuzzy):
+        resident memory is one sidecar file, never the vocabulary.
+        Files may repeat terms across shards/generations; callers
+        dedup their MATCHES (sliver-sized), not the stream."""
+        for path in self._term_dict_files():
+            yield pq.read_table(path, columns=["term"])["term"].to_pylist()
 
     def _all_terms(self) -> list[str]:
         """The full term dictionary (sorted, deduped across partitions/
@@ -1560,7 +1637,10 @@ class QueryEngine:
             return []
         if max_dist == 2:
             return expand_edit2(self._symspell(), toks)
-        return expand_edit1(self._all_terms(), toks)
+        matches: set[str] = set()
+        for chunk in self._vocab_chunks():
+            matches.update(expand_edit1(chunk, toks))
+        return sorted(matches)
 
     def topk_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 1
@@ -1628,10 +1708,17 @@ class QueryEngine:
         no neighbor are dropped. Returns (token, suggestion, df)."""
         from zensearch_ray.functions.fuzzy import edit1_mask
 
+        toks = sorted(set(tokenize(query)))
+        cands_of: dict[str, set[str]] = {t: set() for t in toks}
+        # stream the dictionary once; per-token candidate sets are
+        # edit-1 neighborhoods (sliver-sized), never the vocabulary
+        for chunk in self._vocab_chunks():
+            for tok in toks:
+                hits = np.nonzero(edit1_mask(chunk, tok))[0]
+                cands_of[tok].update(chunk[i] for i in hits)
         out: list[tuple[str, str, int]] = []
-        vocab = self._all_terms()
-        for tok in sorted(set(tokenize(query))):
-            cands = [vocab[i] for i in np.nonzero(edit1_mask(vocab, tok))[0]]
+        for tok in toks:
+            cands = cands_of[tok]
             if not cands:
                 continue
             best = min(cands, key=lambda t: (t != tok, -self.df(t), t))
