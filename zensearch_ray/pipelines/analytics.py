@@ -320,8 +320,9 @@ def event_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 20) -> pd.Da
     """PageRank over the event-transition graph (nodes = event types,
     edges = ``event_transitions`` counts): which state the per-user
     event Markov chain concentrates on. The tiny node set here stands
-    in for the host/domain graph of the 100-TB corpus — same operator
-    (``stages/graph.py:pagerank``), same broadcast-ranks layout.
+    in for the host/domain graph of the 100-TB corpus — same operator,
+    auto-routed (``stages/graph.py:pagerank_auto``) between the
+    broadcast layout and the co-partitioned shard exchange.
 
     Output: (rank, event_type, pagerank) ordered by
     (round6(pagerank) DESC, event_type) — ordering on the ROUNDED

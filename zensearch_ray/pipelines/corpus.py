@@ -2530,8 +2530,8 @@ def term_pagerank(
     keyword extraction (vs ``doc_keywords``' tf·idf). Edge extraction
     reuses the pre-aggregated bigram pipeline (`_bigram_partials` →
     one coarse exchange), so the PageRank input is vocab²-bounded, and
-    the iteration itself is ``stages/graph.py:pagerank``'s
-    broadcast-ranks pass over object-store blocks.
+    the iteration auto-routes (``stages/graph.py:pagerank_auto``)
+    between the broadcast pass and the sharded contribution exchange.
 
     Output: top-``k`` (rank, term, pagerank) ordered by
     (round6(pagerank) DESC, term) — ordered on the ROUNDED value so
