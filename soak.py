@@ -255,15 +255,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=10_000_000)
     ap.add_argument("--delta", type=int, default=500_000)
+    ap.add_argument("--waves", type=int, default=4,
+                    help="ingest the base corpus as this many "
+                         "build+append waves: each wave's posting "
+                         "exchange must fit the object store (+disk "
+                         "spill) — the incremental-generation shape a "
+                         "real 100-TB ingest uses, closed by the "
+                         "partition-local compaction later in the "
+                         "lifecycle")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--store-gb", type=float, default=0.0,
+                    help="object store size (GB); 0 = Ray default. On a "
+                         "cgroup-capped node leave explicit headroom: "
+                         "store + n_cpus×worker-heap must fit the limit")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
     import ray
 
+    init_kw = {}
+    if args.store_gb:
+        init_kw["object_store_memory"] = int(args.store_gb * 1e9)
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", **init_kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -307,22 +322,59 @@ def main():
     M["corpus_bytes"] = du
     print(f"    corpus {du/1e9:.2f} GB on disk, gen {M['gen_sec']}s")
 
-    stage("cold build (attrs + sigstore)")
+    stage(f"incremental build ({args.waves} ingest waves, "
+          "attrs + sigstore)")
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(stem_idx, ignore_errors=True)
     sampler.reset()
     cfg = BuildConfig(num_shards=64, salt_subs=8, lang="en",
                       extract_from_html=True, attrs=("lang",),
                       sig_store=True)
+    files = _pq_files(pages_dir)
+    waves = [list(w) for w in np.array_split(np.array(files), args.waves)]
     t0 = time.perf_counter()
-    man = build_index(pages_dir, idx, cfg)
+    wave_secs = []
+    man = None
+    for i, w in enumerate(waves):
+        tw = time.perf_counter()
+        if i == 0:
+            man = build_index(w, idx, cfg)
+        else:
+            # ingest waves are INITIAL ingest, not a small delta, so
+            # the near-dup append (contract: delta ≪ corpus, driver-
+            # side signature sliver) is wrong here — plain append +
+            # STREAMED signature-store update keeps every stage
+            # corpus-scale-safe. The 500k delta stage below exercises
+            # the near-dup append within its contract.
+            from dataclasses import replace
+
+            from zensearch_ray.pipelines.build_index import load_corpus
+            from zensearch_ray.stages import sigstore as ss
+
+            man = build_index(w, idx, cfg, append=True)
+            gen = int(man["n_generations"]) - 1
+            store = ss.store_dir_of(idx)
+            scfg = ss.SigConfig(**ss.read_meta(store)["config"])
+            dcfg = replace(cfg, id_col=None, dense_ids=False)
+            wave_ds, _, _ = load_corpus(w, dcfg)
+            sig_ds = wave_ds.map_batches(
+                ss.SigStage, fn_constructor_kwargs={"scfg": scfg},
+                batch_format="pyarrow", batch_size=512,
+                concurrency=(1, 16),
+            )
+            ss.append_sig_store(sig_ds, store, gen)
+        wave_secs.append(round(time.perf_counter() - tw, 1))
+        print(f"    wave {i + 1}/{len(waves)}: {wave_secs[-1]}s, "
+              f"{man['n_docs']} docs total", flush=True)
     M["build_sec"] = round(time.perf_counter() - t0, 1)
+    M["build_wave_secs"] = wave_secs
     M["build_docs"] = man["n_docs"]
     M["build_docs_per_sec"] = round(man["n_docs"] / M["build_sec"], 1)
     M["posting_mb"] = round(man["total_posting_bytes"] / 1e6, 1)
-    M["build_phase_secs"] = man.get("phase_secs")
+    M["build_phase_secs"] = man.get("phase_secs")  # last wave's split
+    M["cache_tokenized"] = man.get("cache_tokenized")
     pb = [p["posting_bytes"] for p in
-          IndexLayout(idx).committed_parts().values()]
+          IndexLayout(idx).committed_parts_all_gens()]
     M["partitions"] = len(pb)
     M["part_skew_max_over_mean"] = round(max(pb) / (sum(pb) / len(pb)), 3)
     M["build_store_peak_mb"] = sampler.peak_mb

@@ -275,3 +275,54 @@ def test_vsearch_endpoint(ray_session, http_index, tmp_path_factory):
     with SearchHTTPServer(http_index, replicas=1, k=10) as srv:
         code, err = _get(srv, "/vsearch", vec="1.0,2.0")
         assert code == 400 and "no vector index" in err["error"]
+
+
+def test_events_sse_pushes_on_version_change(ray_session, tmp_path_factory):
+    """/events must push a stats event immediately, keep-alive while
+    nothing changes, and push AGAIN when an append commits a new
+    generation (version token change) — the W2/W3 push-progress
+    surface."""
+    import threading
+    import time
+
+    from zensearch_ray.sources.pages import generate_pages_dist
+
+    root = tmp_path_factory.mktemp("sse")
+    src = str(root / "pages.parquet")
+    t = generate_pages_table(120, seed=9)
+    pq.write_table(t.slice(0, 80), src, row_group_size=32)
+    delta = str(root / "delta.parquet")
+    pq.write_table(t.slice(80), delta, row_group_size=32)
+    idx = str(root / "idx")
+    cfg = BuildConfig(num_shards=2, salt_subs=2, lang="en")
+    build_index(src, idx, cfg)
+
+    with SearchHTTPServer(idx, replicas=1, k=10) as srv:
+        url = (f"http://{srv.host}:{srv.port}/events"
+               f"?poll=0.05&max_events=2")
+        events: list[dict] = []
+
+        def consume():
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                for raw in resp:
+                    line = raw.decode().strip()
+                    if line.startswith("data: "):
+                        events.append(json.loads(line[6:]))
+                        if len(events) >= 2:
+                            return
+
+        th = threading.Thread(target=consume, daemon=True)
+        th.start()
+        deadline = time.time() + 10
+        while not events and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(events) == 1  # initial snapshot, then quiet
+        build_index(delta, idx, cfg, append=True)  # version token changes
+        th.join(timeout=30)
+        assert len(events) == 2
+        # the push fires on the token edge (possibly mid-commit, which
+        # is correct for a progress channel) — the TOKEN must differ
+        assert events[1]["version_token"] != events[0]["version_token"]
+        _, final = _get(srv, "/stats")
+        assert final["n_generations"] == 2
+        assert final["n_docs"] > events[0]["n_docs"]

@@ -857,9 +857,13 @@ def append_index_dedup(
         ss.SigStage, fn_constructor_kwargs={"scfg": scfg},
         batch_format="pyarrow", batch_size=512, concurrency=(1, 16),
     )
+    # keep the concat CHUNKED: combining would overflow the binary
+    # column's int32 offsets beyond ~2 GB of signatures, and every
+    # consumer handles chunks. (The delta ≪ corpus contract still
+    # bounds this driver-side table — see stages/sigstore.py.)
     delta_tbl = pa.concat_tables(
         [ray.get(r) for r in delta_sigs.to_arrow_refs()]
-    ).combine_chunks()
+    )
     dropped, pairs_checked = ss.near_dup_vs_store(
         delta_tbl, store, threshold=threshold, scfg=scfg
     )

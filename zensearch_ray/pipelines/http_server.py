@@ -122,6 +122,8 @@ class SearchHTTPServer:
                         self._explain(qs)
                     elif url.path == "/stats":
                         self._stats()
+                    elif url.path == "/events":
+                        self._events(qs)
                     elif url.path == "/vsearch":
                         if "vec" not in qs:
                             raise ValueError("missing required param vec")
@@ -220,13 +222,13 @@ class SearchHTTPServer:
                     ],
                 })
 
-            def _stats(self) -> None:
+            def _stats_payload(self) -> dict:
                 from zensearch_ray.pipelines.alias import resolve_if_alias
                 from zensearch_ray.state.manifest import IndexLayout
 
                 layout = IndexLayout(resolve_if_alias(index_dir))
                 m = layout.read_manifest() or {}
-                self._reply(200, {
+                return {
                     "replicas": len(svc._replicas),
                     "version_token": layout.version_token(),
                     "n_docs": m.get("n_docs"),
@@ -236,7 +238,54 @@ class SearchHTTPServer:
                     "total_posting_bytes": m.get("total_posting_bytes"),
                     "avgdl": m.get("avgdl"),
                     "positions": m.get("positions"),
-                })
+                }
+
+            def _stats(self) -> None:
+                self._reply(200, self._stats_payload())
+
+            def _events(self, qs: dict) -> None:
+                """Server-Sent-Events push: one ``stats`` event
+                immediately, then one whenever the index VERSION TOKEN
+                changes (append / compact / alias swap commits) with
+                keep-alive comments in between — the batch engine's
+                push-progress channel (reference analog: the WebSocket
+                the express front pushes crawl/index progress over,
+                ``express-server/src/index.ts:43-93``, W2/W3; SSE is
+                the stdlib-clean equivalent — same server-push
+                semantics, plain HTTP). ``poll`` = token check period
+                (s), ``max_events`` stops after N pushes (0 = stream
+                until the client disconnects)."""
+                import time as _time
+
+                poll = float(qs.get("poll", "0.5"))
+                limit = int(qs.get("max_events", "0"))
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                last = None
+                sent = 0
+                try:
+                    while True:
+                        payload = self._stats_payload()
+                        tok = payload["version_token"]
+                        if tok != last:
+                            self.wfile.write(
+                                b"event: stats\ndata: "
+                                + json.dumps(_jsonable(payload)).encode()
+                                + b"\n\n"
+                            )
+                            self.wfile.flush()
+                            last = tok
+                            sent += 1
+                            if limit and sent >= limit:
+                                return
+                        else:
+                            self.wfile.write(b": keep-alive\n\n")
+                            self.wfile.flush()
+                        _time.sleep(poll)
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client went away — normal SSE teardown
 
             def _explain(self, qs: dict) -> None:
                 q = qs.get("q", "").strip()

@@ -152,14 +152,22 @@ class SigStage:
 
 
 def _sigs_to_matrix(sig_col, n_perms: int) -> np.ndarray:
-    """binary column of n_perms uint64 LE → (n, n_perms) uint64 matrix."""
-    if isinstance(sig_col, pa.ChunkedArray):
-        sig_col = sig_col.combine_chunks()
-    n = len(sig_col)
-    if n == 0:
+    """binary column of n_perms uint64 LE → (n, n_perms) uint64 matrix.
+
+    Processed chunk-by-chunk: combining a multi-GB binary column first
+    would overflow its int32 offsets (pyarrow ``offset overflow`` —
+    hit in practice at ~2M 128-perm signatures)."""
+    chunks = (sig_col.chunks if isinstance(sig_col, pa.ChunkedArray)
+              else [sig_col])
+    mats = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        buf = b"".join(c.to_pylist())
+        mats.append(np.frombuffer(buf, dtype="<u8").reshape(len(c), n_perms))
+    if not mats:
         return np.empty((0, n_perms), dtype=np.uint64)
-    buf = b"".join(sig_col.to_pylist())
-    return np.frombuffer(buf, dtype="<u8").reshape(n, n_perms)
+    return mats[0] if len(mats) == 1 else np.concatenate(mats)
 
 
 def _band_rows_fn(scfg: SigConfig):
