@@ -70,3 +70,23 @@ def bucketed_groupby_agg(
 def bucketed_groupby_sum(ds, keys: list[str], sum_cols: list[str], n_buckets: int = 64):
     """groupby(keys).sum(sum_cols) via hash buckets + per-bucket pandas."""
     return bucketed_groupby_agg(ds, keys, {c: "sum" for c in sum_cols}, n_buckets)
+
+
+def union_ready(*datasets):
+    """Union with MATERIALIZED inputs — required upstream of any
+    all-to-all (groupby/sort/aggregate).
+
+    Ray Data's streaming ``UnionOperator`` buffers its inputs without
+    emitting until they finish; when the union feeds a shuffle, the
+    operator memory budget backpressures the upstreams before they can
+    finish and the whole plan LIVELOCKS (observed in the 10M-page soak:
+    the union held 4 GB of blocks with 0 emitted while 23 of 24 CPUs
+    idled). Materializing first costs nothing extra — the downstream
+    shuffle would pin the same blocks — and the union then just
+    forwards ready refs. Use plain ``.union`` only when the consumer is
+    itself streaming (map/filter/write)."""
+    mats = [d.materialize() for d in datasets]
+    out = mats[0]
+    for d in mats[1:]:
+        out = out.union(d)
+    return out

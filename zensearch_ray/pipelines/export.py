@@ -44,18 +44,31 @@ def _segment_files(layout: IndexLayout) -> list[str]:
     ]
 
 
-class _DecodeSegment:
-    """Actor-pool map_batches body: term rows → exploded posting rows.
+# per-WORKER tombstone cache: decode runs as a TASK pool (an actor
+# pool here starves in complex DAGs — Ray Data's resource reservation
+# for sibling operators can pin the pool at its minimum size, observed
+# at 10M docs: one actor decoding 430M postings while 23 CPUs idled);
+# the only state is the tombstone array, cached per worker process.
+_DELETES_CACHE: dict = {}
 
-    Stateful only for the tombstone array (loaded once per actor, not
-    per batch). Each input row's three blobs decode vectorized
-    (numpy varint/delta kernels); the per-batch term column is built
-    with one dictionary-indices ``np.repeat``, never a Python loop
-    over postings.
+
+def _deletes_for(index_dir: str):
+    if index_dir not in _DELETES_CACHE:
+        _DELETES_CACHE[index_dir] = IndexLayout(index_dir).read_deletes()
+    return _DELETES_CACHE[index_dir]
+
+
+class _DecodeSegment:
+    """map_batches body: term rows → exploded posting rows.
+
+    Each input row's three blobs decode vectorized (numpy varint/delta
+    kernels); the per-batch term column is built with one
+    dictionary-indices ``np.repeat``, never a Python loop over
+    postings. Tombstones come from the per-worker cache above.
     """
 
     def __init__(self, index_dir: str, positions: bool = False):
-        self.deleted = IndexLayout(index_dir).read_deletes()
+        self.deleted = _deletes_for(index_dir)
         self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -140,13 +153,13 @@ def dump_postings(index_dir: str, positions: bool = False):
         raise FileNotFoundError(f"no committed segments under {index_dir}")
     cols = ["term", "docs", "tfs", "dls"] + (["pos"] if positions else [])
     ds = rd.read_parquet(files, columns=cols)
-    return ds.map_batches(
-        _DecodeSegment,
-        fn_constructor_kwargs={"index_dir": index_dir,
-                               "positions": positions},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return _DecodeSegment(index_dir, positions)(batch)
+
+    # task pool, NOT an actor pool: free scheduling on every CPU (see
+    # _DELETES_CACHE note), trivially cheap per-task state
+    return ds.map_batches(decode, batch_format="pyarrow")
 
 
 def export_postings(index_dir: str, output_dir: str) -> dict:

@@ -47,6 +47,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from zensearch_ray.functions.agg import union_ready
 import pyarrow.compute as pc
 
 from zensearch_ray.functions.agg import _bucket_of
@@ -195,14 +197,19 @@ def hash_join(
             ]
             return pa.concat_tables([cold] + reps)
 
-        tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-            right.map_batches(tag_right, batch_format="pyarrow")
+        tagged = union_ready(  # feeds a shuffle — see union_ready
+            left.map_batches(tag_left, batch_format="pyarrow"),
+            right.map_batches(tag_right, batch_format="pyarrow"),
         )
     else:
-        tagged = left.map_batches(
-            _tag_side(on, 0, lcols, rfields), batch_format="pyarrow"
-        ).union(
-            right.map_batches(_tag_side(right_on, 1, rcols, lfields), batch_format="pyarrow")
+        tagged = union_ready(
+            left.map_batches(
+                _tag_side(on, 0, lcols, rfields), batch_format="pyarrow"
+            ),
+            right.map_batches(
+                _tag_side(right_on, 1, rcols, lfields),
+                batch_format="pyarrow",
+            ),
         )
 
     def add_bucket(batch: pa.Table) -> pa.Table:

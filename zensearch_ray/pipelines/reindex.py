@@ -272,8 +272,21 @@ def reindex_analyzer(
             cols[f"m_{c}"] = pa.nulls(batch.num_rows, type=meta_types[c])
         return pa.table(cols)
 
-    tagged = meta_ds.map_batches(meta_side, batch_format="pyarrow").union(
-        posting_rows.map_batches(post_side, batch_format="pyarrow")
+    # materialize BOTH union inputs before the bucket exchange: the
+    # streaming UnionOperator buffers its inputs without emitting until
+    # they finish, so at corpus scale the downstream sort never starts
+    # and upstream backpressure livelocks the whole plan (observed at
+    # 430M posting rows: union held 4 GB of blocks, 0 emitted, while
+    # 23 of 24 CPUs idled). With materialized inputs the union forwards
+    # ready block refs instantly; the store spills as designed.
+    tagged = (
+        meta_ds.map_batches(meta_side, batch_format="pyarrow")
+        .materialize()
+        .union(
+            posting_rows.map_batches(
+                post_side, batch_format="pyarrow"
+            ).materialize()
+        )
     )
 
     # ---- stage 3: per-doc reassembly (tokenized-row schema) ------------
@@ -385,7 +398,17 @@ def reindex_analyzer(
     tokenized = tagged.groupby("__bucket").map_groups(
         assemble, batch_format="pyarrow"
     )
-    if cfg.cache_tokenized:
+    cache_tok = cfg.cache_tokenized
+    if cache_tok is None:
+        # AUTO (mirrors build_index): the reassembled corpus is worth
+        # pinning while it fits a bounded store share — here the
+        # upstream (decode + union + bucket exchange) is expensive, so
+        # the estimate comes from the ENCODED posting bytes times the
+        # measured decode blowup (~8×)
+        est = int(man.get("total_posting_bytes", 0)) * 8
+        store = float(ray.cluster_resources().get("object_store_memory", 0.0))
+        cache_tok = not (store > 0 and est > store * 0.5)
+    if cache_tok:
         tokenized = tokenized.materialize()
     t = mark("remap_reassemble", t_start)
 

@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 
 from ray.data.aggregate import Count, Sum
 
+from zensearch_ray.functions.agg import union_ready
 from zensearch_ray.functions.rounding import round6
 
 
@@ -172,7 +173,7 @@ def events_hourly(sf_dir: str):
             ["n_events", "sum_value_cents"]
         ].sum()
 
-    from zensearch_ray.functions.agg import bucketed_groupby_sum
+    from zensearch_ray.functions.agg import bucketed_groupby_sum, union_ready
 
     # (user, hour) cardinality ~ rows: bucketed aggregation, not the
     # per-group native aggregate (see functions/agg.py)
@@ -717,7 +718,7 @@ def late_shipment_priority(sf_dir: str):
     ).map_batches(orders_rows, batch_format="pyarrow")
 
     partials = (
-        li.union(orders)
+        union_ready(li, orders)  # feeds a shuffle — see union_ready
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pandas")
@@ -1074,7 +1075,7 @@ def sales_opportunity(sf_dir: str) -> pd.DataFrame:
     ).map_batches(order_keys, batch_format="pyarrow")
 
     partials = (
-        cust.union(orders)
+        union_ready(cust, orders)  # feeds a shuffle — see union_ready
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pandas")
@@ -1728,7 +1729,7 @@ def sole_late_suppliers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ).map_batches(orders_rows, batch_format="pyarrow")
 
     partials = (
-        li.union(orders)
+        union_ready(li, orders)  # feeds a shuffle — see union_ready
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pandas")

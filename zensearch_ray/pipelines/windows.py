@@ -152,8 +152,10 @@ def events_asof_orders(sf_dir: str):
         )
         return out[["event_id", "user_id", "ts_s", "o_orderkey"]]
 
+    from zensearch_ray.functions.agg import union_ready
+
     return (
-        left.union(right)
+        union_ready(left, right)  # feeds a shuffle — see union_ready
         .map_batches(_with_bucket("key"), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(asof, batch_format="pandas")

@@ -591,8 +591,11 @@ def span_dedup(ds, w: int = 8, n_buckets: int = 64, via: str = "broadcast"):
             }
         )
 
-    tagged = ds.map_batches(doc_side, batch_format="pyarrow").union(
-        losers.map_batches(loser_side, batch_format="pyarrow")
+    from zensearch_ray.functions.agg import union_ready
+
+    tagged = union_ready(  # feeds a shuffle — see union_ready
+        ds.map_batches(doc_side, batch_format="pyarrow"),
+        losers.map_batches(loser_side, batch_format="pyarrow"),
     )
 
     def rebuild_group(group: pa.Table) -> pa.Table:

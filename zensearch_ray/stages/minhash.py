@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from zensearch_ray.functions.agg import union_ready
 from zensearch_ray.functions.ids import hash64
 from zensearch_ray.functions.rounding import round6
 from zensearch_ray.functions.text import tokenize
@@ -422,7 +423,7 @@ def connected_components(
             )
         )
         new_labels = (
-            prop.union(labels)
+            union_ready(prop, labels)  # feeds a shuffle — see union_ready
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
