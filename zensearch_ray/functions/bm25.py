@@ -66,11 +66,34 @@ def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, params: BM25Params) ->
 
 
 def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k by (score DESC, doc_id ASC). Returns (doc_ids, scores)."""
-    if len(doc_ids) == 0:
+    """Top-k by (score DESC, doc_id ASC). Returns (doc_ids, scores).
+
+    O(n) selection instead of a full lexsort — at web scale a common
+    term accumulates millions of candidates and the sort dominated
+    warm-query latency (346 ms of a ~950 ms query at 9.9M docs). An
+    argpartition finds the k-th score; every candidate STRICTLY above
+    it is in, and exact (score, doc_id) ordering — including doc_id
+    ties AT the boundary score — is resolved on the boundary sliver
+    only."""
+    n = len(doc_ids)
+    if n == 0:
         return doc_ids[:0], scores[:0]
-    # lexsort: last key is primary → (-score, doc_id) ordering
-    order = np.lexsort((doc_ids, -scores))[:k]
+    if n <= max(k, 1024):  # small: the sort is cheaper than two passes
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return doc_ids[order], scores[order]
+    part = np.argpartition(-scores, k - 1)[:k]
+    s_k = scores[part].min()  # k-th largest score
+    cand = np.flatnonzero(scores >= s_k)
+    if len(cand) > 4 * k + 64:
+        # mass ties at the boundary: keep all strictly-above rows plus
+        # the smallest-doc_id boundary rows (argpartition on doc_id)
+        above = cand[scores[cand] > s_k]
+        at = cand[scores[cand] == s_k]
+        need = k - len(above)
+        if 0 < need < len(at):
+            at = at[np.argpartition(doc_ids[at], need - 1)[:need]]
+        cand = np.concatenate([above, at])
+    order = cand[np.lexsort((doc_ids[cand], -scores[cand]))][:k]
     return doc_ids[order], scores[order]
 
 

@@ -417,9 +417,22 @@ class QueryEngine:
         """Exhaustive evaluation — the checked default (SURVEY.md §7-5)."""
         return self._score_plan(self._term_plan(query), k)
 
+    # dense-id accumulator cap: one float64 per POSSIBLE doc id — 1 GB
+    # at 128M ids. Above this (or for hash-id indexes) fall back to the
+    # sort-based unique merge.
+    _DENSE_ACC_MAX_IDS = 134_217_728
+
     def _accumulate_plan(self, plan) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive accumulation over a [(postings, idf)] plan →
-        (sorted unique doc_ids, summed scores)."""
+        (sorted unique doc_ids, summed scores).
+
+        Dense-id indexes accumulate into a ``bincount`` array over the
+        id space — O(n) versus the O(n log n) ``np.unique`` sort that
+        dominated warm latency once common terms carried millions of
+        postings (measured: 128 ms of a ~270 ms query at 9.9M docs).
+        Identical output: every plan contribution is strictly positive
+        (idf-0 terms never enter a plan), so the nonzero cells are
+        exactly the docs present in the accumulated postings."""
         all_ids, all_contrib = [], []
         for p, w in plan:
             ids, tfs, dls = p.decode_all()
@@ -427,6 +440,12 @@ class QueryEngine:
             all_contrib.append(w * tf_norm(tfs, dls, self.avgdl, self.params))
         ids = np.concatenate(all_ids)
         contrib = np.concatenate(all_contrib)
+        ceiling = self.manifest.get("id_ceiling")
+        if ceiling and int(ceiling) <= self._DENSE_ACC_MAX_IDS:
+            dense = np.bincount(ids, weights=contrib,
+                                minlength=int(ceiling))
+            uniq = np.flatnonzero(dense)
+            return uniq, dense[uniq]
         uniq, inv = np.unique(ids, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, contrib)
