@@ -214,6 +214,27 @@ def test_health_and_errors(server):
     assert status == 404
 
 
+def test_events_poll_validation(server):
+    # negative / non-finite poll must be a 400 BEFORE SSE headers go
+    # out (a negative value previously made time.sleep raise uncaught
+    # mid-stream; poll=0 busy-spun a server thread per client)
+    status, body = _get(server, "/events", poll="-1", max_events="1")
+    assert status == 400 and "poll" in body["error"]
+    status, body = _get(server, "/events", poll="nan", max_events="1")
+    assert status == 400 and "poll" in body["error"]
+    status, body = _get(server, "/events", poll="inf", max_events="1")
+    assert status == 400 and "poll" in body["error"]
+    # poll=0 is clamped to the floor, still serves the initial event
+    import urllib.request as _rq
+
+    url = (f"http://{server.host}:{server.port}/events"
+           f"?poll=0&max_events=1")
+    with _rq.urlopen(url, timeout=30) as resp:
+        assert resp.status == 200
+        line = resp.readline().decode()
+        assert line.startswith("event: stats")
+
+
 def test_concurrent_requests(server, http_index):
     # ThreadingHTTPServer + round-robin replicas: a burst of parallel
     # requests must all come back correct

@@ -76,7 +76,7 @@ def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndar
     ties AT the boundary score — is resolved on the boundary sliver
     only."""
     n = len(doc_ids)
-    if n == 0:
+    if n == 0 or k <= 0:
         return doc_ids[:0], scores[:0]
     if n <= max(k, 1024):  # small: the sort is cheaper than two passes
         order = np.lexsort((doc_ids, -scores))[:k]

@@ -27,6 +27,8 @@ so segment rows decode independently.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -49,13 +51,24 @@ def _segment_files(layout: IndexLayout) -> list[str]:
 # for sibling operators can pin the pool at its minimum size, observed
 # at 10M docs: one actor decoding 430M postings while 23 CPUs idled);
 # the only state is the tombstone array, cached per worker process.
+# Keyed on (index_dir, deletes mtime_ns, size): delete_docs rewrites
+# deletes.parquet in place at a fixed path, so a long-lived worker
+# reused across runs must not serve a tombstone array that predates an
+# intervening delete.
 _DELETES_CACHE: dict = {}
 
 
 def _deletes_for(index_dir: str):
-    if index_dir not in _DELETES_CACHE:
-        _DELETES_CACHE[index_dir] = IndexLayout(index_dir).read_deletes()
-    return _DELETES_CACHE[index_dir]
+    layout = IndexLayout(index_dir)
+    try:
+        st = os.stat(layout.deletes_path)
+        key = (index_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (index_dir, None, None)
+    if key not in _DELETES_CACHE:
+        _DELETES_CACHE.clear()  # stale generations are never re-read
+        _DELETES_CACHE[key] = layout.read_deletes()
+    return _DELETES_CACHE[key]
 
 
 class _DecodeSegment:

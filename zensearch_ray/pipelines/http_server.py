@@ -40,6 +40,7 @@ actors, so fronts share the pool.
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -258,6 +259,11 @@ class SearchHTTPServer:
                 import time as _time
 
                 poll = float(qs.get("poll", "0.5"))
+                if not math.isfinite(poll) or poll < 0:
+                    raise ValueError("poll must be a finite value >= 0")
+                # floor: poll=0 would busy-spin a server thread per
+                # client hammering read_manifest/version_token
+                poll = max(poll, 0.05)
                 limit = int(qs.get("max_events", "0"))
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")

@@ -2175,7 +2175,7 @@ class QueryEngine:
         ``topk``.
         """
         plan = self._term_plan(query)
-        if not plan:
+        if not plan or k <= 0:
             return []
         # merge duplicate query tokens: weight = multiplicity * idf
         merged: dict[int, list] = {}
@@ -2251,7 +2251,7 @@ class QueryEngine:
         processing stops only on a STRICT bound-vs-θ inequality, so
         θ-ties are still scored and id-ASC tie order is preserved."""
         plan = self._term_plan(query)
-        if not plan:
+        if not plan or k <= 0:
             return []
         merged: dict[int, list] = {}
         for p, w in plan:

@@ -201,9 +201,12 @@ class QueryService:
         an index built with positions)."""
         import ray
 
+        # `k if k is not None` — NOT `k or`: an explicit k=0 must mean
+        # "zero results", not silently substitute the default
         return ray.get(
             self._next().search.remote(
-                query, k or self._k, mode or self._mode, docs, filter,
+                query, self._k if k is None else k,
+                mode or self._mode, docs, filter,
                 rescore,
             )
         )
@@ -220,7 +223,8 @@ class QueryService:
             shards[i % n].append(i)
         futs = [
             self._replicas[r].search_many.remote(
-                [queries[i] for i in shards[r]], k or self._k,
+                [queries[i] for i in shards[r]],
+                self._k if k is None else k,
                 mode or self._mode, docs, filter,
             )
             for r in range(n)

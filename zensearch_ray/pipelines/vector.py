@@ -67,9 +67,22 @@ def vector_index_dir_for(sf_dir: str, n_lists: int = 16,
 
     from zensearch_ray.functions.ids import hash64
 
-    key = hash64(os.path.realpath(sf_dir)) % 10**12
+    # Cache key covers the build params AND an input fingerprint:
+    # build_vector_index no-ops when the manifest exists, so a key that
+    # ignored n_lists/n_partitions would silently serve an index built
+    # under different params, and a regenerated embeddings.parquet
+    # under the same path would serve a stale index across runs.
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
+    key = hash64(
+        f"{os.path.realpath(sf_dir)}|{n_lists}|{n_partitions}|{fp}"
+    ) % 10**12
     tag = "vsq8" if quant == "sq8" else "vidx"
-    d = os.path.join(tempfile.gettempdir(), f"zensearch_{tag}_v1_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"zensearch_{tag}_v2_{key}")
     build_vector_index(
         f"{sf_dir}/embeddings.parquet", d,
         n_lists=n_lists, n_partitions=n_partitions, quant=quant,
