@@ -77,6 +77,71 @@ def test_fuzzy_and_dym_stream_the_dictionary(vs_index):
     assert got[0][1] == best
 
 
+def test_fuzzy2_probes_the_symspell_sidecar(vs_index):
+    """Distance-2 fuzzy must answer from predicate-pushdown reads of
+    the persisted delete-neighborhood sidecar — never by materializing
+    the vocabulary or building the in-memory SymSpell index."""
+    from zensearch_ray.functions.fuzzy import SymSpellIndex, expand_edit2
+
+    ref = QueryEngine(vs_index)
+    vocab = ref._all_terms()
+    want = expand_edit2(SymSpellIndex(vocab, max_dist=2),
+                        ["serch", "engin"])
+    assert want  # the fixture must actually exercise the expansion
+
+    eng = _guarded(QueryEngine(vs_index))
+    eng._symspell = lambda: (_ for _ in ()).throw(
+        AssertionError("in-memory SymSpell built despite sidecar")
+    )
+    assert eng.expand_fuzzy("serch engin", max_dist=2) == want
+    # and the scored form stays on the same path
+    ref_hits = ref.topk_fuzzy("serch engin", 10, max_dist=2)
+    assert eng.topk_fuzzy("serch engin", 10, max_dist=2) == ref_hits
+
+
+def test_fuzzy2_falls_back_without_sidecar(vs_index, tmp_path):
+    """Pre-sidecar indexes (no symspell dir) keep working through the
+    in-memory build, value-identical."""
+    import shutil
+
+    from zensearch_ray.state.manifest import IndexLayout
+
+    clone = str(tmp_path / "idx_nosidecar")
+    shutil.copytree(vs_index, clone)
+    shutil.rmtree(IndexLayout(clone).symspell_dir)
+
+    want = QueryEngine(vs_index).expand_fuzzy("serch engin", max_dist=2)
+    eng = QueryEngine(clone)
+    assert eng._symspell_files() is None
+    assert eng.expand_fuzzy("serch engin", max_dist=2) == want
+
+
+def test_fsck_flags_corrupt_symspell_sidecar(vs_index, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+
+    from zensearch_ray.pipelines.fsck import fsck_index
+    from zensearch_ray.state.manifest import IndexLayout
+
+    clone = str(tmp_path / "idx_badss")
+    shutil.copytree(vs_index, clone)
+    layout = IndexLayout(clone)
+    victims = sorted(
+        p for p in __import__("os").listdir(layout.symspell_dir)
+        if p.endswith(".parquet")
+    )
+    bad = __import__("os").path.join(layout.symspell_dir, victims[0])
+    pq.write_table(
+        pa.table({"dkey": pa.array([b"zz"], pa.binary()),
+                  "term": pa.array(["zz"], pa.string())}),
+        bad,
+    )
+    report = fsck_index(clone, deep=True)
+    assert not report["ok"]
+    assert any("symspell sidecar disagrees" in e for e in report["errors"])
+
+
 def test_autocomplete_windows_above_cache_cap(vs_index):
     ref = QueryEngine(vs_index)
     want = ref.autocomplete("se", 10)

@@ -115,6 +115,52 @@ def deletes_upto(word: bytes, d: int) -> set[bytes]:
     return out
 
 
+def symspell_pairs_table(terms: list[str], max_dist: int = 2):
+    """(dkey, term) pairs for a segment's term dictionary — every
+    delete-neighborhood key (``deletes_upto``, the term itself
+    included) paired with its source term, sorted by (dkey, term) —
+    the PERSISTED form of ``SymSpellIndex._buckets``: written once at
+    segment commit as a parquet sidecar (small row groups), probed at
+    query time with a ``dkey IN (query's own delete keys)`` predicate
+    so distance-2 fuzzy expansion never materializes the vocabulary.
+    Keys are BYTES (deleting inside a multi-byte character yields
+    invalid UTF-8; byte semantics also match the byte-Levenshtein
+    verify step and the DuckDB oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys: list[bytes] = []
+    ts: list[str] = []
+    for t in terms:
+        ks = deletes_upto(t.encode("utf-8"), max_dist)
+        keys.extend(ks)
+        ts.extend([t] * len(ks))
+    tbl = pa.table({
+        "dkey": pa.array(keys, pa.binary()),
+        "term": pa.array(ts, pa.string()),
+    })
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("dkey", "ascending"), ("term", "ascending")]
+    ))
+
+
+def edit2_verify(candidates: list[str], query_terms: list[str]) -> list[str]:
+    """Exact-DP filter: the sorted subset of ``candidates`` within
+    byte-Levenshtein distance 2 of ANY query term — the verify step
+    shared by the in-memory SymSpell path and the sidecar probe path
+    (candidate sets are bucket-sized, never the vocabulary)."""
+    qbs = [q.encode("utf-8") for q in dict.fromkeys(query_terms)]
+    out = []
+    for c in candidates:
+        cb = c.encode("utf-8")
+        if any(
+            abs(len(cb) - len(qb)) <= 2 and levenshtein_bytes(cb, qb) <= 2
+            for qb in qbs
+        ):
+            out.append(c)
+    return sorted(out)
+
+
 class SymSpellIndex:
     """SymSpell deletion-neighborhood index over a term dictionary for
     edit-distance ≤ ``max_dist`` expansion (Garbe's algorithm; public

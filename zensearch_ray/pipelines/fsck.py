@@ -52,7 +52,8 @@ _POSTING_BASE_COLS = [
 
 def _check_segment_file(path: str, dict_path: str | None, params: BM25Params,
                         id_ceiling: int | None,
-                        tri_path: str | None = None) -> dict:
+                        tri_path: str | None = None,
+                        ss_path: str | None = None) -> dict:
     """Deep-check one segment file. Returns
     {path, n_terms, n_postings, max_doc_id, errors: [str]}."""
     errors: list[str] = []
@@ -170,6 +171,23 @@ def _check_segment_file(path: str, dict_path: str | None, params: BM25Params,
                 errors.append(
                     f"{path}: {bad} trigram rows not substrings of their term"
                 )
+    if ss_path is not None:
+        # same presence rule: fsck_index only passes ss_path for
+        # indexes that HAVE a symspell dir, so a hole is a real error
+        if not os.path.exists(ss_path):
+            errors.append(f"{path}: symspell sidecar missing ({ss_path})")
+        else:
+            from zensearch_ray.functions.fuzzy import symspell_pairs_table
+
+            seg_terms = sorted({r["term"] for r in rows})
+            want = symspell_pairs_table(seg_terms, max_dist=2)
+            got = pq.read_table(ss_path)
+            if not got.equals(want):
+                errors.append(
+                    f"{path}: symspell sidecar disagrees with the "
+                    f"recomputed delete neighborhood ({got.num_rows} vs "
+                    f"{want.num_rows} rows)"
+                )
     return {
         "path": path,
         "n_terms": len(rows),
@@ -283,10 +301,12 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
         # sidecar set (dir exists, file missing) is not
         has_termdict = os.path.isdir(layout.termdict_dir)
         has_trigram = os.path.isdir(layout.trigram_dir)
+        has_symspell = os.path.isdir(layout.symspell_dir)
         files.append(
             {"path": path,
              "dict_path": layout.dict_path_for(path) if has_termdict else None,
              "tri_path": layout.trigram_path_for(path) if has_trigram else None,
+             "ss_path": layout.symspell_path_for(path) if has_symspell else None,
              "manifest_postings": int(m["n_postings"]), "tag": tag}
         )
     if total_postings != int(manifest.get("total_postings", total_postings)):
@@ -317,15 +337,18 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
             p = ray.get(params_ref)
             out = {"path": [], "n_terms": [], "n_postings": [],
                    "max_doc_id": [], "errors": []}
-            for path, dict_path, tri_path in zip(
-                batch["path"], batch["dict_path"], batch["tri_path"]
+            for path, dict_path, tri_path, ss_path in zip(
+                batch["path"], batch["dict_path"], batch["tri_path"],
+                batch["ss_path"],
             ):
                 if not isinstance(dict_path, str):
                     dict_path = None  # batch conversion turns None → nan
                 if not isinstance(tri_path, str):
                     tri_path = None
+                if not isinstance(ss_path, str):
+                    ss_path = None
                 r = _check_segment_file(path, dict_path, p, id_ceiling,
-                                        tri_path=tri_path)
+                                        tri_path=tri_path, ss_path=ss_path)
                 for k in out:
                     v = r[k]
                     out[k].append(json.dumps(v) if k == "errors" else v)

@@ -324,6 +324,23 @@ class QueryEngine:
                 out.append(side)
         return out
 
+    def _symspell_files(self) -> list[str] | None:
+        """Per-segment SymSpell delete-neighborhood sidecars
+        (``IndexLayout.symspell_dir``), or None when any committed
+        segment lacks one (pre-sidecar index) — the caller falls back
+        to building the in-memory index from the full vocabulary.
+        Same presence rule as ``_trigram_files``."""
+        import os as _os
+
+        out = []
+        for part in range(self.num_shards * self.salt_subs):
+            for path in self.layout.part_posting_files(part):
+                side = self.layout.symspell_path_for(path)
+                if not _os.path.exists(side):
+                    return None
+                out.append(side)
+        return out
+
     def expand_infix(self, substr: str, max_terms: int = 1000) -> list[str]:
         """Dictionary terms CONTAINING ``substr`` (normalized), sorted —
         the sublinear path behind leading-'*' wildcards. Reads only the
@@ -1621,14 +1638,13 @@ class QueryEngine:
         return self._vocab
 
     def _symspell(self):
-        """SymSpell deletion-neighborhood index over the term
-        dictionary (distance-2 fuzzy expansion), built lazily ONCE per
-        engine — the sidecar upgrade ``_all_terms`` documents. Memory
-        is vocab-scale × the delete-neighborhood factor (≤ 1+L+L²/2
-        keys per term); at cluster scale the same (delete_key, term)
-        pairs persist as a per-segment parquet sidecar and lookups
-        become predicate-pushdown reads, exactly like the trigram
-        sidecar behind infix wildcards."""
+        """In-memory SymSpell deletion-neighborhood index over the FULL
+        term dictionary — the pre-sidecar FALLBACK only: indexes built
+        since the ``symspell`` sidecar exist serve distance-2 fuzzy via
+        predicate-pushdown bucket reads (``expand_fuzzy``) and never
+        call this (or ``_all_terms``). Memory here is vocab-scale ×
+        the ≤(1+L+L²/2) delete-neighborhood factor, which is exactly
+        why the sidecar exists."""
         ss = getattr(self, "_symspell_idx", None)
         if ss is None:
             from zensearch_ray.functions.fuzzy import SymSpellIndex
@@ -1645,9 +1661,19 @@ class QueryEngine:
         DuckDB/PostgreSQL ``levenshtein`` (multi-byte chars count per
         byte), keeping the engine oracle-checkable. Distance 1 screens
         the vocab with the vectorized lcp/lcs mask; distance 2 probes
-        the per-engine SymSpell delete-neighborhood buckets and
-        DP-verifies only the bucket candidates (never a vocab scan)."""
-        from zensearch_ray.functions.fuzzy import expand_edit1, expand_edit2
+        the persisted SymSpell sidecar (``IndexLayout.symspell_dir``)
+        with a ``dkey IN (query's own delete keys)`` parquet filter —
+        soundness: lev(a,b) ≤ 2 ⇒ the two delete neighborhoods
+        intersect, so the probed buckets are a candidate SUPERSET —
+        then DP-verifies only the bucket candidates. Neither path ever
+        scans or materializes the vocabulary; pre-sidecar indexes fall
+        back to the in-memory ``_symspell()`` build."""
+        from zensearch_ray.functions.fuzzy import (
+            deletes_upto,
+            edit2_verify,
+            expand_edit1,
+            expand_edit2,
+        )
 
         if max_dist not in (1, 2):
             raise ValueError("only max_dist in (1, 2) is supported")
@@ -1655,7 +1681,23 @@ class QueryEngine:
         if not toks:
             return []
         if max_dist == 2:
-            return expand_edit2(self._symspell(), toks)
+            files = self._symspell_files()
+            if files is None:  # pre-sidecar index
+                return expand_edit2(self._symspell(), toks)
+            qkeys: set[bytes] = set()
+            for tok in dict.fromkeys(toks):
+                qkeys |= deletes_upto(tok.encode("utf-8"), 2)
+            key_list = sorted(qkeys)
+            # ONE threaded dataset read across all segment sidecars
+            # (per-file sequential opens cost ~1 ms each — at 256
+            # partitions that dominated the probe); row-group stats on
+            # the sorted dkey column prune the scan to the probed
+            # buckets
+            t = pq.ParquetDataset(
+                files, filters=[("dkey", "in", key_list)]
+            ).read(columns=["term"], use_threads=True)
+            cand = set(t["term"].to_pylist())
+            return edit2_verify(sorted(cand), toks)
         matches: set[str] = set()
         for chunk in self._vocab_chunks():
             matches.update(expand_edit1(chunk, toks))

@@ -142,6 +142,29 @@ class IndexLayout:
         """Trigram sidecar path for a committed segment file."""
         return os.path.join(self.trigram_dir, os.path.basename(posting_file))
 
+    @property
+    def symspell_dir(self) -> str:
+        """SymSpell delete-neighborhood sidecars (Garbe's algorithm;
+        the persisted form of ``functions.fuzzy.SymSpellIndex``): for
+        each posting segment, every (dkey, term) pair where ``dkey``
+        is reachable from the term by deleting ≤ 2 bytes, SORTED BY
+        dkey with small row groups so a ``dkey IN (query's delete
+        keys)`` parquet filter prunes to the probed buckets. Distance-2
+        fuzzy expansion (``QueryEngine.expand_fuzzy(max_dist=2)``)
+        reads only those buckets instead of building an in-memory index
+        from the full vocabulary — at a 10^8-term web vocabulary that
+        residency (GBs × the ≤(1+L+L²/2) key blowup, per serving
+        replica) is the difference between a replica that fits and one
+        that doesn't. Same per-segment append-friendly layout as
+        ``termdict``/``trigram``; readers fall back to the in-memory
+        build when any segment lacks its sidecar (pre-sidecar
+        indexes)."""
+        return os.path.join(self.root, "symspell")
+
+    def symspell_path_for(self, posting_file: str) -> str:
+        """SymSpell sidecar path for a committed segment file."""
+        return os.path.join(self.symspell_dir, os.path.basename(posting_file))
+
     def posting_path(self, part: int, gen: int = 0) -> str:
         """Segment file for (partition, generation). Generation 0 is the
         cold build; each append adds generation g > 0 segments beside
@@ -211,7 +234,9 @@ class IndexLayout:
         tmp = final + ".tmp"
         pq.write_table(pa.table({"term": uniq}), tmp, compression="zstd")
         os.replace(tmp, final)
-        self._write_trigrams(posting_file, uniq.to_pylist())
+        terms = uniq.to_pylist()
+        self._write_trigrams(posting_file, terms)
+        self._write_symspell(posting_file, terms)
 
     def _write_trigrams(self, posting_file: str, terms: list[str]) -> None:
         """Publish the character-trigram sidecar for one segment:
@@ -241,6 +266,26 @@ class IndexLayout:
         )
         os.makedirs(self.trigram_dir, exist_ok=True)
         final = self.trigram_path_for(posting_file)
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd", row_group_size=8192)
+        os.replace(tmp, final)
+
+    def _write_symspell(self, posting_file: str, terms: list[str]) -> None:
+        """Publish the SymSpell delete-neighborhood sidecar for one
+        segment (see ``symspell_dir``): (dkey, term) pairs sorted by
+        (dkey, term), dkey-binary row groups small enough that a
+        ``dkey IN (...)`` filter reads only the probed buckets. Build
+        cost is one pass over the segment's unique terms × the ≤
+        (1+L+L²/2) neighborhood — the standard SymSpell trade: paid
+        once per immutable segment at commit, amortized over every
+        distance-2 lookup served without vocabulary residency."""
+        import pyarrow.parquet as pq
+
+        from zensearch_ray.functions.fuzzy import symspell_pairs_table
+
+        tbl = symspell_pairs_table(terms, max_dist=2)
+        os.makedirs(self.symspell_dir, exist_ok=True)
+        final = self.symspell_path_for(posting_file)
         tmp = final + ".tmp"
         pq.write_table(tbl, tmp, compression="zstd", row_group_size=8192)
         os.replace(tmp, final)
