@@ -161,6 +161,36 @@ def test_pagerank_sharded_integer_nodes_and_empty(ray_session):
     assert len(empty) == 0
 
 
+def test_pagerank_sharded_prep_memory_bounded(ray_session):
+    """No shard actor may ever hold the full node vocabulary during
+    prep: peak residency is its own vocab shard plus the distinct-dst
+    slivers its edges reference (the r4 form ``ray.get``-ed all shard
+    vocabularies, pulling the full |V| into every actor once)."""
+    import ray.data as rd
+
+    from zensearch_ray.stages.graph import pagerank_sharded
+
+    # ring of 500 nodes: each node links to the next, so each shard's
+    # dst slivers are edge-bounded, far below |V|
+    n = 500
+    edges = [(f"n{i:04d}", f"n{(i + 1) % n:04d}", 1.0) for i in range(n)]
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    peaks: list = []
+    got = pagerank_sharded(
+        rd.from_pandas(df).repartition(6), num_partitions=5,
+        _peaks_out=peaks,
+    ).set_index("node")["pagerank"]
+    want = pagerank_reference(edges)
+    for node, r in want.items():
+        assert got[node] == pytest.approx(r, abs=1e-12), node
+    assert len(peaks) == 5
+    # every edge has exactly one dst, so each shard's sliver total is
+    # at most its edge count (~n/5) and its vocab is ~n/5: peak must
+    # stay well under the full vocabulary
+    assert max(peaks) < 0.6 * n, peaks
+    assert all(p > 0 for p in peaks)
+
+
 def test_pagerank_auto_routes_by_cap(ray_session):
     """Forced tiny cap → sharded path; generous cap → broadcast path.
     Both must agree bit-for-bit on the same graph."""

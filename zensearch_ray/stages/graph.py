@@ -136,6 +136,7 @@ def pagerank_sharded(
     dst_col: str = "dst",
     w_col: str = "w",
     num_partitions: int = 8,
+    _peaks_out: list | None = None,
 ) -> pd.DataFrame:
     """Co-partitioned PageRank for node sets that outgrow a broadcast.
 
@@ -216,16 +217,22 @@ def pagerank_sharded(
                             else np.array([]))
             return self.nodes_p
 
-        def prep(self, node_refs: list) -> int:
-            """Index edges once against the final shard vocabularies.
-            The full vocabulary (P plasma refs, zero-copy reads) is
-            touched only here — never per iteration."""
+        def prep_local(self) -> list:
+            """Prep phase A: index src against the OWN vocabulary,
+            compute out-weights, and emit — per destination shard —
+            this shard's distinct-dst node SLIVER (a plasma ref;
+            bounded by this shard's edges, never |V|). The old form
+            ``ray.get``-ed ALL shard vocabularies here, so on a real
+            cluster every node transiently pulled the full |V| array;
+            now no actor ever holds more than its own vocab plus its
+            edge-derived slivers (asserted by ``peak_nodes``)."""
             import ray as _ray
 
-            all_nodes = _ray.get(list(node_refs))
             nv = len(self.nodes_p)
             self.outw = np.zeros(nv)
-            self.by_q: dict[int, tuple] = {}
+            self._pre: dict[int, tuple] = {}
+            slivers: list = [None] * P
+            self._peak_nodes = nv
             if self.edges is not None:
                 s = np.searchsorted(
                     self.nodes_p,
@@ -238,12 +245,52 @@ def pagerank_sharded(
                 for q in range(P):
                     m = qd == q
                     if m.any():
-                        d_idx = np.searchsorted(all_nodes[q], d_np[m])
-                        self.by_q[q] = (s[m], d_idx, w[m])
+                        du = np.unique(d_np[m])
+                        self._pre[q] = (
+                            s[m], np.searchsorted(du, d_np[m]), w[m])
+                        slivers[q] = _ray.put(du)
+                        self._peak_nodes += len(du)
                 self.edges = None  # raw rows no longer needed
             self.dangling = self.outw == 0.0
             self.ranks = None
-            return nv
+            return slivers
+
+        def index_slivers(self, sliver_refs: list) -> list:
+            """Prep phase B (runs on the DESTINATION shard): resolve
+            each source shard's dst sliver to positions in this
+            shard's node order — one sliver resident at a time, so
+            peak here is own vocab + the largest single sliver."""
+            import ray as _ray
+
+            out: list = []
+            for r in sliver_refs:
+                if r is None:
+                    out.append(None)
+                    continue
+                arr = _ray.get(r)
+                self._peak_nodes = max(
+                    self._peak_nodes, len(self.nodes_p) + len(arr))
+                out.append(_ray.put(
+                    np.searchsorted(self.nodes_p, arr).astype(np.int64)))
+            return out
+
+        def finish_prep(self, pos_refs: list) -> int:
+            """Prep phase C: rewrite each edge's dst pointer through
+            its sliver's resolved positions — the per-iteration
+            ``by_q`` layout is unchanged from the all-vocab form."""
+            import ray as _ray
+
+            self.by_q: dict[int, tuple] = {}
+            for q, (s_m, pos_in_du, w_m) in self._pre.items():
+                pos = _ray.get(pos_refs[q])
+                self.by_q[q] = (s_m, pos[pos_in_du], w_m)
+            self._pre = {}
+            return len(self.nodes_p)
+
+        def peak_nodes(self) -> int:
+            """Max node ids resident in this actor during prep (own
+            vocab + slivers) — the memory-bound contract under test."""
+            return int(self._peak_nodes)
 
         def init_ranks(self, n_total: int):
             self.n_total = n_total
@@ -299,7 +346,17 @@ def pagerank_sharded(
         for p, s in enumerate(shards)
     ]
     ray.wait(node_refs, num_returns=P)
-    counts = ray.get([s.prep.remote(node_refs) for s in shards])
+    # three-phase sliver prep: the driver only relays plasma refs —
+    # it never reads a vocabulary or a sliver
+    sliver_mat = ray.get([s.prep_local.remote() for s in shards])
+    pos_mat = ray.get([
+        shards[q].index_slivers.remote([sliver_mat[p][q] for p in range(P)])
+        for q in range(P)
+    ])
+    counts = ray.get([
+        shards[p].finish_prep.remote([pos_mat[q][p] for q in range(P)])
+        for p in range(P)
+    ])
     n_total = int(sum(counts))
     if n_total == 0:
         return pd.DataFrame({"node": pd.Series([], dtype=object),
@@ -319,6 +376,8 @@ def pagerank_sharded(
         ])
 
     tables = ray.get([s.result.remote() for s in shards])
+    if _peaks_out is not None:  # test hook: per-actor prep peaks
+        _peaks_out.extend(ray.get([s.peak_nodes.remote() for s in shards]))
     for s in shards:
         ray.kill(s)
     # nodeless shards (P > |V|) carry a typeless empty schema — drop
