@@ -42,6 +42,76 @@ def test_canonical_chain_on_messy_href():
     assert canonical_url(raw) == "http://host5.example/p/17"
 
 
+def test_extract_links_arrow_matches_referee():
+    """The Arrow-RE2 collector must reproduce the per-document Python
+    referee (hrefs AND document order) over messy fuzzed HTML: every
+    quoting form, no-href anchors, <base href> before the first
+    anchor, entities, empty hrefs, non-anchor tags."""
+    import random
+
+    from zensearch_ray.stages.extract import extract_links_arrow
+
+    rng = random.Random(7)
+
+    def rand_html(i):
+        parts = ["<html>"]
+        if i % 5 == 0:
+            parts.append('<base href="http://Base.Example/zz">')
+        parts.append("<body>")
+        for j in range(rng.randint(0, 6)):
+            q = rng.choice(['"', "'", ""])
+            href = rng.choice([
+                f"HTTP://Host{j}.Example:80/p/{i * 7 + j}/?utm_src=x#f",
+                f"/rel/path{j}", "https://a.b/c?x=1&amp;y=2", "",
+                "#frag", f"mailto:x@y{j}.z",
+                "http://h.e/sp ace" if q else f"http://h.e/x{j}",
+            ])
+            extra = rng.choice(["", " class='k'", ' data-x=">"', " id=z"])
+            if rng.random() < 0.2:
+                parts.append(f"<a{extra}>no href</a>")
+            if q:
+                parts.append(f"<A {extra.strip()} HREF={q}{href}{q}>t</a>")
+            else:
+                parts.append(f"<a href={href or 'x'}>t</a>")
+            parts.append(f"<abbr title='a'>{j}</abbr> <div>x</div>")
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    docs = [rand_html(i) for i in range(300)]
+    rows, hrefs = extract_links_arrow(pa.array(docs))
+    got: dict[int, list] = {}
+    for r, h in zip(rows.tolist(), hrefs.to_pylist()):
+        got.setdefault(r, []).append(h)
+    for i, d in enumerate(docs):
+        assert got.get(i, []) == extract_links(d), i
+
+
+def test_canonical_urls_arrow_matches_referee():
+    import random
+
+    from zensearch_ray.functions.urls import canonical_urls_arrow
+
+    rng = random.Random(11)
+    cases = []
+    for i in range(800):
+        scheme = rng.choice(["HTTP", "http", "https", "HtTpS", "ftp", ""])
+        host = rng.choice([f"Host{i % 7}.Example", "a.B.c", "X"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/p/Q", "/p/q/", "/p//", "/a/b///"])
+        q = rng.choice(["", "?utm_src=x", "?x=1", "?utm_a=1&b=2",
+                        "?x=1&utm_b=2"])
+        frag = rng.choice(["", "#f", "#a#b"])
+        if scheme:
+            cases.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+        else:
+            cases.append(f"{path or '/rel'}{q}{frag}")
+    cases += ["", "mailto:A@B.c", "//proto-rel/Path", "http://h:80",
+              "https://H:443/", "http://h:443/x"]
+    got = canonical_urls_arrow(pa.array(cases)).to_pylist()
+    for c, g in zip(cases, got):
+        assert g == canonical_url(c), c
+
+
 def _expected_frontier(doc_ids, n_chars, cap=HOST_CAP):
     """Driver-side replica of the pinned scheme (the SQL oracle's
     arithmetic, in Python)."""

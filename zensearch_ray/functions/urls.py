@@ -83,6 +83,30 @@ def canonical_url(url: str) -> str:
     return url
 
 
+def canonical_urls_arrow(urls):
+    """Arrow-vectorized ``canonical_url`` over a string array — the
+    same pinned step chain as RE2 kernels (lowercase scheme+host
+    prefix, then the ``_CANON_STEPS`` substitutions in order), one
+    compute call per step instead of a Python loop per URL.
+    ``canonical_url`` remains the scalar referee (fuzz-checked
+    equivalent in ``test_frontier.py``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = pa.array(urls, type=pa.string())
+    ex = pc.extract_regex(
+        urls, r"^(?P<p>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(?P<r>.*)$")
+    low = pc.binary_join_element_wise(
+        pc.utf8_lower(ex.field("p")), ex.field("r"), "")
+    # non-matching rows: extract_regex leaves EMPTY child fields under
+    # an invalid struct slot, so select on the struct validity
+    out = pc.if_else(pc.is_valid(ex), low, urls)
+    for pat, rep in _CANON_STEPS:
+        out = pc.replace_substring_regex(out, pat, rep)
+    return out
+
+
 def canonical_url_batch(batch, url_col: str = "url", out_col: str = "canon_url"):
     """map_batches fn: append the canonical form of ``url_col``."""
     import pyarrow as pa

@@ -36,8 +36,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from zensearch_ray.functions.urls import canonical_url, hostname_path
-from zensearch_ray.stages.extract import extract_links
+from zensearch_ray.functions.urls import (
+    canonical_url,
+    canonical_urls_arrow,
+    hostname_path,
+)
+from zensearch_ray.stages.extract import extract_links_arrow
 
 # pinned synthetic-link scheme (mirrored verbatim by the SQL oracle):
 # doc d emits links j = 1 .. (doc_id % (N_LINKS_MOD)) with
@@ -79,17 +83,16 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
 def harvest_canonical_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, html) → flat (doc_id, url) rows: href collection +
     canonicalization fused in one map (no raw-href column ever rides
-    an exchange)."""
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    out_ids, out_urls = [], []
-    for d, h in zip(ids.tolist(), batch["html"].to_pylist()):
-        for href in extract_links(h):
-            out_ids.append(d)
-            out_urls.append(canonical_url(href))
+    an exchange). Both steps are Arrow-RE2-vectorized
+    (``extract_links_arrow`` + ``canonical_urls_arrow``); the per-row
+    Python pair (``extract_links`` + ``canonical_url``) is the
+    referee, fuzz-checked equivalent in ``test_frontier.py``."""
+    rows, hrefs = extract_links_arrow(batch["html"])
     return pa.table(
         {
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "url": pa.array(out_urls, type=pa.string()),
+            "doc_id": pa.compute.cast(
+                batch["doc_id"].take(pa.array(rows)), pa.int64()),
+            "url": canonical_urls_arrow(hrefs),
         }
     )
 
@@ -185,15 +188,18 @@ def frontier_from_pages(
     )
 
     def harvest(batch: pa.Table) -> pa.Table:
-        urls = []
-        for h in batch["html"].to_pylist():
-            for href in extract_links(h):
-                u = canonical_url(href)
-                if u.startswith(("http://", "https://")) and \
-                        not is_binary_link(u):
-                    urls.append(u)
-        return pa.table({"url": pa.array(sorted(set(urls)),
-                                         type=pa.string())})
+        import pyarrow.compute as pc
+
+        _, hrefs = extract_links_arrow(batch["html"])
+        uniq = pc.unique(canonical_urls_arrow(hrefs))
+        # scheme + binary-extension filters run over the DISTINCT
+        # per-batch sliver only (bounded by link diversity, not count)
+        urls = sorted(
+            u for u in uniq.to_pylist()
+            if u.startswith(("http://", "https://"))
+            and not is_binary_link(u)
+        )
+        return pa.table({"url": pa.array(urls, type=pa.string())})
 
     pages = (
         rd.read_parquet(pages_path, columns=["html"])

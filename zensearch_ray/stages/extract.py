@@ -235,21 +235,77 @@ def extract_links(html: bytes | str) -> list[str]:
     return out
 
 
+# fragment-local form of _HREF_RE after splitting on "<a\s": the
+# consumed "<a" + one whitespace become the fragment boundary, the
+# rest of the tag match is byte-identical. Exactly one alternative
+# participates per match; RE2 leaves the others as EMPTY child fields,
+# so the concatenation of the three IS the matched href.
+_HREF_FRAG_PAT = (
+    r"""(?i)^[^>]*?href\s*=\s*"""
+    r"""(?:"(?P<d>[^"]*)"|'(?P<s>[^']*)'|(?P<u>[^\s>"']+))"""
+)
+
+
+def extract_links_arrow(html) -> tuple["np.ndarray", pa.Array]:
+    """Arrow-vectorized link harvest over a whole html column:
+    ``(row_idx, href)`` for every anchor href, document order
+    preserved per row — RE2 split on ``<a\\s`` + one ``extract_regex``
+    over the fragments instead of a Python ``finditer`` per document
+    (the ``grep_docs`` pattern). ``extract_links`` is the per-document
+    referee; the two are fuzz-checked equivalent in
+    ``test_frontier.py``. Entity unescaping falls back to Python for
+    the (rare) hrefs that actually carry a ``&``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if not isinstance(html, (pa.Array, pa.ChunkedArray)):
+        html = pa.array(html, type=pa.string())
+    s = pc.cast(html, pa.string())
+    frags = pc.split_pattern_regex(s, r"(?i)<a\s")
+    if isinstance(frags, pa.ChunkedArray):
+        frags = frags.combine_chunks()
+    offs = frags.offsets.to_numpy()
+    vals = frags.values
+    counts = np.diff(offs)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = np.ones(len(vals), dtype=bool)
+    # each row's FIRST fragment precedes its first anchor (e.g. a
+    # <base href=...> in the head) — never a harvested link
+    keep[offs[:-1][counts > 0]] = False
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    sub = vals.take(pa.array(idx))
+    rows = row_of[idx]
+    ex = pc.extract_regex(sub, _HREF_FRAG_PAT)
+    d, s_, u = (ex.field(k) for k in ("d", "s", "u"))
+    href = pc.binary_join_element_wise(d, s_, u, "")
+    valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(
+        pc.coalesce(href, pa.scalar(""))
+    ).to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(valid & (lens > 0))  # `if href:` semantics
+    hrefs = href.take(pa.array(sel))
+    rows = rows[sel]
+    amp = pc.match_substring(hrefs, "&").to_numpy(zero_copy_only=False)
+    if amp.any():
+        py = hrefs.to_pylist()
+        for i in np.flatnonzero(amp):
+            py[i] = unescape(py[i])
+        hrefs = pa.array(py, pa.string())
+    return rows, hrefs
+
+
 def extract_links_batch(
     batch: pa.Table, html_col: str = "html", id_col: str = "doc_id",
     out_col: str = "href",
 ) -> pa.Table:
     """``map_batches`` body: html column → flat (id, href) link rows
-    (one row per harvested anchor)."""
-    ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-    out_ids, hrefs = [], []
-    for i, h in zip(ids_np.tolist(), batch[html_col].to_pylist()):
-        for href in extract_links(h):
-            out_ids.append(i)
-            hrefs.append(href)
+    (one row per harvested anchor), via the vectorized collector."""
+    rows, hrefs = extract_links_arrow(batch[html_col])
     return pa.table(
         {
-            id_col: pa.array(out_ids, type=batch[id_col].type),
-            out_col: pa.array(hrefs, type=pa.string()),
+            id_col: batch[id_col].take(pa.array(rows)),
+            out_col: hrefs,
         }
     )
