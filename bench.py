@@ -332,6 +332,9 @@ def run_bench() -> dict:
 
     _, t = timed(lambda: fuzzy_topk(SF_DIR, "strem windoq kay", k=10))
     results["fuzzy_topk_sec"] = round(t, 3)  # includes first vocab scan
+    _, t = timed(
+        lambda: fuzzy_topk(SF_DIR, "strem windoq kay", k=10, max_dist=2))
+    results["fuzzy2_topk_sec"] = round(t, 3)  # symspell sidecar probe
     _, t = timed(lambda: did_you_mean(SF_DIR, "strem windoq kay"))
     results["did_you_mean_sec"] = round(t, 3)
     _, t = timed(lambda: not_topk(SF_DIR, "spark window -merge -stream", k=10))
