@@ -149,6 +149,72 @@ def test_append_dedup_drops_planted_dups(ray_session, base_and_delta, tmp_path):
     assert m2["n_docs"] == m1["n_docs"] + 1
 
 
+def test_append_dedup_across_compaction(ray_session, base_and_delta,
+                                        tmp_path):
+    """The soak-found generation-collision bug: compaction folds INDEX
+    generations back to 1 while the sigstore keeps its history, so a
+    post-compaction append's sig generation collided with a committed
+    one and the resumable write silently SKIPPED the delta's
+    signatures — later appends stopped near-dup-checking against those
+    docs, and the next compaction's fsck aborted on meta-vs-rows. The
+    gen_offset mapping decouples the namespaces; this drives
+    build → append → compact → append → compact → append and asserts
+    every cross-epoch planted dup still drops and fsck stays green."""
+    from zensearch_ray.pipelines.compact import compact_in_place
+    from zensearch_ray.pipelines.fsck import fsck_index
+
+    base, delta, urls, texts = base_and_delta
+    idx = str(tmp_path / "idxc")
+    build_index(base, idx, _cfg())
+    append_index_dedup(delta, idx, _cfg(), threshold=0.5)
+
+    compact_in_place(idx)
+    meta = read_meta(store_dir_of(idx))
+    assert meta["gen_offset"] == max(int(k) for k in meta["generations"])
+
+    # post-compaction append: novel doc + a copy of a doc kept by the
+    # PRE-compaction append (texts[2] twin keeper) — must still drop
+    d2 = str(tmp_path / "post_compact.parquet")
+    pq.write_table(
+        _pages_like(
+            ["https://epoch2.example.com/copy",
+             "https://epoch2.example.com/new"],
+            [texts[2], "post compaction epoch two novel words content"],
+        ),
+        d2,
+    )
+    m2 = append_index_dedup(d2, idx, _cfg(), threshold=0.5)
+    assert m2["near_dedup"]["dropped"] == 1
+    assert (m2["near_dedup"]["dropped_sample"][0]["url"]
+            == "https://epoch2.example.com/copy")
+    meta2 = read_meta(store_dir_of(idx))
+    # the new generation landed in the store's namespace, not on top
+    # of a committed one, and the row accounting is exact
+    assert meta2["n_docs"] == m2["n_docs"]
+    assert len(meta2["generations"]) == len(meta["generations"]) + 1
+
+    # second compaction epoch: fsck gate passes (it aborted before the
+    # fix), offset advances, and a dup planted against the epoch-2
+    # keeper still drops
+    compact_in_place(idx)
+    meta3 = read_meta(store_dir_of(idx))
+    assert meta3["gen_offset"] == max(int(k) for k in meta3["generations"])
+    assert meta3["gen_offset"] > meta["gen_offset"]
+    d3 = str(tmp_path / "epoch3.parquet")
+    pq.write_table(
+        _pages_like(
+            ["https://epoch3.example.com/copy"],
+            ["post compaction epoch two novel words content"],
+        ),
+        d3,
+    )
+    m3 = append_index_dedup(d3, idx, _cfg(), threshold=0.5)
+    assert m3["near_dedup"]["dropped"] == 1
+    assert read_meta(store_dir_of(idx))["n_docs"] == m3["n_docs"]
+    rep = fsck_index(idx, deep=False)
+    assert rep["ok"], rep["errors"]
+
+
 def test_est_jaccard_tracks_true_jaccard(ray_session, base_and_delta, tmp_path):
     """MinHash estimate vs brute-force shingle Jaccard on planted pairs."""
     from zensearch_ray.stages.minhash import shingle_hashes

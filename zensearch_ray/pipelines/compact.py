@@ -564,6 +564,21 @@ def compact_in_place(index_dir: str, keep_backup: bool = False) -> dict:
     src_ss = os.path.join(index_dir, "sigstore")
     if os.path.isdir(src_ss):
         shutil.copytree(src_ss, os.path.join(tmp_out, "sigstore"))
+        # the compacted INDEX restarts at one generation while the
+        # carried-over sigstore keeps its history: advance the store's
+        # generation-namespace offset so the next append's sig
+        # generation (offset + index gen) can never collide with a
+        # committed one (a collision makes the resumable write
+        # silently skip the delta's signatures — the exact failure
+        # this soak-found fix closes; see sigstore.append_sig_store)
+        from zensearch_ray.stages import sigstore as _ss
+
+        dst_ss = os.path.join(tmp_out, "sigstore")
+        smeta = _ss.read_meta(dst_ss)
+        if smeta is not None and smeta.get("generations"):
+            smeta["gen_offset"] = max(
+                int(k) for k in smeta["generations"])
+            _ss._write_meta(dst_ss, smeta)
     rep = fsck_index(tmp_out, deep=False)
     if not rep["ok"]:
         raise RuntimeError(

@@ -448,12 +448,31 @@ def near_dup_vs_store(delta_tbl: pa.Table, store_dir: str,
 
 def append_sig_store(kept_sigs, store_dir: str, gen: int) -> dict:
     """Append the KEPT delta docs' signatures + band rows as generation
-    ``gen`` (same resumable two-pass write as the initial build)."""
+    ``gen`` (same resumable two-pass write as the initial build).
+
+    ``gen`` is the INDEX append generation; the store maps it into its
+    OWN generation namespace as ``meta["gen_offset"] + gen``. The two
+    counters decouple the moment the index is compacted:
+    ``compact_in_place`` folds index generations back to 1 but keeps
+    the sigstore generation-structured, advancing ``gen_offset`` to
+    the store's max committed generation — without the offset, the
+    post-compaction append would REUSE a committed sig generation and
+    the resumable partition write would silently SKIP the new delta's
+    signatures, so later near-dup appends stop seeing those docs
+    (caught by the endurance soak's cross-compaction planted-dup check
+    and by fsck's meta-vs-rows count, which aborted the swap). The
+    mapping is deterministic in (offset, gen), so a crashed-and-rerun
+    append resolves to the SAME store generation and resumes it
+    (meta commits last), keeping the write idempotent."""
     import ray.data as rd
 
     meta = read_meta(store_dir)
     if meta is None:
         raise FileNotFoundError(f"no sigstore meta at {store_dir}")
+    # same-id re-entry after the offset mapping can only be the SAME
+    # delta re-run (ids are never reused across compaction epochs), so
+    # the resumable write below correctly no-ops it
+    gen = int(meta.get("gen_offset", 0)) + int(gen)
     scfg = SigConfig(**meta["config"])
     sigs_dir = _gen_dir(store_dir, "sigs", gen)
     bands_dir = _gen_dir(store_dir, "bands", gen)
