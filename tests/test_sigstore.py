@@ -168,9 +168,13 @@ def test_append_dedup_across_compaction(ray_session, base_and_delta,
     build_index(base, idx, _cfg())
     append_index_dedup(delta, idx, _cfg(), threshold=0.5)
 
+    pre_fold = read_meta(store_dir_of(idx))
     compact_in_place(idx)
     meta = read_meta(store_dir_of(idx))
-    assert meta["gen_offset"] == max(int(k) for k in meta["generations"])
+    # the store folded to ONE generation with exact row accounting
+    assert set(meta["generations"]) == {"0"}
+    assert meta["gen_offset"] == 0
+    assert meta["n_docs"] == pre_fold["n_docs"]
 
     # post-compaction append: novel doc + a copy of a doc kept by the
     # PRE-compaction append (texts[2] twin keeper) — must still drop
@@ -194,12 +198,12 @@ def test_append_dedup_across_compaction(ray_session, base_and_delta,
     assert len(meta2["generations"]) == len(meta["generations"]) + 1
 
     # second compaction epoch: fsck gate passes (it aborted before the
-    # fix), offset advances, and a dup planted against the epoch-2
-    # keeper still drops
+    # fix), the store folds back to one generation, and a dup planted
+    # against the epoch-2 keeper still drops
     compact_in_place(idx)
     meta3 = read_meta(store_dir_of(idx))
-    assert meta3["gen_offset"] == max(int(k) for k in meta3["generations"])
-    assert meta3["gen_offset"] > meta["gen_offset"]
+    assert set(meta3["generations"]) == {"0"}
+    assert meta3["n_docs"] == meta2["n_docs"]
     d3 = str(tmp_path / "epoch3.parquet")
     pq.write_table(
         _pages_like(

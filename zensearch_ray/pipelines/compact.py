@@ -539,10 +539,11 @@ def compact_in_place(index_dir: str, keep_backup: bool = False) -> dict:
     auto-compaction primitive the ``watch`` loop calls so a
     long-running ingest can't grow generations without bound.
 
-    Sequence: compact into ``<dir>.compacting`` → carry the MinHash
-    signature store over verbatim (it is generation-structured
-    independently of the postings, so near-dup append keeps working;
-    caveat: signatures of tombstone-PURGED docs survive the copy, so
+    Sequence: compact into ``<dir>.compacting`` → FOLD the MinHash
+    signature store's generations into one (its own compaction —
+    bounds near-dup probe cost for long-running watch loops and keeps
+    the store's generation namespace in lockstep with the index's;
+    caveat: signatures of tombstone-PURGED docs survive the fold, so
     future near-dups of a deleted doc are still dropped — the
     conservative direction) → metadata fsck gate → two renames
     (old → ``.precompact`` → new → ``index_dir``). The swap window is
@@ -563,22 +564,18 @@ def compact_in_place(index_dir: str, keep_backup: bool = False) -> dict:
     m = compact_index(index_dir, tmp_out)
     src_ss = os.path.join(index_dir, "sigstore")
     if os.path.isdir(src_ss):
-        shutil.copytree(src_ss, os.path.join(tmp_out, "sigstore"))
-        # the compacted INDEX restarts at one generation while the
-        # carried-over sigstore keeps its history: advance the store's
-        # generation-namespace offset so the next append's sig
-        # generation (offset + index gen) can never collide with a
-        # committed one (a collision makes the resumable write
-        # silently skip the delta's signatures — the exact failure
-        # this soak-found fix closes; see sigstore.append_sig_store)
-        from zensearch_ray.stages import sigstore as _ss
+        # fold the sigstore's generations alongside the index's (its
+        # own compaction): the near-dup probe reads one file per
+        # generation per band partition, so a long-running watch loop
+        # would otherwise grow probe cost one generation per delta
+        # forever. The fold also resets the store's generation
+        # namespace in lockstep with the index's (gen_offset=0) — a
+        # verbatim carry-over here once let a post-compaction append
+        # REUSE a committed sig generation, silently skipping the
+        # delta's signatures (soak-found; see sigstore.append_sig_store).
+        from zensearch_ray.stages.sigstore import fold_sig_store
 
-        dst_ss = os.path.join(tmp_out, "sigstore")
-        smeta = _ss.read_meta(dst_ss)
-        if smeta is not None and smeta.get("generations"):
-            smeta["gen_offset"] = max(
-                int(k) for k in smeta["generations"])
-            _ss._write_meta(dst_ss, smeta)
+        fold_sig_store(src_ss, os.path.join(tmp_out, "sigstore"))
     rep = fsck_index(tmp_out, deep=False)
     if not rep["ok"]:
         raise RuntimeError(

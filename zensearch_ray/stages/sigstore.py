@@ -239,6 +239,66 @@ def build_sig_store(ds, store_dir: str, scfg: SigConfig | None = None,
     return new_meta
 
 
+def fold_sig_store(src_store: str, dst_store: str) -> dict:
+    """Fold every generation of ``src_store`` into a single gen-0 at
+    ``dst_store`` — the sigstore's own compaction, run by
+    ``compact_in_place`` beside the index fold. Near-dup probe cost
+    reads one file per generation per band partition, so a
+    long-running watch loop would otherwise accumulate one store
+    generation per delta FOREVER; folding at each index compaction
+    bounds the per-probe file count to 1 + appends-since-last-compact.
+    The fold is partition-local (per-partition concat across
+    generation dirs, one Ray task each — no shuffle, no driver
+    materialization) and costs the same bytes the previous verbatim
+    ``copytree`` already paid. Signatures of tombstone-purged docs
+    survive, as before (conservative: future near-dups of a deleted
+    doc still drop). Returns the new meta."""
+    import ray
+
+    meta = read_meta(src_store)
+    if meta is None:
+        raise FileNotFoundError(f"no sigstore meta at {src_store}")
+    scfg = SigConfig(**meta["config"])
+
+    @ray.remote
+    def fold_part(kind: str, part: int) -> int:
+        files = _part_files(src_store, kind, part)
+        if not files:
+            return 0
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        out_dir = _gen_dir(dst_store, kind, 0)
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f"part-{part:05d}.parquet.tmp")
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(out_dir, f"part-{part:05d}.parquet"))
+        return tbl.num_rows if kind == "sigs" else 0
+
+    futs = [fold_part.remote(kind, p)
+            for kind in ("sigs", "bands")
+            for p in range(scfg.n_partitions)]
+    rows = int(sum(ray.get(futs)))
+    # folded partitions are complete by construction: write the
+    # completion markers the resumable sink protocol expects
+    for kind in ("sigs", "bands"):
+        gdir = _gen_dir(dst_store, kind, 0)
+        os.makedirs(os.path.join(gdir, "_partitions"), exist_ok=True)
+        for p in range(scfg.n_partitions):
+            if os.path.exists(os.path.join(gdir, f"part-{p:05d}.parquet")):
+                marker = os.path.join(
+                    gdir, "_partitions", f"part-{p:05d}.json")
+                with open(marker + ".tmp", "w") as f:
+                    json.dump({"part": p}, f)
+                os.replace(marker + ".tmp", marker)
+    new_meta = {
+        "config": asdict(scfg),
+        "generations": {"0": {"rows": rows}},
+        "n_docs": rows,
+        "gen_offset": 0,
+    }
+    _write_meta(dst_store, new_meta)
+    return new_meta
+
+
 def _probe_store_fn(store_dir: str, n_partitions: int, max_bucket: int = 2000):
     """map_groups over delta band rows grouped by partition: join the
     group against the store's SAME band partition (one file per
