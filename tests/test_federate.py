@@ -79,6 +79,24 @@ def test_service_matches_engine(shards):
         assert batch == [fed.topk(q, 10) for q in QUERIES[:4]]
 
 
+def test_service_replicas_per_shard(shards):
+    """An S × R replica grid must stay bit-identical to the engine on
+    every path (single queries round-robin replicas; batches split
+    across each shard's replicas) — the per-shard THROUGHPUT scaling
+    knob the 10M federated soak motivated (BASELINE §8)."""
+    fed = FederatedEngine(shards)
+    with FederatedService(shards, replicas_per_shard=2) as svc:
+        assert len(set(svc.shard_pids())) == 4  # 2 shards × 2 replicas
+        for q in QUERIES[:4]:
+            assert svc.topk(q, 10) == fed.topk(q, 10), q
+            assert svc.topk(q, 10) == fed.topk(q, 10), q  # other replica
+        batch = svc.topk_batch(QUERIES, 10)
+        assert batch == [fed.topk(q, 10) for q in QUERIES]
+        # odd batch against even replica count: every slot still lands
+        batch3 = svc.topk_batch(QUERIES[:3], 10)
+        assert batch3 == [fed.topk(q, 10) for q in QUERIES[:3]]
+
+
 def test_local_idf_would_differ(shards, union_engine):
     # the exactness the two-phase protocol buys: scoring shard 0 with
     # its LOCAL stats gives different scores than the union engine —

@@ -193,17 +193,27 @@ class FederatedService:
     therefore to a one-shot union build."""
 
     def __init__(self, index_dirs: list[str], cache_terms: int = 4096,
-                 id_offsets: list[int] | None = None):
+                 id_offsets: list[int] | None = None,
+                 replicas_per_shard: int = 1):
         import ray
 
         from zensearch_ray.state.manifest import IndexLayout
 
         offsets = list(id_offsets or [0] * len(index_dirs))
         actor = ray.remote(num_cpus=1)(_FederatedShard)
-        self._shards = [
-            actor.remote(d, off, cache_terms)
+        # replicas_per_shard > 1 scales per-shard THROUGHPUT: each
+        # query still touches every shard (latency is per-query shard
+        # work), but concurrent queries and batches spread across an
+        # S × R actor grid instead of serializing on one CPU per
+        # shard — the 10M soak measured batch-200 bound at exactly
+        # one-CPU-per-shard compute (BASELINE §8)
+        self._replica_grid = [
+            [actor.remote(d, off, cache_terms)
+             for _ in range(max(1, replicas_per_shard))]
             for d, off in zip(index_dirs, offsets)
         ]
+        self._rr = 0
+        self._shards = [grid[0] for grid in self._replica_grid]
         n_docs, sum_dl = 0, 0
         for d in index_dirs:
             m = IndexLayout(d).read_manifest()
@@ -225,41 +235,63 @@ class FederatedService:
         idf_g = {t: idf(self.n_docs, d) for t, d in df_g.items()}
         return [{t: idf_g[t] for t in set(tokenize(q))} for q in queries]
 
+    def _pick(self, grid_row: list):
+        """Round-robin replica within one shard's column."""
+        return grid_row[self._rr % len(grid_row)]
+
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         import ray
 
         idf_by_term = self._idf_gather([query])[0]
+        self._rr += 1
         per_shard = ray.get([
-            s.topk_global.remote(query, k, idf_by_term, self.avgdl)
-            for s in self._shards
+            self._pick(row).topk_global.remote(
+                query, k, idf_by_term, self.avgdl)
+            for row in self._replica_grid
         ])
         return _merge_topk(per_shard, k)
 
     def topk_batch(self, queries: list[str], k: int = 10):
-        """Bulk path: one df RPC + one scoring RPC per shard for the
-        whole batch."""
+        """Bulk path: one df RPC per shard for the whole batch, then
+        the batch SPLIT across each shard's replicas (per-query
+        results still merge across all shards)."""
         import ray
 
         idf_by_query = self._idf_gather(queries)
-        per_shard = ray.get([
-            s.topk_global_batch.remote(queries, k, idf_by_query, self.avgdl)
-            for s in self._shards
-        ])
+        n_shards = len(self._replica_grid)
+        futs = []  # (shard, [query indices], future)
+        for s, row in enumerate(self._replica_grid):
+            r = len(row)
+            slots: list[list[int]] = [[] for _ in range(r)]
+            for qi in range(len(queries)):
+                slots[qi % r].append(qi)
+            for rep, qidx in enumerate(slots):
+                if qidx:
+                    futs.append((s, qidx, row[rep].topk_global_batch.remote(
+                        [queries[i] for i in qidx], k,
+                        [idf_by_query[i] for i in qidx], self.avgdl)))
+        per = [[None] * len(queries) for _ in range(n_shards)]
+        for (s, qidx, f) in futs:
+            for i, res in zip(qidx, ray.get(f)):
+                per[s][i] = res
         return [
-            _merge_topk([per_shard[s][qi] for s in range(len(per_shard))], k)
+            _merge_topk([per[s][qi] for s in range(n_shards)], k)
             for qi in range(len(queries))
         ]
 
     def shard_pids(self) -> list[int]:
         import ray
 
-        return ray.get([s.pid.remote() for s in self._shards])
+        return ray.get([a.pid.remote()
+                        for row in self._replica_grid for a in row])
 
     def shutdown(self) -> None:
         import ray
 
-        for s in self._shards:
-            ray.kill(s)
+        for row in self._replica_grid:
+            for a in row:
+                ray.kill(a)
+        self._replica_grid = []
         self._shards = []
 
     def __enter__(self):
