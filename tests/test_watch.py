@@ -114,6 +114,63 @@ def test_watch_two_deltas_live_reload(ray_session, tmp_path, capsys):
     assert ingest_once(idx, drop, _cfg(), threshold=0.5) == []
 
 
+def test_ingest_marker_crash_window_never_double_appends(
+    ray_session, tmp_path
+):
+    """Crash between the append's commit and the ingest marker write:
+    the restart must converge WITHOUT re-appending the file. The
+    append records the drop file's fingerprint in the index manifest
+    inside its own atomic commit; a marker-less but tag-committed file
+    is skipped and only its marker re-written (before the tag existed,
+    this restart path duplicated the file's docs as an extra
+    generation)."""
+    from zensearch_ray.state.manifest import IndexLayout
+
+    base = str(tmp_path / "base.parquet")
+    pq.write_table(generate_pages_table(200, seed=3), base)
+    idx = str(tmp_path / "idx")
+    build_index(base, idx, _cfg())
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    _drop(drop, "d0.parquet", generate_pages_table(
+        60, seed=9, row_offset=40_000))
+
+    out1 = ingest_once(idx, drop, _cfg())
+    assert len(out1) == 1 and "skipped" not in out1[0]
+    m1 = IndexLayout(idx).read_manifest()
+    assert len(m1["ingest_tags"]) == 1
+
+    # simulate the crash window: the marker vanishes, the append stays
+    marker = os.path.join(drop, "_ingested", "d0.parquet.json")
+    os.remove(marker)
+    assert pending_files(drop) == ["d0.parquet"]
+
+    out2 = ingest_once(idx, drop, _cfg())
+    assert out2 == [{"file": "d0.parquet", "skipped": "already_ingested"}]
+    m2 = IndexLayout(idx).read_manifest()
+    assert m2["n_docs"] == m1["n_docs"]  # NOT double-appended
+    assert m2["n_generations"] == m1["n_generations"]
+    assert os.path.exists(marker)  # marker converged
+    assert pending_files(drop) == []
+
+    # the next (uniquely-named, per the producer contract) file is a
+    # fresh ingest and adds its own tag
+    _drop(drop, "d1.parquet", generate_pages_table(
+        30, seed=11, row_offset=80_000))
+    out3 = ingest_once(idx, drop, _cfg())
+    assert len(out3) == 1 and "skipped" not in out3[0]
+    m3 = IndexLayout(idx).read_manifest()
+    assert m3["n_docs"] > m2["n_docs"]
+    assert len(m3["ingest_tags"]) == 2
+
+    # compaction preserves the tags (the guard survives the LSM fold)
+    from zensearch_ray.pipelines.compact import compact_in_place
+
+    compact_in_place(idx)
+    assert IndexLayout(idx).read_manifest()["ingest_tags"] == \
+        m3["ingest_tags"]
+
+
 def test_watch_loop_max_cycles(ray_session, tmp_path):
     from zensearch_ray.pipelines.watch import watch
 

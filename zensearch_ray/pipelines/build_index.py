@@ -459,7 +459,8 @@ def _pass1_stats(tokenized, cfg: BuildConfig, layout: IndexLayout, fp: str,
 
 
 def build_index(
-    source, index_dir: str, cfg: BuildConfig | None = None, append: bool = False
+    source, index_dir: str, cfg: BuildConfig | None = None,
+    append: bool = False, manifest_extra: dict | None = None,
 ) -> dict:
     """Build (or resume) the inverted index at ``index_dir``. With
     ``append=True``, tokenize ONLY the new source and add a new segment
@@ -469,7 +470,8 @@ def build_index(
     manifest dict. Never calls ray.init (driver owns the session).
     """
     if append:
-        return append_index(source, index_dir, cfg)
+        return append_index(source, index_dir, cfg,
+                            manifest_extra=manifest_extra)
     import ray
 
     cfg = cfg or BuildConfig()
@@ -647,7 +649,8 @@ def build_index(
 
 
 def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
-                 drop_urls: frozenset | None = None) -> dict:
+                 drop_urls: frozenset | None = None,
+                 manifest_extra: dict | None = None) -> dict:
     """Append NEW documents to an existing index as a new segment
     generation (SURVEY.md 'grow-by-crawling' analog; VERDICT r1 missing
     item 1). Only the new source is read/tokenized; existing segments
@@ -664,6 +667,16 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
     segments under the OLD global stats (scores shift slightly; no
     crashes, no missing old docs). New docs are assumed disjoint from
     existing ones (dedup_urls applies within a generation only).
+
+    NOTE the resume contract covers INTERRUPTED appends only: re-running
+    a COMPLETED append allocates a fresh generation and appends the
+    docs again (the call cannot distinguish "same delta retried" from
+    "next delta"). Callers needing exactly-once file ingest record an
+    identity via ``manifest_extra`` — a dict merged into the global
+    manifest inside the SAME atomic write that commits the append
+    (``watch.ingest_once`` stores its drop-file fingerprint there, so a
+    crash between the append's commit and its ingest marker cannot
+    double-ingest on restart).
     """
     import ray
 
@@ -804,6 +817,8 @@ def append_index(source, index_dir: str, cfg: BuildConfig | None = None,
             ),
         }
     )
+    for k, v in (manifest_extra or {}).items():
+        manifest[k] = v
     layout.write_manifest(manifest)
     return manifest
 
@@ -813,6 +828,7 @@ def append_index_dedup(
     index_dir: str,
     cfg: BuildConfig | None = None,
     threshold: float = 0.9,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Near-dup-aware append: drop delta docs that near-duplicate (a)
     anything ALREADY INDEXED — checked against the persisted signature
@@ -870,7 +886,8 @@ def append_index_dedup(
     t_dedup = round(time.perf_counter() - t0, 3)
 
     drop_urls = frozenset(u for (u, _k) in dropped.values())
-    manifest = append_index(source, index_dir, cfg, drop_urls=drop_urls)
+    manifest = append_index(source, index_dir, cfg, drop_urls=drop_urls,
+                            manifest_extra=manifest_extra)
     gen = int(manifest["n_generations"]) - 1
 
     if dropped:

@@ -62,6 +62,27 @@ def ingested_files(drop_dir: str) -> list[str]:
     return sorted(n[:-5] for n in os.listdir(mdir) if n.endswith(".json"))
 
 
+def _ingest_tag(path: str) -> str:
+    """Identity of one drop file's ingest: name + size + mtime_ns.
+    Recorded in the index manifest ATOMICALLY with the append's own
+    commit (``manifest_extra``), so whether a given file's append
+    landed survives a crash between that commit and the ingest marker
+    — without it, the restart re-appended the file's docs as a
+    duplicate generation (probed at 916 → 1108 docs)."""
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def _ingested_tags(index_dir: str) -> list[str]:
+    from zensearch_ray.state.manifest import IndexLayout
+
+    try:
+        return list(IndexLayout(index_dir).read_manifest().get(
+            "ingest_tags", []))
+    except FileNotFoundError:
+        return []
+
+
 def _append_one(index_dir: str, path: str, cfg, near_dedup: bool,
                 threshold: float) -> dict:
     from zensearch_ray.pipelines.build_index import (
@@ -72,10 +93,13 @@ def _append_one(index_dir: str, path: str, cfg, near_dedup: bool,
 
     from zensearch_ray.sources import resolve_pages_source
 
+    extra = {"ingest_tags": _ingested_tags(index_dir) + [_ingest_tag(path)]}
     source = resolve_pages_source(path)
     if near_dedup:
-        return append_index_dedup(source, index_dir, cfg, threshold=threshold)
-    return build_index(source, index_dir, cfg, append=True)
+        return append_index_dedup(source, index_dir, cfg,
+                                  threshold=threshold, manifest_extra=extra)
+    return build_index(source, index_dir, cfg, append=True,
+                       manifest_extra=extra)
 
 
 def ingest_once(index_dir: str, drop_dir: str, cfg=None,
@@ -89,15 +113,22 @@ def ingest_once(index_dir: str, drop_dir: str, cfg=None,
     os.makedirs(os.path.join(drop_dir, _MARKER_DIR), exist_ok=True)
     out = []
     for name in pending_files(drop_dir):
-        manifest = _append_one(
-            index_dir, os.path.join(drop_dir, name), cfg, near_dedup, threshold
-        )
-        summary = {
-            "file": name,
-            "n_docs": manifest.get("n_docs"),
-            "n_generations": manifest.get("n_generations"),
-            "dropped": manifest.get("near_dedup", {}).get("dropped", 0),
-        }
+        path = os.path.join(drop_dir, name)
+        if _ingest_tag(path) in _ingested_tags(index_dir):
+            # the append COMMITTED but the crash hit before the marker
+            # landed: converge by re-writing the marker only — never
+            # re-append (that duplicated the file's docs as an extra
+            # generation before the ingest-tag record existed)
+            summary = {"file": name, "skipped": "already_ingested"}
+        else:
+            manifest = _append_one(index_dir, path, cfg, near_dedup,
+                                   threshold)
+            summary = {
+                "file": name,
+                "n_docs": manifest.get("n_docs"),
+                "n_generations": manifest.get("n_generations"),
+                "dropped": manifest.get("near_dedup", {}).get("dropped", 0),
+            }
         marker = _marker_path(drop_dir, name)
         with open(marker + ".tmp", "w") as f:
             json.dump(summary, f)
