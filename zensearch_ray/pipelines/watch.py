@@ -106,7 +106,11 @@ def ingest_once(index_dir: str, drop_dir: str, cfg=None,
                 near_dedup: bool = True, threshold: float = 0.9) -> list[dict]:
     """Ingest every currently-pending drop file (sorted order, one
     append generation each); returns one summary per ingested file.
-    Crash-safe: the marker lands only after the append commits."""
+    Crash-safe in BOTH windows: the marker lands only after the append
+    commits, and the append's own atomic commit records the file's
+    ingest tag — so a restart after a committed-but-unmarked append
+    skips the file (re-writing just its marker) instead of
+    double-appending its docs."""
     from zensearch_ray.pipelines.build_index import BuildConfig
 
     cfg = cfg or BuildConfig()
