@@ -55,6 +55,7 @@ MODE_CALLS = {
     "and": lambda eng, q, k: eng.topk_and(q, k),
     "prefix": lambda eng, q, k: eng.topk_prefix(q, k),
     "fuzzy": lambda eng, q, k: eng.topk_fuzzy(q, k),
+    "fuzzy2": lambda eng, q, k: eng.topk_fuzzy(q, k, max_dist=2),
     "not": lambda eng, q, k: eng.topk_not(q, k),
     "bool": lambda eng, q, k: eng.topk_bool(q, k),
     "wildcard": lambda eng, q, k: eng.topk_wildcard(q, k),
@@ -68,6 +69,7 @@ MODE_CALLS = {
 MODE_QUERY = {
     "prefix": "se",
     "fuzzy": "serch engin",
+    "fuzzy2": "serch engin",
     "bool": "search AND (engine OR ranking)",
     "wildcard": "se*ch",
     "regex": "s.arch",

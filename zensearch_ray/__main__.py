@@ -1022,7 +1022,7 @@ def main(argv=None) -> int:
     bt.add_argument("-k", type=int, default=10)
     bt.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
+        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "fuzzy2", "not", "bool", "wildcard", "regex"],
         default="pruned",
     )
     bt.add_argument("--window", type=int, default=8)
@@ -1282,7 +1282,7 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument(
         "--mode",
-        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "not", "bool", "wildcard", "regex"],
+        choices=["exhaustive", "pruned", "and", "phrase", "phrase_prefix", "near", "seq", "prefix", "fuzzy", "fuzzy2", "not", "bool", "wildcard", "regex"],
         default=None,  # resolved in cmd_serve (pruned; --filter → exhaustive)
     )
     s.add_argument("--replicas", type=int, default=2)

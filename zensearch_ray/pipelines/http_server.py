@@ -47,7 +47,7 @@ from urllib.parse import parse_qs, urlparse
 
 _MODES = (
     "exhaustive", "pruned", "and", "phrase", "near", "seq", "prefix",
-    "fuzzy", "not", "bool", "wildcard", "regex", "boosted", "msm",
+    "fuzzy", "fuzzy2", "not", "bool", "wildcard", "regex", "boosted", "msm",
     "dismax", "fvf", "bmw",
 )
 

@@ -2190,6 +2190,7 @@ class QueryEngine:
             "seq": lambda q, kk: self.topk_seq(q, window, kk),
             "prefix": self.topk_prefix,
             "fuzzy": self.topk_fuzzy,
+            "fuzzy2": lambda q, kk: self.topk_fuzzy(q, kk, max_dist=2),
             "not": self.topk_not,
             "bool": self.topk_bool,
             "wildcard": self.topk_wildcard,
@@ -2489,6 +2490,7 @@ class QueryScorer:
             "seq": lambda q, kk: e.topk_seq(q, window, kk),
             "prefix": e.topk_prefix,
             "fuzzy": e.topk_fuzzy,
+            "fuzzy2": lambda q, kk: e.topk_fuzzy(q, kk, max_dist=2),
             "not": e.topk_not,
             "bool": e.topk_bool,
             "wildcard": e.topk_wildcard,

@@ -113,6 +113,8 @@ class _EngineReplica:
             "seq": lambda q, kk: self.engine.topk_seq(q, 8, kk),
             "prefix": self.engine.topk_prefix,
             "fuzzy": self.engine.topk_fuzzy,
+            "fuzzy2": lambda q, kk: self.engine.topk_fuzzy(
+                q, kk, max_dist=2),
             "not": self.engine.topk_not,
             "bool": self.engine.topk_bool,
             "wildcard": self.engine.topk_wildcard,
